@@ -1,0 +1,593 @@
+"""Partition-parallel inverted-index build.
+
+Re-expresses the reference write path (core/index/writer.go,
+documentsWriter.go, defaultIndexingChain.go, termsHashConsumerPerField.go)
+as one Spark plan:
+
+    docs ->(assign segment + docID)-> mapInPandas tokenize/invert
+         ->(groupBy segment,field,term)-> blocked posting lists
+         -> parquet tables {postings, term_dict, doc_stats, doc_meta,
+                            field_stats} + manifest
+
+Design points vs the reference:
+- The DWPT thread pool (documentsWriter.go:33-60) becomes Spark
+  partitions; a *segment* is a deterministic hash bucket of documents,
+  so segment membership is stable across reruns (resume-safe).
+- Per-doc inversion (defaultIndexingChain.go:270-394) happens inside a
+  vectorized pandas stage: token streams never leave Python row-by-row.
+- The in-RAM TermsHash + flush sort (termsHashConsumerPerField.go:288-369,
+  :506) becomes one groupBy(segment,field,term) shuffle + sort_array —
+  Spark's partial aggregation replaces the hand-rolled byte pools.
+- Posting lists are chunked into 128-doc blocks with block metadata
+  (max freq / min quantized dl / doc range) mirroring the Lucene41
+  block + skip-list layout (core/codec/lucene41/postingsWriter.go:278-320,
+  skipWriter.go:36-150); the metadata powers block-max pruning at query
+  time.  Bit-packing itself is delegated to Parquet encodings
+  (forUtil.go's job).
+- Norms: one byte per doc, SmallFloat 3.15 quantization of
+  1/sqrt(length) (defaultIndexingChain.go:497-506, search.go:499-507);
+  the decoded quantized length is denormalized into each posting block
+  so scoring never joins the (huge) doc_stats table.
+- Commit protocol (writer.go:1021-1266, segmentInfos.go:21-199): chunked
+  writes into chunk=K subdirectories + a manifest row per segment with
+  lineage + metrics; an interrupted build resumes by skipping committed
+  chunks (north-rule checkpoint/resume).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import math
+import os
+import time
+from dataclasses import dataclass, field as dc_field
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from ..analysis import get_analyzer
+from . import smallfloat
+
+BLOCK_SIZE = 128  # core/codec/lucene41/postingsFormat.go:22
+
+DOC_SENTINEL_FIELD = "__doc__"
+
+TF_SCHEMA = T.StructType(
+    [
+        T.StructField("segment_id", T.IntegerType(), False),
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("field", T.StringType(), False),
+        T.StructField("term", T.StringType(), True),
+        T.StructField("freq", T.IntegerType(), False),
+        T.StructField("positions", T.ArrayType(T.IntegerType()), True),
+        T.StructField("dlq", T.DoubleType(), False),
+        T.StructField("norm_byte", T.IntegerType(), False),
+    ]
+)
+
+
+@dataclass(frozen=True)
+class FieldSpec:
+    name: str              # index field name
+    column: str            # source column
+    tokenized: bool = True  # TextField vs StringField (field.go:194-271)
+
+
+@dataclass
+class CorpusSpec:
+    """Shape of the input table and how its columns map to index fields."""
+
+    text_fields: list = dc_field(default_factory=lambda: [FieldSpec("content", "content", True)])
+    keyword_fields: list = dc_field(
+        default_factory=lambda: [
+            FieldSpec("repo", "repo", False),
+            FieldSpec("path", "path", False),
+            FieldSpec("commit", "commit", False),
+            FieldSpec("lang", "lang", False),
+        ]
+    )
+    key_cols: list = dc_field(default_factory=lambda: ["repo", "path", "commit"])
+    id_col: str | None = None  # pre-existing stable doc id column
+    meta_cols: list = dc_field(default_factory=lambda: ["repo", "path", "commit", "lang"])
+
+    @staticmethod
+    def source_code():
+        return CorpusSpec()
+
+    @staticmethod
+    def documents():
+        """The driver's documents table (doc_id, text, lang, source, ...)."""
+        return CorpusSpec(
+            text_fields=[FieldSpec("text", "text", True)],
+            keyword_fields=[FieldSpec("lang", "lang", False), FieldSpec("source", "source", False)],
+            key_cols=["doc_id"],
+            id_col="doc_id",
+            meta_cols=["lang", "source"],
+        )
+
+
+def assign_doc_ids(df: DataFrame, spec: CorpusSpec, num_segments: int) -> DataFrame:
+    """Stable global docIDs: segment = hash bucket of the key columns,
+    docBase = cumulative segment sizes (compositeReader.go:126-161's
+    per-leaf docBase), local id = row_number over the deterministic key
+    sort.  Never monotonically_increasing_id (unstable across reruns)."""
+    from pyspark.sql import Window
+
+    if spec.id_col:
+        return df.withColumn("doc_id", F.col(spec.id_col).cast("long")).withColumn(
+            "segment_id", F.pmod(F.xxhash64(F.col(spec.id_col)), F.lit(num_segments)).cast("int")
+        )
+    seg = F.pmod(F.xxhash64(*[F.col(c) for c in spec.key_cols]), F.lit(num_segments)).cast("int")
+    with_seg = df.withColumn("segment_id", seg)
+    counts = {
+        r["segment_id"]: r["cnt"]
+        for r in with_seg.groupBy("segment_id").agg(F.count("*").alias("cnt")).collect()
+    }
+    base, acc = {}, 0
+    for sid in range(num_segments):
+        base[sid] = acc
+        acc += counts.get(sid, 0)
+    spark = df.sparkSession
+    base_df = F.broadcast(
+        spark.createDataFrame(
+            [(int(s), int(b)) for s, b in base.items()], "segment_id int, doc_base long"
+        )
+    )
+    w = Window.partitionBy("segment_id").orderBy(*spec.key_cols)
+    return (
+        with_seg.join(base_df, "segment_id")
+        .withColumn("doc_id", F.col("doc_base") + F.row_number().over(w) - 1)
+        .drop("doc_base")
+    )
+
+
+def _tf_map_fn(spec: CorpusSpec, analyzer_name: str, quantize: bool, index_positions: bool):
+    """mapInPandas fn: per-doc inversion (tokenize + term-freq + norms).
+
+    Pure function of its batch — safe to re-run (resume), no driver state.
+    Emits one row per (doc, field, term) plus a '__doc__' sentinel row per
+    (doc, text field) carrying length + a Python-side sha256 of the text
+    (cross-checked against the JVM-side sha2 in doc_meta by verify_index).
+    """
+    text_fields = [(f.name, f.column) for f in spec.text_fields]
+    kw_fields = [(f.name, f.column) for f in spec.keyword_fields]
+
+    def fn(batches):
+        analyzer = get_analyzer(analyzer_name)
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            out = []
+            doc_ids = pdf["doc_id"].to_numpy()
+            seg_ids = pdf["segment_id"].to_numpy()
+            for fname, col in text_fields:
+                texts = pdf[col].tolist()
+                terms, rows, pos = analyzer.analyze_batch(texts)
+                if len(terms):
+                    tfd = pd.DataFrame({"row": rows, "term": terms, "pos": pos})
+                    if index_positions:
+                        g = tfd.groupby(["row", "term"], sort=False)["pos"]
+                        agg = g.agg([("freq", "size"), ("positions", list)]).reset_index()
+                    else:
+                        agg = (
+                            tfd.groupby(["row", "term"], sort=False)
+                            .size()
+                            .rename("freq")
+                            .reset_index()
+                        )
+                        agg["positions"] = None
+                    dl = np.zeros(n, dtype=np.int64)
+                    rcounts = tfd.groupby("row", sort=False).size()
+                    dl[rcounts.index.to_numpy()] = rcounts.to_numpy()
+                else:
+                    agg = pd.DataFrame({"row": [], "term": [], "freq": [], "positions": []})
+                    dl = np.zeros(n, dtype=np.int64)
+                nb = smallfloat.encode_norm_from_length(dl)
+                if quantize:
+                    dlq_doc = smallfloat.quantized_doc_length(nb).astype(np.float64)
+                else:
+                    dlq_doc = dl.astype(np.float64)
+                if len(agg):
+                    r = agg["row"].to_numpy().astype(np.int64)
+                    out.append(
+                        pd.DataFrame(
+                            {
+                                "segment_id": seg_ids[r].astype(np.int32),
+                                "doc_id": doc_ids[r],
+                                "field": fname,
+                                "term": agg["term"].to_numpy(),
+                                "freq": agg["freq"].to_numpy().astype(np.int32),
+                                "positions": agg["positions"],
+                                "dlq": dlq_doc[r],
+                                "norm_byte": nb[r].astype(np.int32),
+                            }
+                        )
+                    )
+                # sentinel doc rows: term = sha256(text), freq = doc length
+                shas = [
+                    hashlib.sha256((t or "").encode("utf-8")).hexdigest() for t in texts
+                ]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "segment_id": seg_ids.astype(np.int32),
+                            "doc_id": doc_ids,
+                            "field": DOC_SENTINEL_FIELD + fname,
+                            "term": shas,
+                            "freq": dl.astype(np.int32),
+                            "positions": None,
+                            "dlq": dlq_doc,
+                            "norm_byte": nb.astype(np.int32),
+                        }
+                    )
+                )
+            for fname, col in kw_fields:
+                vals = pdf[col]
+                mask = vals.notna().to_numpy()
+                if mask.any():
+                    out.append(
+                        pd.DataFrame(
+                            {
+                                "segment_id": seg_ids[mask].astype(np.int32),
+                                "doc_id": doc_ids[mask],
+                                "field": fname,
+                                "term": vals.to_numpy()[mask],
+                                "freq": np.int32(1),
+                                "positions": None,
+                                "dlq": np.float64(1.0),
+                                "norm_byte": np.int32(124),  # encode(1.0)
+                            }
+                        )
+                    )
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    return fn
+
+
+def tokenize_tf(docs: DataFrame, spec: CorpusSpec, analyzer: str = "standard",
+                quantize: bool = True, index_positions: bool = True) -> DataFrame:
+    """docs (with doc_id, segment_id) -> flat TF rows (incl. sentinels)."""
+    cols = ["segment_id", "doc_id"] + sorted(
+        {f.column for f in spec.text_fields} | {f.column for f in spec.keyword_fields}
+    )
+    return docs.select(*cols).mapInPandas(
+        _tf_map_fn(spec, analyzer, quantize, index_positions), TF_SCHEMA
+    )
+
+
+def blocked_postings(tf: DataFrame, block_size: int = BLOCK_SIZE) -> DataFrame:
+    """Flat TF rows -> per-(segment,field,term) 128-doc posting blocks with
+    block-max metadata.  Pure Catalyst (whole-stage codegen), one shuffle."""
+    plist = F.sort_array(
+        F.collect_list(F.struct("doc_id", "freq", "dlq", "norm_byte", "positions"))
+    )
+    g = (
+        tf.filter(~F.col("field").startswith(DOC_SENTINEL_FIELD))
+        .groupBy("segment_id", "field", "term")
+        .agg(
+            plist.alias("plist"),
+            F.count("*").alias("df_seg"),
+            F.sum("freq").alias("ttf_seg"),
+        )
+    )
+    nblocks = F.ceil(F.size("plist") / block_size).cast("int")
+    blk = F.explode(
+        F.transform(
+            F.sequence(F.lit(0), nblocks - 1),
+            lambda b: F.struct(
+                b.alias("block_id"),
+                F.slice("plist", b * block_size + 1, block_size).alias("chunk"),
+            ),
+        )
+    )
+    e = g.select("segment_id", "field", "term", "df_seg", "ttf_seg", blk.alias("b")).select(
+        "segment_id",
+        "field",
+        "term",
+        "df_seg",
+        "ttf_seg",
+        F.col("b.block_id").alias("block_id"),
+        F.col("b.chunk").alias("chunk"),
+    )
+    doc_ids = F.transform("chunk", lambda x: x["doc_id"])
+    freqs = F.transform("chunk", lambda x: x["freq"])
+    dlqs = F.transform("chunk", lambda x: x["dlq"])
+    nbs = F.transform("chunk", lambda x: x["norm_byte"])
+    poss = F.transform("chunk", lambda x: x["positions"])
+    return e.select(
+        "segment_id",
+        "field",
+        "term",
+        "df_seg",
+        "ttf_seg",
+        "block_id",
+        doc_ids.alias("doc_ids"),
+        freqs.cast("array<int>").alias("freqs"),
+        dlqs.alias("dlqs"),
+        nbs.cast("array<int>").alias("norm_bytes"),
+        poss.alias("positions"),
+        F.size("chunk").alias("block_len"),
+        F.array_max(freqs).cast("int").alias("block_max_freq"),
+        F.array_min(dlqs).alias("block_min_dlq"),
+        F.element_at(doc_ids, 1).alias("block_first_doc"),
+        F.element_at(doc_ids, -1).alias("block_last_doc"),
+    )
+
+
+class IndexBuilder:
+    """Materialized index build with chunked commit + resume.
+
+    Layout under ``index_dir``:
+      manifest/ (json lines, one file per committed chunk)
+      doc_meta/chunk=K/  postings/chunk=K/  term_dict/chunk=K/
+      doc_stats/chunk=K/  field_stats/
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        spec: CorpusSpec | None = None,
+        analyzer: str = "standard",
+        num_segments: int | None = None,
+        block_size: int = BLOCK_SIZE,
+        quantize_norms: bool = True,
+        index_positions: bool = True,
+    ):
+        self.spark = spark
+        self.spec = spec or CorpusSpec.source_code()
+        self.analyzer = analyzer
+        self.num_segments = num_segments
+        self.block_size = block_size
+        self.quantize_norms = quantize_norms
+        self.index_positions = index_positions
+
+    # -- manifest helpers (the segments_N generation protocol analogue) --
+    @staticmethod
+    def _manifest_dir(index_dir):
+        return os.path.join(index_dir, "manifest")
+
+    def _committed_chunks(self, index_dir) -> dict[int, dict]:
+        d = self._manifest_dir(index_dir)
+        out = {}
+        if os.path.isdir(d):
+            for fn in sorted(os.listdir(d)):
+                if fn.endswith(".json"):
+                    with open(os.path.join(d, fn)) as f:
+                        rec = json.load(f)
+                    if rec.get("status") == "committed":
+                        out[rec["chunk"]] = rec
+        return out
+
+    def _commit_chunk(self, index_dir, rec: dict):
+        d = self._manifest_dir(index_dir)
+        os.makedirs(d, exist_ok=True)
+        tmp = os.path.join(d, f".chunk-{rec['chunk']:05d}.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(rec, f)
+        os.replace(tmp, os.path.join(d, f"chunk-{rec['chunk']:05d}.json"))
+
+    def build(
+        self,
+        df: DataFrame,
+        index_dir: str,
+        num_chunks: int = 1,
+        resume: bool = True,
+    ) -> dict:
+        """Build (or resume) the index.  Returns build metrics."""
+        nseg = self.num_segments or max(df.rdd.getNumPartitions(), 8)
+        docs = assign_doc_ids(df, self.spec, nseg)
+        committed = self._committed_chunks(index_dir) if resume else {}
+        metrics = {"chunks_built": 0, "chunks_skipped": 0, "docs": 0, "segments": nseg}
+
+        for chunk in range(num_chunks):
+            if chunk in committed:
+                metrics["chunks_skipped"] += 1
+                metrics["docs"] += committed[chunk]["n_docs"]
+                continue
+            t0 = time.time()
+            part = docs if num_chunks == 1 else docs.filter(
+                F.pmod(F.col("segment_id"), num_chunks) == chunk
+            )
+            part = part.persist()
+            tf = tokenize_tf(
+                part, self.spec, self.analyzer, self.quantize_norms, self.index_positions
+            ).persist()
+
+            post = blocked_postings(tf, self.block_size)
+            (post.sortWithinPartitions("field", "term", "segment_id", "block_id")
+                 .write.mode("overwrite")
+                 .parquet(os.path.join(index_dir, "postings", f"chunk={chunk}")))
+
+            td = (
+                tf.filter(~F.col("field").startswith(DOC_SENTINEL_FIELD))
+                .groupBy("segment_id", "field", "term")
+                .agg(
+                    F.count("*").alias("df"),
+                    F.sum("freq").alias("ttf"),
+                    # singleton pulsing (postingsWriter.go:388-392): df==1
+                    # terms carry their only doc inline in the dictionary
+                    F.when(F.count("*") == 1, F.min("doc_id")).alias("pulsed_doc"),
+                    F.when(F.count("*") == 1, F.min("freq")).alias("pulsed_freq"),
+                )
+            )
+            (td.sortWithinPartitions("field", "term")
+               .write.mode("overwrite")
+               .parquet(os.path.join(index_dir, "term_dict", f"chunk={chunk}")))
+
+            ds = (
+                tf.filter(F.col("field").startswith(DOC_SENTINEL_FIELD))
+                .select(
+                    "segment_id",
+                    "doc_id",
+                    F.expr(f"substring(field, {len(DOC_SENTINEL_FIELD) + 1})").alias("field"),
+                    F.col("freq").cast("int").alias("length"),
+                    "norm_byte",
+                    "dlq",
+                    F.col("term").alias("content_sha256"),
+                )
+            )
+            ds.write.mode("overwrite").parquet(os.path.join(index_dir, "doc_stats", f"chunk={chunk}"))
+
+            meta_cols = [c for c in self.spec.meta_cols if c in part.columns]
+            sha_col = F.sha2(F.col(self.spec.text_fields[0].column), 256).alias("content_sha256")
+            dm = part.select("segment_id", "doc_id", *meta_cols, sha_col)
+            dm.write.mode("overwrite").parquet(os.path.join(index_dir, "doc_meta", f"chunk={chunk}"))
+
+            n_docs = part.count()
+            seg_counts = {
+                int(r["segment_id"]): int(r["cnt"])
+                for r in part.groupBy("segment_id").agg(F.count("*").alias("cnt")).collect()
+            }
+            tf.unpersist()
+            part.unpersist()
+            self._commit_chunk(
+                index_dir,
+                {
+                    "chunk": chunk,
+                    "status": "committed",
+                    "n_docs": n_docs,
+                    "segments": seg_counts,
+                    "analyzer": self.analyzer,
+                    "quantize_norms": self.quantize_norms,
+                    "block_size": self.block_size,
+                    "num_segments": nseg,
+                    "num_chunks": num_chunks,
+                    "wall_sec": round(time.time() - t0, 3),
+                },
+            )
+            metrics["chunks_built"] += 1
+            metrics["docs"] += n_docs
+
+        # collection statistics (search.go:192-226), one tiny job
+        ds_all = self.spark.read.parquet(os.path.join(index_dir, "doc_stats"))
+        td_all = self.spark.read.parquet(os.path.join(index_dir, "term_dict"))
+        fs = (
+            ds_all.groupBy("field")
+            .agg(
+                F.count("*").alias("doc_count"),
+                F.sum("length").alias("sum_ttf_exact"),
+            )
+            .join(
+                td_all.groupBy("field").agg(
+                    F.sum("ttf").alias("sum_ttf"), F.sum("df").alias("sum_df")
+                ),
+                "field",
+                "left",
+            )
+            .withColumn("max_doc", F.lit(metrics["docs"]).cast("long"))
+        )
+        fs.coalesce(1).write.mode("overwrite").parquet(os.path.join(index_dir, "field_stats"))
+        return metrics
+
+
+class LogicalIndex:
+    """A lazily-computed index over a corpus DataFrame — the whole
+    build+query composes into one Catalyst plan (used by the driver
+    correctness gate and small interactive queries).  Same semantics as
+    the materialized tables."""
+
+    def __init__(self, docs: DataFrame, spec: CorpusSpec, analyzer: str = "standard",
+                 quantize_norms: bool = True, num_segments: int = 1):
+        self.spark = docs.sparkSession
+        self.spec = spec
+        self._cstats: dict[str, dict] = {}
+        docs = assign_doc_ids(docs, spec, num_segments)
+        self._tf_all = tokenize_tf(docs, spec, analyzer, quantize_norms, index_positions=False)
+        self.tf = self._tf_all.filter(~F.col("field").startswith(DOC_SENTINEL_FIELD))
+        self.doc_stats = self._tf_all.filter(F.col("field").startswith(DOC_SENTINEL_FIELD)).select(
+            "segment_id",
+            "doc_id",
+            F.expr(f"substring(field, {len(DOC_SENTINEL_FIELD) + 1})").alias("field"),
+            F.col("freq").cast("int").alias("length"),
+            "norm_byte",
+            "dlq",
+            F.col("term").alias("content_sha256"),
+        )
+
+    def postings_for_terms(self, field: str, terms: list[str]) -> DataFrame:
+        return self.tf.filter((F.col("field") == field) & F.col("term").isin(terms)).select(
+            "term", "doc_id", "freq", "dlq", "norm_byte"
+        )
+
+    def term_stats(self, field: str, terms: list[str]) -> DataFrame:
+        return (
+            self.tf.filter((F.col("field") == field) & F.col("term").isin(terms))
+            .groupBy("term")
+            .agg(F.count("*").alias("df"), F.sum("freq").alias("ttf"))
+        )
+
+    def cache(self):
+        self._tf_all = self._tf_all.persist()
+        return self
+
+    def collection_stats_row(self, field: str) -> dict:
+        """Memoized (max_doc, doc_count, sum_ttf) for the field."""
+        if field not in self._cstats:
+            r = (
+                self.doc_stats.agg(
+                    F.countDistinct("doc_id").alias("max_doc"),
+                    F.sum(F.when(F.col("field") == field, 1).otherwise(0)).alias("doc_count"),
+                    F.sum(F.when(F.col("field") == field, F.col("length"))).alias("sum_ttf"),
+                ).collect()
+            )[0]
+            self._cstats[field] = {
+                "max_doc": int(r["max_doc"]),
+                "doc_count": int(r["doc_count"] or 0),
+                "sum_ttf": int(r["sum_ttf"] or 0),
+            }
+        return self._cstats[field]
+
+
+class MaterializedIndex:
+    """Reader over an index built by IndexBuilder (term-pruned scans)."""
+
+    def __init__(self, spark: SparkSession, index_dir: str):
+        self.spark = spark
+        self.index_dir = index_dir
+        self.postings = spark.read.parquet(os.path.join(index_dir, "postings"))
+        self.term_dict = spark.read.parquet(os.path.join(index_dir, "term_dict"))
+        self.doc_stats = spark.read.parquet(os.path.join(index_dir, "doc_stats"))
+        self.doc_meta = spark.read.parquet(os.path.join(index_dir, "doc_meta"))
+        self._field_stats = {
+            r["field"]: r.asDict()
+            for r in spark.read.parquet(os.path.join(index_dir, "field_stats")).collect()
+        }
+
+    def postings_for_terms(self, field: str, terms: list[str],
+                           min_score_ub=None, score_ub_fn=None) -> DataFrame:
+        """Exploded (term, doc_id, freq, dlq) for the given terms.
+        Optional block-max pruning: score_ub_fn(block_max_freq,
+        block_min_dlq, term) -> Column upper bound; blocks below
+        min_score_ub are skipped before decode (the WAND move)."""
+        p = self.postings.filter((F.col("field") == field) & F.col("term").isin(terms))
+        if min_score_ub is not None and score_ub_fn is not None:
+            p = p.filter(score_ub_fn(F.col("block_max_freq"), F.col("block_min_dlq"), F.col("term")) >= min_score_ub)
+        z = F.arrays_zip("doc_ids", "freqs", "dlqs", "norm_bytes")
+        return p.select("term", F.explode(z).alias("e")).select(
+            "term",
+            F.col("e.doc_ids").alias("doc_id"),
+            F.col("e.freqs").alias("freq"),
+            F.col("e.dlqs").alias("dlq"),
+            F.col("e.norm_bytes").alias("norm_byte"),
+        )
+
+    def term_stats(self, field: str, terms: list[str]) -> DataFrame:
+        return (
+            self.term_dict.filter((F.col("field") == field) & F.col("term").isin(terms))
+            .groupBy("term")
+            .agg(F.sum("df").alias("df"), F.sum("ttf").alias("ttf"))
+        )
+
+    def collection_stats_row(self, field: str) -> dict:
+        if field in self._field_stats:
+            return self._field_stats[field]
+        # keyword (StringField) fields carry no norms/doc_stats rows:
+        # omitNorms semantics -> sum_ttf 0 (scorer degrades to the
+        # NoNorms denominator), max_doc from any text field
+        max_doc = max((int(r["max_doc"]) for r in self._field_stats.values()), default=0)
+        return {"field": field, "max_doc": max_doc, "doc_count": 0, "sum_ttf": 0}

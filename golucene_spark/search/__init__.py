@@ -1,0 +1,16 @@
+from .ast import TermQuery, BooleanQuery, BooleanClause, Occur, MatchAllQuery
+from .parser import parse_query
+from .similarity import BM25Similarity, ClassicSimilarity
+from .executor import Searcher
+
+__all__ = [
+    "TermQuery",
+    "BooleanQuery",
+    "BooleanClause",
+    "Occur",
+    "MatchAllQuery",
+    "parse_query",
+    "BM25Similarity",
+    "ClassicSimilarity",
+    "Searcher",
+]

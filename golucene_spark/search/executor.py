@@ -1,0 +1,215 @@
+"""Query execution: the read path of core/search as Catalyst plans.
+
+Reference trace (SURVEY §3.2/3.3) -> Spark shape:
+
+  CreateNormalizedWeight (search.go:154-171)
+      -> one tiny collected term-stats lookup (TermContext analogue,
+         core/index/terms.go:60-120) + Python scalar weights
+  TermScorer (terms.go:184-233)
+      -> postings filter (term-pruned scan) + score column
+  BooleanScorer bucket table (booleanScorer.go:114-210)
+      -> unionByName + groupBy(doc_id).agg(sum(score), count coord)
+  MUST conjunction (stubbed at booleanQuery.go:119-120 in the ref)
+      -> implemented: must-match count == number of MUST clauses
+  MUST_NOT (booleanScorer.go:169-183 prohibited bits)
+      -> left_anti join
+  TopScoreDocCollector (collect.go:193-346, tie-break :282-303)
+      -> orderBy(score desc, doc_id asc).limit(k)
+         == TakeOrderedAndProject: per-partition top-k + driver merge,
+         exactly the per-leaf-collect + docBase-merge of search.go:95-113
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from .ast import BooleanQuery, MatchAllQuery, Occur, TermQuery
+from .similarity import get_similarity
+
+RESULT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("score", T.DoubleType(), False),
+    ]
+)
+
+
+def _collect_terms(q, out):
+    if isinstance(q, TermQuery):
+        out.add((q.field, q.term))
+    elif isinstance(q, BooleanQuery):
+        for c in q.clauses:
+            _collect_terms(c.query, out)
+    return out
+
+
+@dataclass
+class _TermStats:
+    df: int = 0
+    ttf: int = 0
+
+
+class Searcher:
+    """IndexSearcher (core/search/search.go:51-113) over a LogicalIndex
+    or MaterializedIndex."""
+
+    def __init__(self, index, similarity: str = "bm25"):
+        self.index = index
+        self.sim = get_similarity(similarity) if isinstance(similarity, str) else similarity
+        self._cstats_cache: dict[str, dict] = {}
+
+    # -- statistics ------------------------------------------------------
+    def _collection_stats(self, field: str) -> dict:
+        if field not in self._cstats_cache:
+            if hasattr(self.index, "collection_stats_row"):
+                row = self.index.collection_stats_row(field)
+                self._cstats_cache[field] = {
+                    "max_doc": int(row["max_doc"]),
+                    "sum_ttf": int(row["sum_ttf"] or 0),
+                }
+            else:
+                r = self.index.collection_stats(field).collect()[0]
+                self._cstats_cache[field] = {
+                    "max_doc": int(r["max_doc"]),
+                    "sum_ttf": int(r["sum_ttf"] or 0),
+                }
+        return self._cstats_cache[field]
+
+    def _term_stats(self, query) -> dict[tuple, _TermStats]:
+        terms = _collect_terms(query, set())
+        by_field: dict[str, list[str]] = {}
+        for f, t in terms:
+            by_field.setdefault(f, []).append(t)
+        out = {(f, t): _TermStats() for f, t in terms}
+        for f, ts in by_field.items():
+            for r in self.index.term_stats(f, ts).collect():
+                out[(f, r["term"])] = _TermStats(int(r["df"]), int(r["ttf"]))
+        return out
+
+    # -- weight normalization (search.go:154-171) ------------------------
+    def _sum_sq(self, q, stats) -> float:
+        if isinstance(q, TermQuery):
+            st = stats[(q.field, q.term)]
+            cs = self._collection_stats(q.field)
+            idf = self.sim.idf(st.df, cs["max_doc"])
+            return self.sim.value_for_normalization(idf, q.boost)
+        if isinstance(q, BooleanQuery):
+            return sum(
+                self._sum_sq(c.query, stats)
+                for c in q.clauses
+                if not c.is_prohibited
+            )
+        return 0.0
+
+    # -- scoring frames ---------------------------------------------------
+    def _term_frame(self, q: TermQuery, stats, query_norm: float) -> DataFrame | None:
+        st = stats[(q.field, q.term)]
+        if st.df == 0:
+            return None
+        cs = self._collection_stats(q.field)
+        idf = self.sim.idf(st.df, cs["max_doc"])
+        avgdl = self.sim.avgdl(cs["sum_ttf"], cs["max_doc"])
+        p = self.index.postings_for_terms(q.field, [q.term])
+        kwargs = {}
+        if self.sim.uses_coord:  # classic folds queryNorm into the weight
+            kwargs["query_norm"] = query_norm
+        score = self.sim.score_col(
+            F.col("freq").cast("double"),
+            F.col("dlq"),
+            F.col("norm_byte"),
+            idf,
+            avgdl,
+            q.boost,
+            **kwargs,
+        )
+        return p.select(F.col("doc_id"), score.alias("score"))
+
+    def _doc_id_frame(self, q, stats) -> DataFrame | None:
+        """Unscored matching-doc set (for MUST_NOT)."""
+        if isinstance(q, TermQuery):
+            st = stats.get((q.field, q.term))
+            if st is None or st.df == 0:
+                return None
+            return self.index.postings_for_terms(q.field, [q.term]).select("doc_id")
+        f = self._frame(q, stats, 1.0)
+        return None if f is None else f.select("doc_id")
+
+    def _frame(self, q, stats, query_norm: float) -> DataFrame | None:
+        if isinstance(q, TermQuery):
+            return self._term_frame(q, stats, query_norm)
+        if isinstance(q, BooleanQuery):
+            return self._boolean_frame(q, stats, query_norm)
+        raise TypeError(f"unsupported query {type(q)}")
+
+    def _boolean_frame(self, q: BooleanQuery, stats, query_norm: float) -> DataFrame | None:
+        scoring = [c for c in q.clauses if not c.is_prohibited]
+        prohibited = [c for c in q.clauses if c.is_prohibited]
+        n_must = sum(1 for c in scoring if c.is_required)
+        max_coord = len(scoring)
+
+        frames = []
+        for c in scoring:
+            f = self._frame(c.query, stats, query_norm)
+            if f is not None:
+                f = f.withColumn("is_must", F.lit(1 if c.is_required else 0))
+                frames.append(f)
+            elif c.is_required:
+                return None  # a MUST clause with no matches: empty result
+
+        if not frames:
+            return None
+
+        u = frames[0]
+        for f in frames[1:]:
+            u = u.unionByName(f)
+        agg = u.groupBy("doc_id").agg(
+            F.sum("score").alias("score"),
+            F.count("*").alias("coord"),
+            F.sum("is_must").alias("must_cnt"),
+        )
+        if n_must:
+            agg = agg.filter(F.col("must_cnt") == n_must)
+        if q.minimum_should_match > 0:
+            agg = agg.filter(
+                (F.col("coord") - F.col("must_cnt")) >= q.minimum_should_match
+            )
+        if self.sim.uses_coord and max_coord > 1:
+            # coord factor search.go:467-469 applied as in
+            # booleanScorer.go:169-183
+            agg = agg.withColumn(
+                "score", F.col("score") * F.col("coord") / F.lit(float(max_coord))
+            )
+        out = agg.select("doc_id", (F.col("score") * q.boost).alias("score"))
+
+        for c in prohibited:
+            nf = self._doc_id_frame(c.query, stats)
+            if nf is not None:
+                out = out.join(nf.distinct(), "doc_id", "left_anti")
+        return out
+
+    # -- entry points ------------------------------------------------------
+    def score_frame(self, query) -> DataFrame:
+        """Full (doc_id, score) frame for a query (no top-k)."""
+        q = query.rewrite()
+        stats = self._term_stats(q)
+        qn = self.sim.query_norm(self._sum_sq(q, stats))
+        f = self._frame(q, stats, qn)
+        if f is None:
+            spark = self.index.spark
+            return spark.createDataFrame([], RESULT_SCHEMA)
+        return f.select(F.col("doc_id").cast("long"), F.col("score").cast("double"))
+
+    def search(self, query, k: int = 10) -> DataFrame:
+        """Top-k by (score desc, doc_id asc) — the TopScoreDocCollector
+        tie-break (collect.go:282-303: equal score -> lower docID wins)."""
+        if isinstance(query, str):
+            from .parser import parse_query
+
+            query = parse_query(query)
+        return (
+            self.score_frame(query)
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )

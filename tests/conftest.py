@@ -11,7 +11,14 @@ import pytest
 def spark():
     from golucene_spark.session import get_spark
 
-    s = get_spark(app_name="golucene-tests")
+    s = get_spark(
+        app_name="golucene-tests",
+        shuffle_partitions=8,
+        extra_conf={
+            "spark.ui.showConsoleProgress": "false",
+            "spark.default.parallelism": "8",
+        },
+    )
     yield s
 
 
