@@ -1,38 +1,43 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry()      — flagship: BM25 boolean search over sf0.001 documents via
+               the full engine (standard UAX#29 analyzer).
+queries()    — one entry per implemented operator (SURVEY.md §2),
+               each exactly mirrored by oracle_sql() in DuckDB.
+oracle_sql() — ANSI-SQL twins (see golucene_spark/gate.py for the
+               bit-for-bit mirroring rules).
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from golucene_spark.index import CorpusSpec, LogicalIndex
+    from golucene_spark.search import Searcher, parse_query
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    ix = LogicalIndex(docs, CorpusSpec.documents(), analyzer="standard")
+    s = Searcher(ix, "bm25")
+    q = parse_query("text:data OR text:table AND NOT text:slow", default_field="text")
+    return s.search(q, k=10)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from golucene_spark.gate import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from golucene_spark.gate import ORACLES
+
+    return dict(ORACLES)

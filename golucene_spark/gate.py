@@ -1,0 +1,390 @@
+"""Driver correctness-gate queries: engine DataFrames + exact DuckDB twins.
+
+Each entry runs a real engine code path (LogicalIndex -> Searcher ->
+top-k, or the builder's blocked-postings stage) over the driver's
+``documents``/``embeddings`` parquet tables, configured for *exact*
+SQL reproducibility:
+
+- analyzer='simple'  (lower + [a-z0-9_]+ + 33-word stop set — the
+  SQL-expressible chain; UAX#29 parity is proven separately in pytest
+  against the reference DFA)
+- quantize_norms=False (exact doc lengths; SmallFloat quantization is
+  pinned by unit tests; quantization itself is not SQL-expressible)
+- scores surfaced as CAST(ROUND(score*1e6) AS BIGINT) and ordered by
+  the ROUNDED value + doc_id, so Spark/DuckDB float formatting can
+  never flip the hash
+
+The arithmetic in the SQL strings mirrors the engine's expression
+trees operation-for-operation (same association order), so double
+results agree bit-for-bit before rounding.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from .analysis.analyzers import ENGLISH_STOP_WORDS
+from .index import CorpusSpec, FieldSpec, LogicalIndex, blocked_postings
+from .search import Searcher, parse_query
+
+K1, B = 1.2, 0.75
+STOP_SQL = ", ".join(f"'{w}'" for w in sorted(ENGLISH_STOP_WORDS))
+TOKEN_PATTERN = "[a-z0-9_]+"
+
+# shared DuckDB CTE prologue over the pre-registered `documents` view
+BASE_CTE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS term
+  FROM documents
+),
+kept AS (SELECT doc_id, term FROM tok WHERE term NOT IN ({STOP_SQL})),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS freq FROM kept GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM kept GROUP BY 1),
+stats AS (SELECT (SELECT count(*) FROM documents)::BIGINT AS n_docs,
+                 (SELECT sum(dl) FROM dl)::BIGINT AS sum_dl)
+"""
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def _index(spark: SparkSession, sf_dir: str) -> LogicalIndex:
+    return LogicalIndex(
+        _docs(spark, sf_dir),
+        CorpusSpec.documents(),
+        analyzer="simple",
+        quantize_norms=False,
+    ).cache()
+
+
+def _topk_e6(searcher: Searcher, query_str: str, k: int = 10) -> DataFrame:
+    q = parse_query(query_str, default_field="text", analyzer="simple")
+    frame = searcher.score_frame(q)
+    return (
+        frame.withColumn("score_e6", F.round(F.col("score") * 1e6, 0).cast("long"))
+        .orderBy(F.desc("score_e6"), F.asc("doc_id"))
+        .limit(k)
+        .select("doc_id", "score_e6")
+    )
+
+
+def _bm25_term_sql(term: str) -> str:
+    # mirrors BM25Similarity.score_col: ((idf*2.2) * freq) / (freq +
+    # 1.2*((1-0.75) + ((0.75*dl)/avgdl))), avgdl = sum_dl/n_docs
+    return f"""{BASE_CTE},
+ts AS (SELECT count(*)::BIGINT AS df FROM tf WHERE term = '{term}')
+SELECT tf.doc_id AS doc_id,
+  CAST(ROUND((ln(1 + (stats.n_docs - ts.df + 0.5) / (ts.df + 0.5)) * {K1 + 1.0}
+       * tf.freq / (tf.freq + {K1} * (1 - {B} + {B} * dl.dl / (stats.sum_dl / stats.n_docs)))) * 1000000.0, 0) AS BIGINT) AS score_e6
+FROM tf JOIN dl USING (doc_id), stats, ts
+WHERE tf.term = '{term}'
+ORDER BY score_e6 DESC, doc_id ASC LIMIT 10
+"""
+
+
+def _bm25_contrib_sql(term: str, i: int) -> tuple[str, str]:
+    """(extra CTEs, contribution SELECT) for one text term clause."""
+    ctes = f"""
+ts{i} AS (SELECT count(*)::BIGINT AS df FROM tf WHERE term = '{term}'),
+idf{i} AS (SELECT ln(1 + (stats.n_docs - ts{i}.df + 0.5) / (ts{i}.df + 0.5)) AS idf FROM stats, ts{i})"""
+    sel = f"""
+SELECT tf.doc_id,
+  idf{i}.idf * {K1 + 1.0}
+  * tf.freq / (tf.freq + {K1} * (1 - {B} + {B} * dl.dl / (stats.sum_dl / stats.n_docs))) AS s
+FROM tf JOIN dl USING (doc_id), stats, idf{i} WHERE tf.term = '{term}'
+"""
+    return ctes, sel
+
+
+# ---------------------------------------------------------------------------
+# engine queries
+# ---------------------------------------------------------------------------
+
+def q_term_bm25(spark, sf_dir):
+    return _topk_e6(Searcher(_index(spark, sf_dir), "bm25"), "text:data")
+
+
+def q_term_classic(spark, sf_dir):
+    return _topk_e6(Searcher(_index(spark, sf_dir), "classic"), "text:data")
+
+
+def q_bool_or_bm25(spark, sf_dir):
+    return _topk_e6(Searcher(_index(spark, sf_dir), "bm25"), "text:data OR text:query")
+
+
+def q_bool_and_bm25(spark, sf_dir):
+    return _topk_e6(Searcher(_index(spark, sf_dir), "bm25"), "text:data AND text:join")
+
+
+def q_bool_not_bm25(spark, sf_dir):
+    return _topk_e6(Searcher(_index(spark, sf_dir), "bm25"), "text:data AND NOT text:model")
+
+
+def q_keyword_and_term(spark, sf_dir):
+    return _topk_e6(Searcher(_index(spark, sf_dir), "bm25"), "lang:de AND text:data")
+
+
+def q_term_stats(spark, sf_dir):
+    ix = _index(spark, sf_dir)
+    terms = ["data", "join", "window", "zzz_missing"]
+    return (
+        ix.term_stats("text", terms)
+        .select("term", F.col("df").cast("long"), F.col("ttf").cast("long"))
+        .orderBy("term")
+    )
+
+
+def q_doc_stats(spark, sf_dir):
+    ix = _index(spark, sf_dir)
+    return (
+        ix.doc_stats.filter(F.col("doc_id") < 100)
+        .select("doc_id", F.col("length").cast("long").alias("dl"), "content_sha256")
+        .orderBy("doc_id")
+    )
+
+
+def q_collection_stats(spark, sf_dir):
+    ix = _index(spark, sf_dir)
+    return ix.tf.filter(F.col("field") == "text").agg(
+        F.countDistinct("doc_id").cast("long").alias("docs_with_terms"),
+        F.countDistinct("term").cast("long").alias("n_terms"),
+        F.sum("freq").cast("long").alias("sum_ttf"),
+        F.count("*").cast("long").alias("sum_df"),
+    )
+
+
+def q_topk_per_group(spark, sf_dir):
+    ix = _index(spark, sf_dir)
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    s = Searcher(ix, "bm25")
+    q = parse_query("text:data", default_field="text", analyzer="simple")
+    scored = s.score_frame(q).withColumn(
+        "score_e6", F.round(F.col("score") * 1e6, 0).cast("long")
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("score_e6"), F.asc("doc_id"))
+    return (
+        scored.join(docs, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("source", "doc_id", "score_e6", F.col("rn").cast("int"))
+        .orderBy("source", "rn")
+    )
+
+
+def q_postings_blocks(spark, sf_dir):
+    ix = _index(spark, sf_dir)
+    terms = ["data", "join", "window", "customer"]
+    blocks = blocked_postings(ix.tf.filter(F.col("field") == "text").filter(F.col("term").isin(terms)))
+    return (
+        blocks.groupBy("term")
+        .agg(
+            F.count("*").cast("long").alias("n_blocks"),
+            F.first("df_seg").cast("long").alias("df"),
+            F.first("ttf_seg").cast("long").alias("ttf"),
+            F.max("block_max_freq").cast("long").alias("max_freq"),
+        )
+        .orderBy("term")
+    )
+
+
+def q_dedup_exact(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.groupBy(F.md5("text").alias("text_md5"))
+        .agg(F.count("*").cast("long").alias("n"), F.min("doc_id").cast("long").alias("keep_doc"))
+        .filter(F.col("n") > 1)
+        .orderBy("text_md5")
+    )
+
+
+def q_token_stats(spark, sf_dir):
+    ix = _index(spark, sf_dir)
+    return (
+        ix.tf.filter((F.col("field") == "text") & (F.col("doc_id") < 100))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("freq").cast("long").alias("n_tokens"),
+            F.count("*").cast("long").alias("n_unique"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_ann_cosine(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    qv = F.array(*[F.lit(float(x)) for x in qrow])
+    dot = F.aggregate(
+        F.zip_with(F.col("emb_d"), qv, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nrm = F.sqrt(
+        F.aggregate(F.zip_with("emb_d", "emb_d", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x)
+    )
+    import math
+
+    qn = math.sqrt(sum(float(x) * float(x) for x in qrow))
+    return (
+        emb.filter(F.col("vec_id") != 0)
+        .withColumn("emb_d", F.col("embedding").cast("array<double>"))
+        .withColumn("cos_e6", F.round(dot / (nrm * F.lit(qn)) * 1e6, 0).cast("long"))
+        .orderBy(F.desc("cos_e6"), F.asc("vec_id"))
+        .limit(10)
+        .select(F.col("vec_id").cast("long"), "cos_e6")
+    )
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL twins
+# ---------------------------------------------------------------------------
+
+def _bool_sum_sql(contribs: list[tuple[str, str]],
+                  not_terms: list[str] | None = None, n_must: int = 0) -> str:
+    extra_ctes = ",".join(c for c, _ in contribs if c.strip())
+    parts = " UNION ALL ".join(f"({s})" for _, s in contribs)
+    must_filter = f"HAVING count(*) >= {n_must}" if n_must else ""
+    not_clause = ""
+    for t in not_terms or []:
+        not_clause += f" AND doc_id NOT IN (SELECT doc_id FROM tf WHERE term = '{t}')"
+    return f"""{BASE_CTE},{extra_ctes},
+contrib AS ({parts}),
+summed AS (
+  SELECT doc_id, sum(s) AS score, count(*) AS nmatch FROM contrib GROUP BY doc_id {must_filter}
+)
+SELECT doc_id, CAST(ROUND(score * 1000000.0, 0) AS BIGINT) AS score_e6
+FROM summed WHERE 1=1 {not_clause}
+ORDER BY score_e6 DESC, doc_id ASC LIMIT 10
+"""
+
+
+ORACLES: dict[str, str] = {}
+
+ORACLES["term_bm25_topk"] = _bm25_term_sql("data")
+
+ORACLES["term_classic_topk"] = f"""{BASE_CTE},
+ts AS (SELECT count(*)::BIGINT AS df FROM tf WHERE term = 'data'),
+w AS (SELECT ln(stats.n_docs / (ts.df + 1.0)) + 1 AS idf FROM stats, ts)
+SELECT tf.doc_id AS doc_id,
+  CAST(ROUND(((1.0 / sqrt(w.idf * w.idf) * w.idf * w.idf) * sqrt(tf.freq) * (1.0 / sqrt(dl.dl))) * 1000000.0, 0) AS BIGINT) AS score_e6
+FROM tf JOIN dl USING (doc_id), w
+WHERE tf.term = 'data'
+ORDER BY score_e6 DESC, doc_id ASC LIMIT 10
+"""
+
+ORACLES["bool_or_bm25"] = _bool_sum_sql(
+    [_bm25_contrib_sql("data", 0), _bm25_contrib_sql("query", 1)]
+)
+
+ORACLES["bool_and_bm25"] = _bool_sum_sql(
+    [_bm25_contrib_sql("data", 0), _bm25_contrib_sql("join", 1)], n_must=2
+)
+
+ORACLES["bool_not_bm25"] = _bool_sum_sql(
+    [_bm25_contrib_sql("data", 0)], not_terms=["model"]
+)
+
+# keyword clause: StringField, omitNorms -> freq=1, denominator mirrors the
+# engine exactly: 1 + k1*((1-b) + ((b*1.0)/1.0))
+_KW_CONTRIB = (
+    f"""
+tsk AS (SELECT count(*)::BIGINT AS df FROM documents WHERE lang = 'de'),
+idfk AS (SELECT ln(1 + (stats.n_docs - tsk.df + 0.5) / (tsk.df + 0.5)) AS idf FROM stats, tsk)""",
+    f"""
+SELECT d.doc_id,
+  idfk.idf * {K1 + 1.0}
+  * 1.0 / (1.0 + {K1} * (1 - {B} + {B} * 1.0 / 1.0)) AS s
+FROM documents d, idfk WHERE d.lang = 'de'
+""",
+)
+
+ORACLES["keyword_and_term"] = _bool_sum_sql(
+    [_KW_CONTRIB, _bm25_contrib_sql("data", 0)], n_must=2
+)
+
+ORACLES["term_dict_stats"] = f"""{BASE_CTE}
+SELECT term, count(*)::BIGINT AS df, sum(freq)::BIGINT AS ttf
+FROM tf WHERE term IN ('data', 'join', 'window', 'zzz_missing')
+GROUP BY term ORDER BY term
+"""
+
+ORACLES["doc_stats_norms"] = f"""{BASE_CTE}
+SELECT d.doc_id AS doc_id, coalesce(dl.dl, 0)::BIGINT AS dl, sha256(d.text) AS content_sha256
+FROM documents d LEFT JOIN dl USING (doc_id)
+WHERE d.doc_id < 100 ORDER BY d.doc_id
+"""
+
+ORACLES["collection_stats"] = f"""{BASE_CTE}
+SELECT (SELECT count(*) FROM dl)::BIGINT AS docs_with_terms,
+       (SELECT count(DISTINCT term) FROM tf)::BIGINT AS n_terms,
+       (SELECT sum(freq) FROM tf)::BIGINT AS sum_ttf,
+       (SELECT count(*) FROM tf)::BIGINT AS sum_df
+"""
+
+ORACLES["topk_per_group"] = f"""{BASE_CTE},
+ts AS (SELECT count(*)::BIGINT AS df FROM tf WHERE term = 'data'),
+scored AS (
+  SELECT tf.doc_id,
+    CAST(ROUND((ln(1 + (stats.n_docs - ts.df + 0.5) / (ts.df + 0.5)) * {K1 + 1.0}
+         * tf.freq / (tf.freq + {K1} * (1 - {B} + {B} * dl.dl / (stats.sum_dl / stats.n_docs)))) * 1000000.0, 0) AS BIGINT) AS score_e6
+  FROM tf JOIN dl USING (doc_id), stats, ts WHERE tf.term = 'data'
+),
+ranked AS (
+  SELECT d.source, s.doc_id, s.score_e6,
+         row_number() OVER (PARTITION BY d.source ORDER BY s.score_e6 DESC, s.doc_id ASC) AS rn
+  FROM scored s JOIN documents d USING (doc_id)
+)
+SELECT source, doc_id, score_e6, rn::INT AS rn FROM ranked WHERE rn <= 3 ORDER BY source, rn
+"""
+
+ORACLES["postings_blocks"] = f"""{BASE_CTE}
+SELECT term, CAST(CEIL(count(*) / 128.0) AS BIGINT) AS n_blocks,
+       count(*)::BIGINT AS df, sum(freq)::BIGINT AS ttf, max(freq)::BIGINT AS max_freq
+FROM tf WHERE term IN ('data', 'join', 'window', 'customer')
+GROUP BY term ORDER BY term
+"""
+
+ORACLES["dedup_exact"] = """
+SELECT md5(text) AS text_md5, count(*)::BIGINT AS n, min(doc_id)::BIGINT AS keep_doc
+FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY text_md5
+"""
+
+ORACLES["token_stats"] = f"""{BASE_CTE}
+SELECT doc_id, sum(freq)::BIGINT AS n_tokens, count(*)::BIGINT AS n_unique
+FROM tf WHERE doc_id < 100 GROUP BY doc_id ORDER BY doc_id
+"""
+
+ORACLES["ann_cosine_topk"] = """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id::BIGINT AS vec_id,
+  CAST(ROUND(list_dot_product(embedding::DOUBLE[], q.qv)
+       / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+          * sqrt(list_dot_product(q.qv, q.qv))) * 1000000.0, 0) AS BIGINT) AS cos_e6
+FROM embeddings, q WHERE vec_id != 0
+ORDER BY cos_e6 DESC, vec_id ASC LIMIT 10
+"""
+
+
+QUERIES = {
+    "term_bm25_topk": q_term_bm25,
+    "term_classic_topk": q_term_classic,
+    "bool_or_bm25": q_bool_or_bm25,
+    "bool_and_bm25": q_bool_and_bm25,
+    "bool_not_bm25": q_bool_not_bm25,
+    "keyword_and_term": q_keyword_and_term,
+    "term_dict_stats": q_term_stats,
+    "doc_stats_norms": q_doc_stats,
+    "collection_stats": q_collection_stats,
+    "topk_per_group": q_topk_per_group,
+    "postings_blocks": q_postings_blocks,
+    "dedup_exact": q_dedup_exact,
+    "token_stats": q_token_stats,
+    "ann_cosine_topk": q_ann_cosine,
+}

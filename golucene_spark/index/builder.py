@@ -495,6 +495,7 @@ class LogicalIndex:
                  quantize_norms: bool = True, num_segments: int = 1):
         self.spark = docs.sparkSession
         self.spec = spec
+        self.quantized = quantize_norms
         self._cstats: dict[str, dict] = {}
         docs = assign_doc_ids(docs, spec, num_segments)
         self._tf_all = tokenize_tf(docs, spec, analyzer, quantize_norms, index_positions=False)
@@ -553,6 +554,15 @@ class MaterializedIndex:
         self.term_dict = spark.read.parquet(os.path.join(index_dir, "term_dict"))
         self.doc_stats = spark.read.parquet(os.path.join(index_dir, "doc_stats"))
         self.doc_meta = spark.read.parquet(os.path.join(index_dir, "doc_meta"))
+        self.quantized = True
+        mdir = os.path.join(index_dir, "manifest")
+        if os.path.isdir(mdir):
+            import json as _json
+            for fn in os.listdir(mdir):
+                if fn.endswith(".json"):
+                    with open(os.path.join(mdir, fn)) as f:
+                        self.quantized = bool(_json.load(f).get("quantize_norms", True))
+                    break
         self._field_stats = {
             r["field"]: r.asDict()
             for r in spark.read.parquet(os.path.join(index_dir, "field_stats")).collect()

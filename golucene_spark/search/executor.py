@@ -112,13 +112,14 @@ class Searcher:
         idf = self.sim.idf(st.df, cs["max_doc"])
         avgdl = self.sim.avgdl(cs["sum_ttf"], cs["max_doc"])
         p = self.index.postings_for_terms(q.field, [q.term])
+        norm_col = F.col("norm_byte") if getattr(self.index, "quantized", True) else None
         kwargs = {}
         if self.sim.uses_coord:  # classic folds queryNorm into the weight
             kwargs["query_norm"] = query_norm
         score = self.sim.score_col(
             F.col("freq").cast("double"),
             F.col("dlq"),
-            F.col("norm_byte"),
+            norm_col,
             idf,
             avgdl,
             q.boost,

@@ -1,0 +1,160 @@
+"""Two-parallelism scaling run (FIXTURES.md F7, north-rule evidence).
+
+The north rule's >=0.8 throughput scaling efficiency from N to 4N
+executors cannot use a real cluster in this sandbox; per the round
+instructions we evidence it by running the identical job at local[8]
+and local[32] over the same input (fixed 64 segments, shuffle
+partitions scaled with cores) and reporting docs/sec at both plus
+eff = (throughput_32 / throughput_8) / 4.
+
+Usage:
+  python3 scripts/scaling_bench.py --all [--rows 200000]   # orchestrate + write BENCH/BASELINE.md
+  python3 scripts/scaling_bench.py --cores N [--rows R]    # one measured run (prints JSON)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import statistics
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(ROOT))
+
+CORPUS = ROOT / ".data" / "scaling_corpus.parquet"
+
+QUERIES = {
+    "q01_hot": "content:return",
+    "q02_rare": "content:zyzzyva_rare0",
+    "q03_mid": "content:parse",
+    "q04_or": "content:parse OR content:tokenize",
+    "q05_and": "content:parse AND content:buffer",
+    "q06_not": "content:parse AND NOT content:index",
+    "q07_hot_or": "content:if OR content:for OR content:while",
+    "q08_kw": "lang:go AND content:goroutine",
+    "q09_num": "content:3.14",
+    "q10_snake": "content:snake_case",
+    "q12_miss": "content:missingterm123",
+}
+
+
+def ensure_corpus(rows: int):
+    if CORPUS.exists():
+        return
+    from golucene_spark.corpus import make_corpus
+
+    CORPUS.parent.mkdir(parents=True, exist_ok=True)
+    pdf = make_corpus(rows, seed=42)
+    pdf.to_parquet(CORPUS, index=False)
+
+
+def run_one(cores: int, rows: int) -> dict:
+    from golucene_spark.session import get_spark
+    from golucene_spark.index import CorpusSpec, IndexBuilder, MaterializedIndex
+    from golucene_spark.search import Searcher, parse_query
+
+    ensure_corpus(rows)
+    spark = get_spark(
+        app_name=f"scaling-{cores}",
+        master=f"local[{cores}]",
+        shuffle_partitions=2 * cores,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    docs = spark.read.parquet(str(CORPUS))
+    n_docs = docs.count()
+    ixdir = str(ROOT / ".data" / f"scaling_index_{cores}")
+    shutil.rmtree(ixdir, ignore_errors=True)
+
+    t0 = time.time()
+    b = IndexBuilder(spark, CorpusSpec.source_code(), analyzer="standard", num_segments=64)
+    b.build(docs, ixdir, num_chunks=1)
+    build_sec = time.time() - t0
+
+    ix = MaterializedIndex(spark, ixdir)
+    qtimes, lat = {}, []
+    s = Searcher(ix, "bm25")
+    for name, qs in QUERIES.items():
+        q = parse_query(qs, default_field="content", analyzer="standard")
+        reps = []
+        for _ in range(3):
+            t1 = time.time()
+            s.search(q, 10).collect()
+            reps.append(time.time() - t1)
+        qtimes[name] = round(statistics.median(reps), 4)
+        lat.extend(reps)
+    spark.stop()
+    return {
+        "cores": cores,
+        "n_docs": n_docs,
+        "build_sec": round(build_sec, 3),
+        "docs_per_sec": round(n_docs / build_sec, 1),
+        "query_p50_sec": round(statistics.median(lat), 4),
+        "query_p99_sec": round(sorted(lat)[max(0, int(len(lat) * 0.99) - 1)], 4),
+        "queries": qtimes,
+    }
+
+
+def orchestrate(rows: int):
+    ensure_corpus(rows)
+    results = {}
+    for cores in (8, 32):
+        out = subprocess.run(
+            [sys.executable, __file__, "--cores", str(cores), "--rows", str(rows)],
+            capture_output=True, text=True, timeout=3600,
+        )
+        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+        results[cores] = json.loads(line)
+        print(f"cores={cores}: {results[cores]['docs_per_sec']} docs/s")
+    eff = (results[32]["docs_per_sec"] / results[8]["docs_per_sec"]) / 4.0
+    summary = {"runs": results, "scaling_efficiency_8_to_32": round(eff, 3), "rows": rows}
+    bench_dir = ROOT / "BENCH"
+    bench_dir.mkdir(exist_ok=True)
+    (bench_dir / "scaling.json").write_text(json.dumps(summary, indent=2))
+
+    r8, r32 = results[8], results[32]
+    md = f"""# BENCH/BASELINE.md — measured numbers (golucene_spark)
+
+The reference publishes no benchmark numbers (SURVEY.md §6); the
+authoritative target is the north rule.  Scaling evidence below runs
+the IDENTICAL index-build + query job at two parallelism levels on the
+same {rows:,}-row synthetic source-code corpus (FIXTURES.md F1,
+seed 42), 64 segments at both levels, shuffle partitions = 2x cores.
+
+| metric | local[8] | local[32] |
+|---|---|---|
+| index build wall (s) | {r8['build_sec']} | {r32['build_sec']} |
+| index docs/sec | {r8['docs_per_sec']} | {r32['docs_per_sec']} |
+| query p50 (s) | {r8['query_p50_sec']} | {r32['query_p50_sec']} |
+| query p99 (s) | {r8['query_p99_sec']} | {r32['query_p99_sec']} |
+
+**Throughput scaling efficiency (8 -> 32 cores) =
+(docs_per_sec_32 / docs_per_sec_8) / 4 = {eff:.3f}**
+(north-rule target: >= 0.8)
+
+Per-query medians (s):
+
+| query | local[8] | local[32] |
+|---|---|---|
+""" + "\n".join(
+        f"| {name} | {r8['queries'][name]} | {r32['queries'][name]} |" for name in QUERIES
+    ) + "\n"
+    (bench_dir / "BASELINE.md").write_text(md)
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cores", type=int)
+    ap.add_argument("--rows", type=int, default=200_000)
+    ap.add_argument("--all", action="store_true")
+    a = ap.parse_args()
+    if a.all:
+        orchestrate(a.rows)
+    else:
+        print(json.dumps(run_one(a.cores, a.rows)))
