@@ -372,6 +372,150 @@ ORDER BY cos_e6 DESC, vec_id ASC LIMIT 10
 """
 
 
+def q_quality(spark, sf_dir):
+    from .text import token_quality
+
+    q = token_quality(_docs(spark, sf_dir).filter(F.col("doc_id") < 100))
+    e6 = lambda c: F.round(F.col(c) * 1e6, 0).cast("long").alias(c + "_e6")
+    return q.select(
+        "doc_id", "n_tokens", "n_unique",
+        e6("mean_tok_len"), e6("alpha_ratio"), e6("stop_ratio"), e6("quality"),
+    ).orderBy("doc_id")
+
+
+def q_langid(spark, sf_dir):
+    from .text import language_id
+
+    q = language_id(_docs(spark, sf_dir).filter(F.col("doc_id") < 200))
+    e6 = lambda c: F.round(F.col(c) * 1e6, 0).cast("long").alias(c + "_e6")
+    return q.select(
+        "doc_id", e6("score_en"), e6("score_de"), e6("score_fr"), e6("score_es"), "lang_pred"
+    ).orderBy("doc_id")
+
+
+def q_fingerprint(spark, sf_dir):
+    from .text import doc_fingerprint
+
+    return doc_fingerprint(_docs(spark, sf_dir).filter(F.col("doc_id") < 200)).orderBy("doc_id")
+
+
+def q_jaccard_pairs(spark, sf_dir):
+    from .text import ngram_jaccard_pairs
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 40)
+    ids = docs.select(F.col("doc_id").alias("id_a"))
+    pairs = ids.crossJoin(docs.select(F.col("doc_id").alias("id_b"))).filter(
+        F.col("id_a") < F.col("id_b")
+    )
+    j = ngram_jaccard_pairs(docs, pairs)
+    return (
+        j.withColumn("jaccard_e6", F.round(F.col("jaccard") * 1e6, 0).cast("long"))
+        .filter(F.col("jaccard_e6") > 0)
+        .select("id_a", "id_b", "jaccard_e6")
+        .orderBy("id_a", "id_b")
+    )
+
+
+def q_minhash_lsh(spark, sf_dir):
+    """rows-only: MinHash+LSH near-dup pairs (xxhash64 not in DuckDB)."""
+    from .text import minhash_lsh_pairs
+
+    p = minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.3)
+    return p.withColumn("jaccard_e6", F.round(F.col("jaccard") * 1e6, 0).cast("long")).select(
+        "id_a", "id_b", "jaccard_e6"
+    ).orderBy("id_a", "id_b")
+
+
+def q_simhash(spark, sf_dir):
+    """rows-only: 64-bit SimHash signatures."""
+    from .text import simhash64
+
+    return simhash64(_docs(spark, sf_dir).filter(F.col("doc_id") < 100)).orderBy("doc_id")
+
+
+def q_ann_lsh(spark, sf_dir):
+    """rows-only: LSH-bucketed approximate cosine top-k (scale path)."""
+    from .text.ann import add_lsh_bucket, lsh_cosine_topk
+
+    emb = _emb(spark, sf_dir)
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    bucketed = add_lsh_bucket(emb, len(qv), n_bits=16)
+    out = lsh_cosine_topk(bucketed, qv, 10, n_bits=16, max_hamming=4, exclude_id=0)
+    return out.withColumn("cos_e6", F.round(F.col("cosine") * 1e6, 0).cast("long")).select(
+        "vec_id", "cos_e6"
+    )
+
+
+_TOKS = f"regexp_extract_all(lower(text), '{TOKEN_PATTERN}')"
+_STOP_LIST = "[" + ", ".join(f"'{w}'" for w in sorted(ENGLISH_STOP_WORDS)) + "]"
+
+ORACLES["token_quality"] = f"""
+WITH t AS (SELECT doc_id, text, {_TOKS} AS toks, length(text) AS n_chars
+           FROM documents WHERE doc_id < 100)
+SELECT doc_id,
+  len(toks)::BIGINT AS n_tokens,
+  len(list_distinct(toks))::BIGINT AS n_unique,
+  CAST(ROUND((CASE WHEN len(toks) > 0 THEN list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks) ELSE 0.0 END) * 1000000.0, 0) AS BIGINT) AS mean_tok_len_e6,
+  CAST(ROUND((CASE WHEN n_chars > 0 THEN (n_chars - length(regexp_replace(text, '[A-Za-z]', '', 'g')))::DOUBLE / n_chars ELSE 0.0 END) * 1000000.0, 0) AS BIGINT) AS alpha_ratio_e6,
+  CAST(ROUND((CASE WHEN len(toks) > 0 THEN len(list_filter(toks, x -> list_contains({_STOP_LIST}, x)))::DOUBLE / len(toks) ELSE 0.0 END) * 1000000.0, 0) AS BIGINT) AS stop_ratio_e6,
+  CAST(ROUND((least(len(toks)::DOUBLE / 100.0, 1.0) * 0.25
+    + (CASE WHEN n_chars > 0 THEN (n_chars - length(regexp_replace(text, '[A-Za-z]', '', 'g')))::DOUBLE / n_chars ELSE 0.0 END) * 0.5
+    + (CASE WHEN len(toks) > 0 AND list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks) >= 3.0
+             AND list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks) <= 10.0 THEN 0.25 ELSE 0.0 END)) * 1000000.0, 0) AS BIGINT) AS quality_e6
+FROM t ORDER BY doc_id
+"""
+
+_LANG_SETS = {
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "von"],
+    "fr": ["le", "la", "les", "et", "est", "pas", "une", "dans", "pour", "que"],
+    "es": ["el", "los", "las", "es", "una", "con", "para", "por", "del", "como"],
+}
+_lang_score = lambda lst: (
+    f"len(list_filter(toks, x -> list_contains([{', '.join(chr(39) + w + chr(39) for w in lst)}], x)))::DOUBLE / greatest(len(toks), 1)"
+)
+_S_EN = _lang_score(sorted(ENGLISH_STOP_WORDS))
+_S_DE = _lang_score(_LANG_SETS["de"])
+_S_FR = _lang_score(_LANG_SETS["fr"])
+_S_ES = _lang_score(_LANG_SETS["es"])
+
+ORACLES["language_id"] = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents WHERE doc_id < 200),
+s AS (SELECT doc_id, {_S_EN} AS s_en, {_S_DE} AS s_de, {_S_FR} AS s_fr, {_S_ES} AS s_es FROM t)
+SELECT doc_id,
+  CAST(ROUND(s_en * 1000000.0, 0) AS BIGINT) AS score_en_e6,
+  CAST(ROUND(s_de * 1000000.0, 0) AS BIGINT) AS score_de_e6,
+  CAST(ROUND(s_fr * 1000000.0, 0) AS BIGINT) AS score_fr_e6,
+  CAST(ROUND(s_es * 1000000.0, 0) AS BIGINT) AS score_es_e6,
+  CASE WHEN greatest(s_en, s_de, s_fr, s_es) > 0 THEN
+    (CASE WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+          WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+          WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+          ELSE 'es' END)
+  ELSE 'unknown' END AS lang_pred
+FROM s ORDER BY doc_id
+"""
+
+ORACLES["doc_fingerprint"] = f"""
+SELECT doc_id, md5(array_to_string({_TOKS}, ' ')) AS fingerprint
+FROM documents WHERE doc_id < 200 ORDER BY doc_id
+"""
+
+ORACLES["ngram_jaccard_pairs"] = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents WHERE doc_id < 40),
+sh AS (SELECT doc_id,
+         list_distinct(CASE WHEN len(toks) >= 3
+           THEN list_transform(generate_series(1, len(toks) - 2), i -> array_to_string(toks[i:i+2], ' '))
+           ELSE [array_to_string(toks, ' ')] END) AS s
+       FROM t),
+p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(list_concat(a.s, b.s)))::DOUBLE AS jaccard
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+SELECT id_a, id_b, CAST(ROUND(jaccard * 1000000.0, 0) AS BIGINT) AS jaccard_e6
+FROM p WHERE CAST(ROUND(jaccard * 1000000.0, 0) AS BIGINT) > 0
+ORDER BY id_a, id_b
+"""
+
+
 QUERIES = {
     "term_bm25_topk": q_term_bm25,
     "term_classic_topk": q_term_classic,
@@ -387,4 +531,11 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "token_stats": q_token_stats,
     "ann_cosine_topk": q_ann_cosine,
+    "token_quality": q_quality,
+    "language_id": q_langid,
+    "doc_fingerprint": q_fingerprint,
+    "ngram_jaccard_pairs": q_jaccard_pairs,
+    "minhash_lsh_pairs": q_minhash_lsh,   # rows-only (no xxhash64 in DuckDB)
+    "simhash64": q_simhash,               # rows-only
+    "ann_lsh_topk": q_ann_lsh,            # rows-only (approximate path)
 }

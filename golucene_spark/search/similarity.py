@@ -27,6 +27,12 @@ from pyspark.sql import Column, functions as F
 from ..index import smallfloat
 
 
+def _c(x) -> Column | float:
+    """Accept either a Python float or a Column for per-term scalars
+    (the flat multi-term fast path passes map-lookup Columns)."""
+    return x if isinstance(x, Column) else float(x)
+
+
 class BM25Similarity:
     name = "bm25"
     uses_coord = False
@@ -42,10 +48,10 @@ class BM25Similarity:
         return 1.0 if sum_ttf <= 0 or max_doc <= 0 else sum_ttf / max_doc
 
     def score_col(self, freq: Column, dlq: Column, norm_byte: Column,
-                  idf: float, avgdl: float, boost: float = 1.0) -> Column:
-        w = idf * boost * (self.k1 + 1.0)
+                  idf, avgdl: float, boost=1.0) -> Column:
+        w = _c(idf) * _c(boost) * (self.k1 + 1.0)
         denom = freq + self.k1 * (1.0 - self.b + self.b * dlq / avgdl)
-        return F.lit(w) * freq / denom
+        return w * freq / denom
 
     def score_np(self, freq, dlq, norm_byte, idf, avgdl, boost=1.0):
         freq = np.asarray(freq, dtype=np.float64)
@@ -82,18 +88,18 @@ class ClassicSimilarity:
         return (idf * boost) ** 2
 
     def score_col(self, freq: Column, dlq: Column, norm_byte: Column,
-                  idf: float, avgdl: float, boost: float = 1.0,
+                  idf, avgdl: float, boost=1.0,
                   query_norm: float = 1.0) -> Column:
         # folded TermWeight value: queryNorm * (idf*boost)^2 then
         # per-doc tf(freq) * decode(normByte)  (search.go:325-361)
-        w = query_norm * (idf * boost) * idf
+        w = query_norm * (_c(idf) * _c(boost)) * _c(idf)
         if norm_byte is not None:
             decode = F.element_at(
                 F.array(*[F.lit(x) for x in _NORM_TABLE_LIST]), norm_byte + 1
             )
         else:
             decode = 1.0 / F.sqrt(dlq)
-        return F.lit(w) * F.sqrt(freq) * decode
+        return w * F.sqrt(freq) * decode
 
     def score_np(self, freq, dlq, norm_byte, idf, avgdl, boost=1.0, query_norm=1.0):
         freq = np.asarray(freq, dtype=np.float64)

@@ -1,0 +1,16 @@
+from .dedup import exact_dups, minhash_signatures, minhash_lsh_pairs, simhash64, ngram_jaccard_pairs
+from .quality import token_quality, language_id, doc_fingerprint
+from .ann import cosine_topk, lsh_cosine_topk
+
+__all__ = [
+    "exact_dups",
+    "minhash_signatures",
+    "minhash_lsh_pairs",
+    "simhash64",
+    "ngram_jaccard_pairs",
+    "token_quality",
+    "language_id",
+    "doc_fingerprint",
+    "cosine_topk",
+    "lsh_cosine_topk",
+]

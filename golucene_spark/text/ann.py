@@ -1,0 +1,86 @@
+"""Approximate-nearest-neighbor search over embedding columns.
+
+- cosine_topk: exact brute force — one scan, JVM zip_with/aggregate
+  dot products, TakeOrderedAndProject top-k.  The correctness baseline.
+- lsh_cosine_topk: random-hyperplane LSH (sign bits -> bucket) with
+  multi-probe fallback; brute force within the (much smaller) matching
+  buckets.  The scale path: bucketing turns an O(N) scan per query
+  into a partition-pruned scan when the table is written partitioned
+  by bucket.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from pyspark.sql import DataFrame, functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def cosine_topk(
+    emb: DataFrame,
+    query_vec,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_id=None,
+) -> DataFrame:
+    """Exact top-k by cosine similarity to query_vec (python list)."""
+    qv = [float(x) for x in query_vec]
+    qn = math.sqrt(sum(x * x for x in qv))
+    qcol = F.array(*[F.lit(x) for x in qv])
+    d = emb.withColumn("_v", F.col(vec_col).cast("array<double>"))
+    if exclude_id is not None:
+        d = d.filter(F.col(id_col) != exclude_id)
+    cos = _dot(F.col("_v"), qcol) / (F.sqrt(_dot(F.col("_v"), F.col("_v"))) * F.lit(qn))
+    return (
+        d.select(F.col(id_col), cos.alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def hyperplanes(dim: int, n_bits: int = 16, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_bits, dim))
+
+
+def add_lsh_bucket(
+    emb: DataFrame, dim: int, n_bits: int = 16, seed: int = 42,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Sign-bit bucket id column (random hyperplane LSH).  At scale,
+    write the table partitioned/bucketed by this column."""
+    H = hyperplanes(dim, n_bits, seed)
+    bucket = F.lit(0).cast("long")
+    v = F.col(vec_col).cast("array<double>")
+    for i in range(n_bits):
+        h = F.array(*[F.lit(float(x)) for x in H[i]])
+        bucket = bucket + F.when(_dot(v, h) > 0, F.lit(1 << i).cast("long")).otherwise(0)
+    return emb.withColumn("lsh_bucket", bucket)
+
+
+def lsh_cosine_topk(
+    emb_bucketed: DataFrame,
+    query_vec,
+    k: int = 10,
+    n_bits: int = 16,
+    seed: int = 42,
+    max_hamming: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_id=None,
+) -> DataFrame:
+    """Approximate top-k: scan only buckets within `max_hamming` bits of
+    the query's bucket, brute-force cosine inside them."""
+    qv = np.asarray([float(x) for x in query_vec])
+    H = hyperplanes(len(qv), n_bits, seed)
+    qbucket = int(sum((1 << i) for i in range(n_bits) if float(H[i] @ qv) > 0))
+    cand = emb_bucketed.filter(
+        F.bit_count(F.col("lsh_bucket").bitwiseXOR(F.lit(qbucket))) <= max_hamming
+    )
+    return cosine_topk(cand, query_vec, k, id_col, vec_col, exclude_id)

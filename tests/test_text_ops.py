@@ -1,0 +1,137 @@
+"""Training-data pipeline operators: dedup, minhash-LSH, simhash,
+jaccard, quality, language-id, fingerprint, ANN."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from golucene_spark.text import (
+    cosine_topk,
+    doc_fingerprint,
+    exact_dups,
+    language_id,
+    lsh_cosine_topk,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash64,
+    token_quality,
+)
+from golucene_spark.text.ann import add_lsh_bucket
+from golucene_spark.text.dedup import simhash_hamming_pairs
+
+BASE = (
+    "spark builds an inverted index over source code with posting lists "
+    "and block max metadata for fast scoring of boolean queries"
+)
+NEAR = BASE.replace("fast", "rapid")  # one token changed
+OTHER = "completely different content about cooking recipes and baking bread with yeast flour water salt"
+
+
+@pytest.fixture(scope="module")
+def text_df(spark):
+    rows = [(0, BASE), (1, BASE), (2, NEAR), (3, OTHER), (4, "tiny doc"), (5, None)]
+    return spark.createDataFrame(rows, "doc_id long, text string").coalesce(2)
+
+
+def test_exact_dups(text_df):
+    groups = exact_dups(text_df).collect()
+    assert len(groups) == 1
+    assert groups[0]["n"] == 2 and groups[0]["doc_ids"] == [0, 1]
+
+
+def test_ngram_jaccard_hand(spark, text_df):
+    pairs = spark.createDataFrame([(0, 2), (0, 3)], "id_a long, id_b long")
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+           ngram_jaccard_pairs(text_df, pairs).collect()}
+    # BASE has 21 tokens -> 19 distinct 3-shingles; changing one interior
+    # token invalidates 3 shingles each side -> inter=16, union=22
+    assert got[(0, 2)] == pytest.approx(16 / 22, rel=1e-12)
+    assert got[(0, 3)] == 0.0
+
+
+def test_minhash_lsh_finds_near_dup(text_df):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in minhash_lsh_pairs(text_df, threshold=0.5).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs or (1, 2) in pairs  # near-dup caught by LSH
+    assert not any(3 in p for p in pairs)      # unrelated not paired
+
+
+def test_simhash(text_df):
+    sh = {r["doc_id"]: r["simhash"] for r in simhash64(text_df).collect()}
+    assert sh[0] == sh[1]
+    ham02 = bin((sh[0] ^ sh[2]) & ((1 << 64) - 1)).count("1")
+    ham03 = bin((sh[0] ^ sh[3]) & ((1 << 64) - 1)).count("1")
+    assert ham02 < ham03
+    cand = simhash_hamming_pairs(simhash64(text_df), max_dist=ham02).collect()
+    assert any({r["id_a"], r["id_b"]} == {0, 2} for r in cand)
+
+
+def test_quality_and_langid(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "the cat is on the mat and it is warm"),
+            (1, "der hund ist nicht auf die couch und das ist gut"),
+            (2, "xqz zzz qqq"),
+        ],
+        "doc_id long, text string",
+    )
+    q = {r["doc_id"]: r for r in token_quality(df).collect()}
+    assert q[0]["n_tokens"] == 10
+    assert q[0]["stop_ratio"] == pytest.approx(7 / 10)
+    assert 0.0 <= q[2]["quality"] <= 1.0
+
+    l = {r["doc_id"]: r["lang_pred"] for r in language_id(df).collect()}
+    assert l[0] == "en" and l[1] == "de" and l[2] == "unknown"
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [(0, "Hello,   World! Foo"), (1, "hello world FOO"), (2, "hello world bar")],
+        "doc_id long, text string",
+    )
+    fp = {r["doc_id"]: r["fingerprint"] for r in doc_fingerprint(df).collect()}
+    assert fp[0] == fp[1] != fp[2]
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+
+
+def test_cosine_topk_vs_numpy(emb):
+    rows = emb.collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows}
+    q = vecs[0]
+    sims = sorted(
+        ((float(q @ v / (np.linalg.norm(v) * np.linalg.norm(q))), i)
+         for i, v in vecs.items() if i != 0),
+        key=lambda t: (-t[0], t[1]),
+    )[:10]
+    got = cosine_topk(emb, q.tolist(), 10, exclude_id=0).collect()
+    assert [r["vec_id"] for r in got] == [i for _, i in sims]
+    for r, (s, _) in zip(got, sims):
+        assert r["cosine"] == pytest.approx(s, rel=1e-9)
+
+
+def test_lsh_cosine_recall_planted(spark):
+    # planted-neighbor design: 20 noisy copies of q among 480 random
+    # vectors; LSH bucketing must recover the planted top-10
+    rng = np.random.default_rng(7)
+    dim = 32
+    q = rng.standard_normal(dim)
+    rows = []
+    for i in range(1, 21):
+        rows.append((i, (q + 0.05 * rng.standard_normal(dim)).tolist()))
+    for i in range(21, 501):
+        rows.append((i, rng.standard_normal(dim).tolist()))
+    rows.append((0, q.tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    bucketed = add_lsh_bucket(df, dim, n_bits=16).cache()
+    exact = [r["vec_id"] for r in cosine_topk(df, q.tolist(), 10, exclude_id=0).collect()]
+    approx = [r["vec_id"] for r in
+              lsh_cosine_topk(bucketed, q.tolist(), 10, n_bits=16, max_hamming=3, exclude_id=0).collect()]
+    assert set(exact) <= set(range(1, 21))  # sanity: exact top-10 is planted
+    assert len(set(exact) & set(approx)) >= 8
