@@ -48,12 +48,11 @@ class StandardAnalyzer:
         the length filter or the stop filter leave gaps
         (tokenizer.go:114-131, filtering.go:56-80).
         """
-        tokens, tok_row, tok_pos = wordbreak.segment_batch(texts)
+        tokens, tok_row, tok_pos, tok_len = wordbreak.segment_batch(texts)
         if not tokens:
             return np.array([], dtype=object), tok_row, tok_pos
-        ser = pd.Series(tokens, dtype=object)
-        keep = ser.str.len().to_numpy() <= self.max_token_length
-        ser = ser.str.lower()
+        keep = tok_len <= self.max_token_length
+        ser = pd.Series(tokens, dtype=object).str.lower()
         keep &= ~ser.isin(self.stop_words).to_numpy()
         return ser.to_numpy()[keep], tok_row[keep], tok_pos[keep]
 

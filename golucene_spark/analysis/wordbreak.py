@@ -115,19 +115,24 @@ def class_table() -> np.ndarray:
 _CORE_CLASSES = (ALETTER, NUMERIC, KATAKANA, HIRAGANA, IDEOGRAPHIC, SEASIAN)
 
 
-def segment_batch(texts) -> tuple[list[str], np.ndarray, np.ndarray]:
+def segment_batch(texts) -> tuple[list[str], np.ndarray, np.ndarray, np.ndarray]:
     """Segment a batch of strings per UAX#29.
 
-    Returns ``(tokens, tok_row, tok_pos)`` where ``tokens`` is the flat
-    list of raw token strings across the batch, ``tok_row[i]`` the batch
-    row each token came from, and ``tok_pos[i]`` its 0-based ordinal in
-    the row's full pre-filter token stream (the basis of Lucene position
-    increments — downstream filters drop tokens but keep positions, cf.
-    analysis/util/filtering.go:56-80).
+    Returns ``(tokens, tok_row, tok_pos, tok_len)`` where ``tokens`` is
+    the flat list of raw token strings across the batch, ``tok_row[i]``
+    the batch row each token came from, ``tok_pos[i]`` its 0-based
+    ordinal in the row's full pre-filter token stream (the basis of
+    Lucene position increments — downstream filters drop tokens but keep
+    positions, cf. analysis/util/filtering.go:56-80), and ``tok_len[i]``
+    its codepoint length (offsets-derived: no per-token len() pass).
     """
     texts = ["" if t is None else t for t in texts]
     nrows = len(texts)
-    empty = (np.array([], dtype=np.int64), np.array([], dtype=np.int64))
+    empty = (
+        np.array([], dtype=np.int64),
+        np.array([], dtype=np.int64),
+        np.array([], dtype=np.int64),
+    )
     if nrows == 0:
         return [], *empty
 
@@ -198,9 +203,9 @@ def segment_batch(texts) -> tuple[list[str], np.ndarray, np.ndarray]:
     tok_pos = np.arange(ntok, dtype=np.int64) - row_first[tok_row]
 
     tokens = [joined[s:e] for s, e in zip(tok_starts.tolist(), tok_ends.tolist())]
-    return tokens, tok_row, tok_pos
+    return tokens, tok_row, tok_pos, tok_ends - tok_starts
 
 
 if __name__ == "__main__":  # tiny smoke
-    toks, rows, pos = segment_batch(sys.argv[1:] or ["The Quick-Brown FOX", "3.14 x 1,024 foo.bar snake_case don't"])
+    toks, rows, pos, _ = segment_batch(sys.argv[1:] or ["The Quick-Brown FOX", "3.14 x 1,024 foo.bar snake_case don't"])
     print(list(zip(toks, rows.tolist(), pos.tolist())))

@@ -1,3 +1,4 @@
+from .merge import merge_segments, select_merges, verify_index
 from .builder import (
     IndexBuilder,
     LogicalIndex,
@@ -18,4 +19,7 @@ __all__ = [
     "tokenize_tf",
     "blocked_postings",
     "assign_doc_ids",
+    "merge_segments",
+    "select_merges",
+    "verify_index",
 ]

@@ -144,107 +144,131 @@ def assign_doc_ids(df: DataFrame, spec: CorpusSpec, num_segments: int) -> DataFr
     )
 
 
-def _tf_map_fn(spec: CorpusSpec, analyzer_name: str, quantize: bool, index_positions: bool):
-    """mapInPandas fn: per-doc inversion (tokenize + term-freq + norms).
+def _tf_arrow_fn(spec: CorpusSpec, analyzer_name: str, quantize: bool, index_positions: bool):
+    """mapInArrow fn: per-doc inversion (tokenize + term-freq + norms).
 
     Pure function of its batch — safe to re-run (resume), no driver state.
     Emits one row per (doc, field, term) plus a '__doc__' sentinel row per
     (doc, text field) carrying length + a Python-side sha256 of the text
     (cross-checked against the JVM-side sha2 in doc_meta by verify_index).
+
+    Output batches are assembled directly as Arrow arrays from the NumPy
+    reduce results (pa.ListArray.from_arrays for positions) — no per-
+    element Python objects on the way out.
     """
+    import pyarrow as pa
+
     text_fields = [(f.name, f.column) for f in spec.text_fields]
     kw_fields = [(f.name, f.column) for f in spec.keyword_fields]
+    pa_schema = pa.schema(
+        [
+            ("segment_id", pa.int32()),
+            ("doc_id", pa.int64()),
+            ("field", pa.string()),
+            ("term", pa.string()),
+            ("freq", pa.int32()),
+            ("positions", pa.list_(pa.int32())),
+            ("dlq", pa.float64()),
+            ("norm_byte", pa.int32()),
+        ]
+    )
+
+    def _const_str(value: str, n: int) -> "pa.Array":
+        return pa.DictionaryArray.from_arrays(
+            pa.array(np.zeros(n, dtype=np.int32)), pa.array([value])
+        ).cast(pa.string())
+
+    def _null_positions(n: int) -> "pa.Array":
+        return pa.nulls(n, pa.list_(pa.int32()))
+
+    def _mk(seg, doc, field_arr, term_arr, freq, positions, dlq, nb):
+        return pa.RecordBatch.from_arrays(
+            [
+                pa.array(seg.astype(np.int32)),
+                pa.array(doc.astype(np.int64)),
+                field_arr,
+                term_arr,
+                pa.array(freq.astype(np.int32)),
+                positions,
+                pa.array(dlq.astype(np.float64)),
+                pa.array(nb.astype(np.int32)),
+            ],
+            schema=pa_schema,
+        )
 
     def fn(batches):
         analyzer = get_analyzer(analyzer_name)
-        for pdf in batches:
-            n = len(pdf)
+        for rb in batches:
+            n = rb.num_rows
             if n == 0:
                 continue
-            out = []
-            doc_ids = pdf["doc_id"].to_numpy()
-            seg_ids = pdf["segment_id"].to_numpy()
+            cols = {name: rb.column(i) for i, name in enumerate(rb.schema.names)}
+            doc_ids = cols["doc_id"].to_numpy(zero_copy_only=False)
+            seg_ids = cols["segment_id"].to_numpy(zero_copy_only=False)
             for fname, col in text_fields:
-                texts = pdf[col].tolist()
+                texts = cols[col].to_pylist()
                 terms, rows, pos = analyzer.analyze_batch(texts)
                 if len(terms):
-                    tfd = pd.DataFrame({"row": rows, "term": terms, "pos": pos})
+                    # per-doc TF via factorize + stable argsort reduce
+                    codes, uniq = pd.factorize(terms, sort=False)
+                    uniq = np.asarray(uniq, dtype=object)
+                    key = rows * np.int64(len(uniq)) + codes
+                    order = np.argsort(key, kind="stable")
+                    sk = key[order]
+                    b0 = np.flatnonzero(np.concatenate(([True], sk[1:] != sk[:-1])))
+                    freq = np.diff(np.concatenate((b0, [len(sk)]))).astype(np.int32)
+                    g_row = rows[order][b0]
+                    g_term = pa.array(uniq, type=pa.string()).take(
+                        pa.array(codes[order][b0].astype(np.int64))
+                    )
                     if index_positions:
-                        g = tfd.groupby(["row", "term"], sort=False)["pos"]
-                        agg = g.agg([("freq", "size"), ("positions", list)]).reset_index()
-                    else:
-                        agg = (
-                            tfd.groupby(["row", "term"], sort=False)
-                            .size()
-                            .rename("freq")
-                            .reset_index()
+                        offsets = np.concatenate((b0, [len(sk)])).astype(np.int32)
+                        positions = pa.ListArray.from_arrays(
+                            pa.array(offsets), pa.array(pos[order].astype(np.int32))
                         )
-                        agg["positions"] = None
-                    dl = np.zeros(n, dtype=np.int64)
-                    rcounts = tfd.groupby("row", sort=False).size()
-                    dl[rcounts.index.to_numpy()] = rcounts.to_numpy()
+                    else:
+                        positions = _null_positions(len(b0))
+                    dl = np.bincount(rows, minlength=n).astype(np.int64)
                 else:
-                    agg = pd.DataFrame({"row": [], "term": [], "freq": [], "positions": []})
+                    g_row = np.array([], dtype=np.int64)
+                    g_term = pa.array([], type=pa.string())
+                    freq = np.array([], dtype=np.int32)
+                    positions = _null_positions(0)
                     dl = np.zeros(n, dtype=np.int64)
                 nb = smallfloat.encode_norm_from_length(dl)
                 if quantize:
                     dlq_doc = smallfloat.quantized_doc_length(nb).astype(np.float64)
                 else:
                     dlq_doc = dl.astype(np.float64)
-                if len(agg):
-                    r = agg["row"].to_numpy().astype(np.int64)
-                    out.append(
-                        pd.DataFrame(
-                            {
-                                "segment_id": seg_ids[r].astype(np.int32),
-                                "doc_id": doc_ids[r],
-                                "field": fname,
-                                "term": agg["term"].to_numpy(),
-                                "freq": agg["freq"].to_numpy().astype(np.int32),
-                                "positions": agg["positions"],
-                                "dlq": dlq_doc[r],
-                                "norm_byte": nb[r].astype(np.int32),
-                            }
-                        )
+                if len(g_row):
+                    yield _mk(
+                        seg_ids[g_row], doc_ids[g_row], _const_str(fname, len(g_row)),
+                        g_term, freq, positions, dlq_doc[g_row], nb[g_row],
                     )
                 # sentinel doc rows: term = sha256(text), freq = doc length
-                shas = [
-                    hashlib.sha256((t or "").encode("utf-8")).hexdigest() for t in texts
-                ]
-                out.append(
-                    pd.DataFrame(
-                        {
-                            "segment_id": seg_ids.astype(np.int32),
-                            "doc_id": doc_ids,
-                            "field": DOC_SENTINEL_FIELD + fname,
-                            "term": shas,
-                            "freq": dl.astype(np.int32),
-                            "positions": None,
-                            "dlq": dlq_doc,
-                            "norm_byte": nb.astype(np.int32),
-                        }
-                    )
+                shas = pa.array(
+                    [hashlib.sha256((t or "").encode("utf-8")).hexdigest() for t in texts]
+                )
+                yield _mk(
+                    seg_ids, doc_ids, _const_str(DOC_SENTINEL_FIELD + fname, n),
+                    shas, dl, _null_positions(n), dlq_doc, nb,
                 )
             for fname, col in kw_fields:
-                vals = pdf[col]
-                mask = vals.notna().to_numpy()
-                if mask.any():
-                    out.append(
-                        pd.DataFrame(
-                            {
-                                "segment_id": seg_ids[mask].astype(np.int32),
-                                "doc_id": doc_ids[mask],
-                                "field": fname,
-                                "term": vals.to_numpy()[mask],
-                                "freq": np.int32(1),
-                                "positions": None,
-                                "dlq": np.float64(1.0),
-                                "norm_byte": np.int32(124),  # encode(1.0)
-                            }
-                        )
+                vals = cols[col]
+                mask = pa.compute.is_valid(vals).to_numpy(zero_copy_only=False)
+                m = int(mask.sum())
+                if m:
+                    idx = np.flatnonzero(mask)
+                    yield _mk(
+                        seg_ids[idx],
+                        doc_ids[idx],
+                        _const_str(fname, m),
+                        vals.take(pa.array(idx)),
+                        np.ones(m, dtype=np.int32),
+                        _null_positions(m),
+                        np.full(m, 1.0),
+                        np.full(m, 124),  # encode(1.0)
                     )
-            if out:
-                yield pd.concat(out, ignore_index=True)
 
     return fn
 
@@ -255,42 +279,82 @@ def tokenize_tf(docs: DataFrame, spec: CorpusSpec, analyzer: str = "standard",
     cols = ["segment_id", "doc_id"] + sorted(
         {f.column for f in spec.text_fields} | {f.column for f in spec.keyword_fields}
     )
-    return docs.select(*cols).mapInPandas(
-        _tf_map_fn(spec, analyzer, quantize, index_positions), TF_SCHEMA
+    return docs.select(*cols).mapInArrow(
+        _tf_arrow_fn(spec, analyzer, quantize, index_positions), TF_SCHEMA
     )
 
 
-def blocked_postings(tf: DataFrame, block_size: int = BLOCK_SIZE) -> DataFrame:
+def blocked_postings(tf: DataFrame, block_size: int = BLOCK_SIZE,
+                     salt_range: int | None = None) -> DataFrame:
     """Flat TF rows -> per-(segment,field,term) 128-doc posting blocks with
-    block-max metadata.  Pure Catalyst (whole-stage codegen), one shuffle."""
+    block-max metadata.  Pure Catalyst (whole-stage codegen), one shuffle.
+
+    ``salt_range``: skew defusal for hot terms (merge.go:494-641's concern
+    re-expressed).  When set, the collect_list groups by an additional
+    range-salt ``doc_id div salt_range`` so no single reducer ever holds
+    more than salt_range postings of a hot term; buckets are doc-range-
+    disjoint so block ordering and metadata stay exact (blocks at bucket
+    tails may hold <128 docs).  df/ttf per term are re-aggregated across
+    buckets via the tiny per-term window."""
+    from pyspark.sql import Window
+
+    flat = tf.filter(~F.col("field").startswith(DOC_SENTINEL_FIELD))
     plist = F.sort_array(
         F.collect_list(F.struct("doc_id", "freq", "dlq", "norm_byte", "positions"))
     )
-    g = (
-        tf.filter(~F.col("field").startswith(DOC_SENTINEL_FIELD))
-        .groupBy("segment_id", "field", "term")
-        .agg(
-            plist.alias("plist"),
-            F.count("*").alias("df_seg"),
-            F.sum("freq").alias("ttf_seg"),
+    if salt_range:
+        g0 = (
+            flat.withColumn("salt", (F.col("doc_id") / salt_range).cast("long"))
+            .groupBy("segment_id", "field", "term", "salt")
+            .agg(
+                plist.alias("plist"),
+                F.count("*").alias("df_bucket"),
+                F.sum("freq").alias("ttf_bucket"),
+            )
         )
-    )
+        w = Window.partitionBy("segment_id", "field", "term")
+        g = g0.select(
+            "segment_id",
+            "field",
+            "term",
+            "salt",
+            "plist",
+            F.sum("df_bucket").over(w).alias("df_seg"),
+            F.sum("ttf_bucket").over(w).alias("ttf_seg"),
+            F.count("*").over(w).alias("n_buckets"),
+        )
+    else:
+        g = (
+            flat.groupBy("segment_id", "field", "term")
+            .agg(
+                plist.alias("plist"),
+                F.count("*").alias("df_seg"),
+                F.sum("freq").alias("ttf_seg"),
+            )
+            .withColumn("salt", F.lit(0).cast("long"))
+            .withColumn("n_buckets", F.lit(1).cast("long"))
+        )
     nblocks = F.ceil(F.size("plist") / block_size).cast("int")
+    # block ids stay unique + doc-ordered across salt buckets
+    blocks_per_bucket = (salt_range // block_size + 1) if salt_range else 1
     blk = F.explode(
         F.transform(
             F.sequence(F.lit(0), nblocks - 1),
             lambda b: F.struct(
-                b.alias("block_id"),
+                (F.col("salt") * blocks_per_bucket + b).cast("long").alias("block_id"),
                 F.slice("plist", b * block_size + 1, block_size).alias("chunk"),
             ),
         )
     )
-    e = g.select("segment_id", "field", "term", "df_seg", "ttf_seg", blk.alias("b")).select(
+    e = g.select(
+        "segment_id", "field", "term", "df_seg", "ttf_seg", "n_buckets", blk.alias("b")
+    ).select(
         "segment_id",
         "field",
         "term",
         "df_seg",
         "ttf_seg",
+        "n_buckets",
         F.col("b.block_id").alias("block_id"),
         F.col("b.chunk").alias("chunk"),
     )
@@ -305,6 +369,7 @@ def blocked_postings(tf: DataFrame, block_size: int = BLOCK_SIZE) -> DataFrame:
         "term",
         "df_seg",
         "ttf_seg",
+        "n_buckets",
         "block_id",
         doc_ids.alias("doc_ids"),
         freqs.cast("array<int>").alias("freqs"),
@@ -337,6 +402,7 @@ class IndexBuilder:
         block_size: int = BLOCK_SIZE,
         quantize_norms: bool = True,
         index_positions: bool = True,
+        salt_range: int | None = None,
     ):
         self.spark = spark
         self.spec = spec or CorpusSpec.source_code()
@@ -345,6 +411,7 @@ class IndexBuilder:
         self.block_size = block_size
         self.quantize_norms = quantize_norms
         self.index_positions = index_positions
+        self.salt_range = salt_range
 
     # -- manifest helpers (the segments_N generation protocol analogue) --
     @staticmethod
@@ -398,7 +465,7 @@ class IndexBuilder:
                 part, self.spec, self.analyzer, self.quantize_norms, self.index_positions
             ).persist()
 
-            post = blocked_postings(tf, self.block_size)
+            post = blocked_postings(tf, self.block_size, self.salt_range)
             (post.sortWithinPartitions("field", "term", "segment_id", "block_id")
                  .write.mode("overwrite")
                  .parquet(os.path.join(index_dir, "postings", f"chunk={chunk}")))
@@ -455,6 +522,7 @@ class IndexBuilder:
                     "analyzer": self.analyzer,
                     "quantize_norms": self.quantize_norms,
                     "block_size": self.block_size,
+                    "salt_range": self.salt_range,
                     "num_segments": nseg,
                     "num_chunks": num_chunks,
                     "wall_sec": round(time.time() - t0, 3),
@@ -544,8 +612,26 @@ class LogicalIndex:
         return self._cstats[field]
 
 
+def dead_segments(index_dir: str) -> set[int]:
+    """Segment ids superseded by merge records in the manifest."""
+    dead: set[int] = set()
+    mdir = os.path.join(index_dir, "manifest")
+    if os.path.isdir(mdir):
+        for fn in os.listdir(mdir):
+            if fn.endswith(".json"):
+                with open(os.path.join(mdir, fn)) as f:
+                    rec = json.load(f)
+                if rec.get("kind") == "merge":
+                    dead.update(rec.get("merged_from_segments", []))
+                    dead.discard(rec.get("new_segment_id"))
+    return dead
+
+
 class MaterializedIndex:
-    """Reader over an index built by IndexBuilder (term-pruned scans)."""
+    """Reader over an index built by IndexBuilder (term-pruned scans).
+    Reads the LIVE segment set: segments superseded by merges (manifest
+    kind=merge records) are filtered out — the segments_N visibility
+    protocol (segmentInfos.go:21-135) as a manifest + filter."""
 
     def __init__(self, spark: SparkSession, index_dir: str):
         self.spark = spark
@@ -554,6 +640,12 @@ class MaterializedIndex:
         self.term_dict = spark.read.parquet(os.path.join(index_dir, "term_dict"))
         self.doc_stats = spark.read.parquet(os.path.join(index_dir, "doc_stats"))
         self.doc_meta = spark.read.parquet(os.path.join(index_dir, "doc_meta"))
+        dead = dead_segments(index_dir)
+        if dead:
+            alive = lambda df: df.filter(~F.col("segment_id").isin([int(x) for x in dead]))
+            self.postings = alive(self.postings)
+            self.term_dict = alive(self.term_dict)
+            self.doc_stats = alive(self.doc_stats)
         self.quantized = True
         mdir = os.path.join(index_dir, "manifest")
         if os.path.isdir(mdir):

@@ -1,0 +1,243 @@
+"""Segment merge: tiered selection policy + Spark merge execution.
+
+Policy thresholds ported from the reference's TieredMergePolicy
+(core/index/merge.go:370-377, FindMerges :494-641): sort segments by
+size, floor small segments, merge <=10 at a time, don't produce
+oversized segments.  The merge *executor* is a stub in the reference
+(core/index/writer.go:1420-1431 panics); semantics come from the W6
+invariants (termsHashConsumerPerField.go:550-668): merged per-term
+df/ttf are sums, docIDs keep their global values (our docBases are
+global already, so posting-list merge = ordered concatenation — no
+re-sort, no full-list materialization).
+
+Execution shape: segments' doc ranges are disjoint and ordered by
+docBase, so the merged posting list of a term is the concatenation of
+its per-segment block lists.  We relabel (segment_id, block_id) with a
+per-term running offset computed by a window over the term's BLOCK
+rows (df/128 rows even for the hottest term — the skew-safe trick:
+we never shuffle or collect the postings themselves, only block rows).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+MAX_MERGE_AT_ONCE = 10        # merge.go:370
+SEGS_PER_TIER = 10            # merge.go:377
+FLOOR_SEGMENT_DOCS = 1024     # analogue of the 2MB floor (merge.go:372)
+
+
+def select_merges(segments: dict[int, int], max_merged_docs: int = 5_000_000) -> list[list[int]]:
+    """TieredMergePolicy-style selection over {segment_id: n_docs}.
+    Returns groups of segment ids to merge (smallest-first, <=10 per
+    merge, skipping merges that would exceed max_merged_docs)."""
+    if len(segments) <= SEGS_PER_TIER:
+        return []
+    order = sorted(segments, key=lambda s: (max(segments[s], FLOOR_SEGMENT_DOCS), s))
+    merges = []
+    i = 0
+    while len(order) - i > SEGS_PER_TIER:
+        group, total = [], 0
+        while i < len(order) and len(group) < MAX_MERGE_AT_ONCE:
+            s = order[i]
+            if total + segments[s] > max_merged_docs and group:
+                break
+            group.append(s)
+            total += segments[s]
+            i += 1
+        if len(group) >= 2:
+            merges.append(group)
+        else:
+            break
+    return merges
+
+
+def merge_segments(
+    spark: SparkSession,
+    index_dir: str,
+    segment_ids: list[int],
+    new_segment_id: int | None = None,
+    out_chunk: str | None = None,
+) -> dict:
+    """Merge the given segments into one new segment (written as a new
+    chunk directory, source rows superseded logically via the manifest).
+
+    Invariants asserted downstream by verify_index: per-(field,term)
+    df/ttf of the merged segment equal the sums of the sources; doc ids
+    unchanged; block ordering by docBase preserved."""
+    t0 = time.time()
+    new_id = new_segment_id if new_segment_id is not None else min(segment_ids)
+    out_chunk = out_chunk or f"merge-{new_id}-{len(segment_ids)}"
+    post = spark.read.parquet(os.path.join(index_dir, "postings")).filter(
+        F.col("segment_id").isin(segment_ids)
+    )
+    # per-term running block offset: windows over BLOCK rows only
+    w_seq = Window.partitionBy("field", "term").orderBy("segment_id", "block_id")
+    w_seg = Window.partitionBy("field", "term", "segment_id").orderBy("block_id")
+    wt = Window.partitionBy("field", "term")
+    staged = post.withColumn("new_block_id", F.row_number().over(w_seq) - 1).withColumn(
+        "rn_seg", F.row_number().over(w_seg)
+    )
+    merged = (
+        staged.withColumn(
+            "df_new", F.sum(F.when(F.col("rn_seg") == 1, F.col("df_seg"))).over(wt)
+        )
+        .withColumn(
+            "ttf_new", F.sum(F.when(F.col("rn_seg") == 1, F.col("ttf_seg"))).over(wt)
+        )
+        .withColumn("n_buckets", F.count("*").over(wt))
+        .withColumn("segment_id", F.lit(new_id).cast("int"))
+        .withColumn("block_id", F.col("new_block_id").cast("long"))
+        .withColumn("df_seg", F.col("df_new"))
+        .withColumn("ttf_seg", F.col("ttf_new"))
+        .drop("new_block_id", "rn_seg", "df_new", "ttf_new")
+    )
+    merged.write.mode("overwrite").parquet(
+        os.path.join(index_dir, "postings", f"chunk={out_chunk}")
+    )
+
+    td = spark.read.parquet(os.path.join(index_dir, "term_dict")).filter(
+        F.col("segment_id").isin(segment_ids)
+    )
+    td_merged = (
+        td.groupBy("field", "term")
+        .agg(F.sum("df").alias("df"), F.sum("ttf").alias("ttf"),
+             F.min("pulsed_doc").alias("pd"), F.min("pulsed_freq").alias("pf"))
+        .select(
+            F.lit(new_id).cast("int").alias("segment_id"),
+            "field",
+            "term",
+            "df",
+            "ttf",
+            F.when(F.col("df") == 1, F.col("pd")).alias("pulsed_doc"),
+            F.when(F.col("df") == 1, F.col("pf")).alias("pulsed_freq"),
+        )
+    )
+    td_merged.write.mode("overwrite").parquet(
+        os.path.join(index_dir, "term_dict", f"chunk={out_chunk}")
+    )
+
+    ds = spark.read.parquet(os.path.join(index_dir, "doc_stats")).filter(
+        F.col("segment_id").isin(segment_ids)
+    ).withColumn("segment_id", F.lit(new_id).cast("int"))
+    ds.write.mode("overwrite").parquet(
+        os.path.join(index_dir, "doc_stats", f"chunk={out_chunk}")
+    )
+
+    # supersede source chunks' segment rows: record the merge in the manifest;
+    # readers of a merged index use the 'live' chunk set from the manifest.
+    rec = {
+        "chunk": out_chunk,
+        "status": "committed",
+        "kind": "merge",
+        "merged_from_segments": sorted(int(s) for s in segment_ids),
+        "new_segment_id": int(new_id),
+        "wall_sec": round(time.time() - t0, 3),
+    }
+    mdir = os.path.join(index_dir, "manifest")
+    os.makedirs(mdir, exist_ok=True)
+    with open(os.path.join(mdir, f"{out_chunk}.json"), "w") as f:
+        json.dump(rec, f)
+    return rec
+
+
+def verify_index(spark: SparkSession, index_dir: str, source_df: DataFrame | None = None,
+                 text_col: str = "content", id_col: str | None = None) -> dict:
+    """CheckIndex (core/index/checkIndex.go:147-505) re-expressed:
+    cross-table invariants as Spark assertions.  Returns a report dict;
+    raises AssertionError on violation."""
+    from .builder import dead_segments
+
+    post = spark.read.parquet(os.path.join(index_dir, "postings"))
+    td = spark.read.parquet(os.path.join(index_dir, "term_dict"))
+    ds = spark.read.parquet(os.path.join(index_dir, "doc_stats"))
+    dm = spark.read.parquet(os.path.join(index_dir, "doc_meta"))
+    dead = dead_segments(index_dir)
+    if dead:
+        alive = lambda df: df.filter(~F.col("segment_id").isin([int(x) for x in dead]))
+        post, td, ds = alive(post), alive(td), alive(ds)
+
+    report = {}
+
+    # 1. per-(segment,field,term): sum of block lengths == df recorded in
+    #    both postings metadata and term_dict; sum freqs == ttf
+    p_agg = post.groupBy("segment_id", "field", "term").agg(
+        F.sum("block_len").alias("n_postings"),
+        F.first("df_seg").alias("df_meta"),
+        F.sum(F.aggregate("freqs", F.lit(0).cast("long"), lambda a, x: a + x)).alias("ttf_blocks"),
+    )
+    j = p_agg.join(td, ["segment_id", "field", "term"], "full")
+    bad = j.filter(
+        (F.col("n_postings") != F.col("df"))
+        | (F.col("df_meta") != F.col("df"))
+        | (F.col("ttf_blocks") != F.col("ttf"))
+    ).count()
+    report["postings_vs_term_dict_mismatches"] = bad
+    assert bad == 0, f"{bad} (segment,term) rows violate df/ttf invariants"
+
+    # 2. per-doc length == sum of its freqs across terms (per field)
+    from .builder import DOC_SENTINEL_FIELD  # noqa
+
+    dl_from_post = (
+        post.select("field", F.explode(F.arrays_zip("doc_ids", "freqs")).alias("e"))
+        .select("field", F.col("e.doc_ids").alias("doc_id"), F.col("e.freqs").alias("freq"))
+        .groupBy("field", "doc_id")
+        .agg(F.sum("freq").alias("dl_sum"))
+    )
+    ds_text = ds.join(dl_from_post, ["field", "doc_id"], "left")
+    bad2 = ds_text.filter(
+        F.coalesce(F.col("dl_sum"), F.lit(0)) != F.col("length")
+    ).count()
+    report["doc_length_mismatches"] = bad2
+    assert bad2 == 0, f"{bad2} docs violate length == sum(freq)"
+
+    # 3. singleton pulsing consistency
+    bad3 = td.filter(
+        ((F.col("df") == 1) & F.col("pulsed_doc").isNull())
+        | ((F.col("df") > 1) & F.col("pulsed_doc").isNotNull())
+    ).count()
+    report["pulsing_violations"] = bad3
+    assert bad3 == 0
+
+    # 4. sha256 parity: python-side hash (doc_stats) == JVM sha2 (doc_meta)
+    par = ds.select("doc_id", "content_sha256").join(
+        dm.select("doc_id", F.col("content_sha256").alias("jvm_sha")), "doc_id"
+    )
+    bad4 = par.filter(F.col("content_sha256") != F.col("jvm_sha")).count()
+    report["sha256_mismatches"] = bad4
+    assert bad4 == 0
+
+    # 5. optional: parity against the live source table (north rule's
+    #    per-row sha256(content) equality vs the source)
+    if source_df is not None:
+        src = source_df.select(
+            F.sha2(F.col(text_col), 256).alias("src_sha"),
+            *( [F.col(id_col).cast("long").alias("doc_id")] if id_col else [] ),
+        )
+        if id_col:
+            bad5 = (
+                ds.select("doc_id", "content_sha256")
+                .join(src, "doc_id", "full")
+                .filter(
+                    F.col("content_sha256").isNull()
+                    | F.col("src_sha").isNull()
+                    | (F.col("content_sha256") != F.col("src_sha"))
+                )
+                .count()
+            )
+        else:
+            bad5 = (
+                ds.groupBy("content_sha256").count().withColumnRenamed("count", "n_ix")
+                .join(src.groupBy("src_sha").count().withColumnRenamed("count", "n_src"),
+                      F.col("content_sha256") == F.col("src_sha"), "full")
+                .filter(F.col("n_ix").isNull() | F.col("n_src").isNull()
+                        | (F.col("n_ix") != F.col("n_src")))
+                .count()
+            )
+        report["source_sha256_mismatches"] = bad5
+        assert bad5 == 0
+    return report

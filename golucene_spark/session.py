@@ -10,6 +10,15 @@ import os
 
 from pyspark.sql import SparkSession
 
+# This sandbox's VM has a very slow first-touch page-fault path; glibc's
+# default 128KB mmap threshold makes every large NumPy temp a fresh
+# mmap/munmap pair, crippling the vectorized tokenizer (~100x).  Raising
+# the thresholds keeps big buffers in the allocator pool for reuse.
+# Harmless (slightly higher RSS) on normal hosts.
+os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "2147483648")
+os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "2147483648")
+os.environ.setdefault("ARROW_DEFAULT_MEMORY_POOL", "system")
+
 
 def get_spark(
     app_name: str = "golucene_spark",
@@ -40,6 +49,8 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.executorEnv.MALLOC_MMAP_THRESHOLD_", "2147483648")
+        .config("spark.executorEnv.MALLOC_TRIM_THRESHOLD_", "2147483648")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

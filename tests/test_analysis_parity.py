@@ -42,7 +42,7 @@ def ref_tokens(text):
 
 
 def our_tokens(text):
-    toks, rows, pos = segment_batch([text])
+    toks, rows, pos, lens = segment_batch([text])
     # apply the 255-length rule the way the tokenizer does (positions kept)
     return [(t, int(p)) for t, p in zip(toks, pos.tolist()) if len(t) <= 255]
 
