@@ -99,20 +99,103 @@ def _classify(cp: int) -> int:
 
 def class_table() -> np.ndarray:
     """uint8 lookup table codepoint -> word-break class, built once per
-    process (BMP exact; supplementary planes via coarse ranges)."""
+    machine (BMP exact; supplementary planes via coarse ranges).  The
+    65k unicodedata classifications cost ~1.5s, so the table is cached
+    to a shared temp file: each executor python worker loads it in ms
+    instead of rebuilding it."""
     global _TABLE
     if _TABLE is None:
+        import os
+        import tempfile
+
+        cache = os.path.join(tempfile.gettempdir(), "golucene_wb_table_v1.npy")
+        if os.path.exists(cache):
+            try:
+                _TABLE = np.load(cache)
+                return _TABLE
+            except Exception:
+                pass
         t = np.zeros(0x110000, dtype=np.uint8)
         for cp in range(0x10000):
             t[cp] = _classify(cp)
         # Supplementary: CJK ext B-F ideographs; everything else OTHER.
         t[0x20000:0x2FA20] = IDEOGRAPHIC
         _TABLE = t
+        try:
+            tmp = cache + f".{os.getpid()}.tmp"
+            with open(tmp, "wb") as f:
+                np.save(f, t)
+            os.replace(tmp, cache)
+        except Exception:
+            pass
     return _TABLE
 
 
 # classes whose presence makes a segment a real token
 _CORE_CLASSES = (ALETTER, NUMERIC, KATAKANA, HIRAGANA, IDEOGRAPHIC, SEASIAN)
+
+_NCLS = 12
+_PAIR_TBL: np.ndarray | None = None
+_TRIPLE_TBL: np.ndarray | None = None
+_CORE_TBL: np.ndarray | None = None
+
+
+def _rule_tables():
+    """Precomputed join tables: the WB rules as lookups so the hot loop
+    is one gather per boundary instead of ~15 boolean array passes
+    (the segmenter is memory-bandwidth-bound at high parallelism).
+
+    PAIR[a*12+b]  : unconditional join between classes a,b
+                    (WB5/8/9/10/13/13a/13b + SEA runs)
+    TRIPLE[(a*12+b)*12+c] : conditional mid joins (WB6/7, WB11/12) —
+                    marks BOTH boundaries of the (a, mid, c) triple
+    CORE[cls]     : class makes a segment a token
+    """
+    global _PAIR_TBL, _TRIPLE_TBL, _CORE_TBL
+    if _PAIR_TBL is None:
+        ah = {ALETTER}
+        nu = {NUMERIC}
+        ka = {KATAKANA}
+        ex = {EXTNUMLET}
+        pair = np.zeros(_NCLS * _NCLS, dtype=bool)
+        for a in range(_NCLS):
+            for b in range(_NCLS):
+                j = (
+                    (a in ah and b in ah)
+                    or (a in nu and b in nu)
+                    or (a in ah and b in nu)
+                    or (a in nu and b in ah)
+                    or (a in ka and b in ka)
+                    or (b in ex and (a in ah or a in nu or a in ka or a in ex))
+                    or (a in ex and (b in ah or b in nu or b in ka))
+                    or (a == SEASIAN and b == SEASIAN)
+                )
+                pair[a * _NCLS + b] = j
+        midl = {MIDLETTER, MIDNUMLET}
+        midn = {MIDNUM, MIDNUMLET}
+        triple = np.zeros(_NCLS * _NCLS * _NCLS, dtype=bool)
+        for a in range(_NCLS):
+            for m in range(_NCLS):
+                for c in range(_NCLS):
+                    t = (a in ah and m in midl and c in ah) or (
+                        a in nu and m in midn and c in nu
+                    )
+                    triple[(a * _NCLS + m) * _NCLS + c] = t
+        core = np.zeros(_NCLS, dtype=bool)
+        for c in _CORE_CLASSES:
+            core[c] = True
+        _PAIR_TBL, _TRIPLE_TBL, _CORE_TBL = pair, triple, core
+    return _PAIR_TBL, _TRIPLE_TBL, _CORE_TBL
+
+
+_ASCII_TBL: np.ndarray | None = None
+
+
+def _ascii_table() -> np.ndarray:
+    global _ASCII_TBL
+    if _ASCII_TBL is None:
+        _ASCII_TBL = class_table()[:128].copy()
+    return _ASCII_TBL
 
 
 def segment_batch(texts) -> tuple[list[str], np.ndarray, np.ndarray, np.ndarray]:
@@ -141,48 +224,39 @@ def segment_batch(texts) -> tuple[list[str], np.ndarray, np.ndarray, np.ndarray]
     if n == 0:
         return [], *empty
 
-    codes = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
-    cls = class_table()[codes]
+    # ASCII fast path: 1-byte codes = 4x less memory traffic (the
+    # segmenter is bandwidth-bound under high parallelism); identical
+    # classes, and ASCII has no Extend/Format codepoints.
+    if joined.isascii():
+        codes = np.frombuffer(joined.encode("ascii"), dtype=np.uint8)
+        cls = _ascii_table()[codes]
+    else:
+        codes32 = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+        cls = class_table()[codes32]
+        # WB4: Extend/Format are transparent — inherit previous class.
+        ext = cls == EXTEND
+        if ext.any():
+            idx = np.arange(n)
+            idx[ext] = 0
+            np.maximum.accumulate(idx, out=idx)
+            cls = cls[idx]
 
-    # WB4: Extend/Format are transparent — inherit the previous class.
-    ext = cls == EXTEND
-    if ext.any():
-        idx = np.arange(n)
-        idx[ext] = 0
-        np.maximum.accumulate(idx, out=idx)
-        cls = cls[idx]
-
-    is_al = cls == ALETTER
-    is_nu = cls == NUMERIC
-    is_ka = cls == KATAKANA
-    is_ex = cls == EXTNUMLET
-    is_sea = cls == SEASIAN
-
+    pair_tbl, triple_tbl, core_tbl = _rule_tables()
     if n > 1:
-        a_al, b_al = is_al[:-1], is_al[1:]
-        a_nu, b_nu = is_nu[:-1], is_nu[1:]
-        join = (
-            (a_al & b_al)                                   # WB5
-            | (a_nu & b_nu)                                 # WB8
-            | (a_al & b_nu) | (a_nu & b_al)                 # WB9/WB10
-            | (is_ka[:-1] & is_ka[1:])                      # WB13
-            | (is_ex[1:] & (is_al | is_nu | is_ka | is_ex)[:-1])  # WB13a
-            | (is_ex[:-1] & (is_al | is_nu | is_ka)[1:])    # WB13b
-            | (is_sea[:-1] & is_sea[1:])                    # SEA runs
-        )
+        # one fused gather per boundary: WB5/8/9/10/13/13a/13b (+SEA)
+        lin = cls[:-1] * np.uint8(_NCLS) + cls[1:]  # <=143, fits uint8
+        join = pair_tbl[lin]
         if n > 2:
-            midl = (cls == MIDLETTER) | (cls == MIDNUMLET)
-            midn = (cls == MIDNUM) | (cls == MIDNUMLET)
-            t_l = is_al[:-2] & midl[1:-1] & is_al[2:]       # WB6/WB7
-            t_n = is_nu[:-2] & midn[1:-1] & is_nu[2:]       # WB11/WB12
-            t = t_l | t_n
+            # conditional mid joins WB6/7 + WB11/12 via 3-gram table
+            lin3 = lin[:-1].astype(np.uint16) * _NCLS + cls[2:]
+            t = triple_tbl[lin3]
             join[:-1] |= t
             join[1:] |= t
     else:
         join = np.zeros(0, dtype=bool)
 
     starts = np.flatnonzero(np.concatenate(([True], ~join)))
-    core = np.isin(cls, _CORE_CLASSES)
+    core = core_tbl[cls]
     has_core = np.bitwise_or.reduceat(core, starts)
     tok_starts = starts[has_core]
     ends = np.concatenate((starts[1:], [n]))

@@ -62,7 +62,7 @@ TF_SCHEMA = T.StructType(
         T.StructField("field", T.StringType(), False),
         T.StructField("term", T.StringType(), True),
         T.StructField("freq", T.IntegerType(), False),
-        T.StructField("positions", T.ArrayType(T.IntegerType()), True),
+        T.StructField("positions", T.BinaryType(), True),
         T.StructField("dlq", T.DoubleType(), False),
         T.StructField("norm_byte", T.IntegerType(), False),
     ]
@@ -167,7 +167,7 @@ def _tf_arrow_fn(spec: CorpusSpec, analyzer_name: str, quantize: bool, index_pos
             ("field", pa.string()),
             ("term", pa.string()),
             ("freq", pa.int32()),
-            ("positions", pa.list_(pa.int32())),
+            ("positions", pa.binary()),
             ("dlq", pa.float64()),
             ("norm_byte", pa.int32()),
         ]
@@ -179,7 +179,7 @@ def _tf_arrow_fn(spec: CorpusSpec, analyzer_name: str, quantize: bool, index_pos
         ).cast(pa.string())
 
     def _null_positions(n: int) -> "pa.Array":
-        return pa.nulls(n, pa.list_(pa.int32()))
+        return pa.nulls(n, pa.binary())
 
     def _mk(seg, doc, field_arr, term_arr, freq, positions, dlq, nb):
         return pa.RecordBatch.from_arrays(
@@ -196,12 +196,31 @@ def _tf_arrow_fn(spec: CorpusSpec, analyzer_name: str, quantize: bool, index_pos
             schema=pa_schema,
         )
 
+    # Cap the NumPy working-set per slice: this sandbox's page-fault path
+    # is slow and globally serialized, so each worker keeps a small
+    # reusable pool instead of faulting in batch-sized temporaries.
+    slice_rows = int(os.environ.get("GOLUCENE_TF_SLICE_ROWS", "2048"))
+
     def fn(batches):
+        # post-fork hygiene (once per worker process): pyspark workers
+        # are forked from a daemon; cyclic GC writing to inherited
+        # object headers triggers a COW storm that this VM's kernel
+        # serializes.  Freeze the inherited heap so GC never touches it.
+        import gc
+
+        if not globals().get("_GC_FROZEN"):
+            gc.freeze()
+            globals()["_GC_FROZEN"] = True
         analyzer = get_analyzer(analyzer_name)
-        for rb in batches:
-            n = rb.num_rows
-            if n == 0:
-                continue
+        for rb0 in batches:
+            for off in range(0, rb0.num_rows, slice_rows) or [0]:
+                rb = rb0.slice(off, slice_rows)
+                n = rb.num_rows
+                if n == 0:
+                    continue
+                yield from _one(rb, n, analyzer)
+
+    def _one(rb, n, analyzer):
             cols = {name: rb.column(i) for i, name in enumerate(rb.schema.names)}
             doc_ids = cols["doc_id"].to_numpy(zero_copy_only=False)
             seg_ids = cols["segment_id"].to_numpy(zero_copy_only=False)
@@ -222,9 +241,15 @@ def _tf_arrow_fn(spec: CorpusSpec, analyzer_name: str, quantize: bool, index_pos
                         pa.array(codes[order][b0].astype(np.int64))
                     )
                     if index_positions:
-                        offsets = np.concatenate((b0, [len(sk)])).astype(np.int32)
-                        positions = pa.ListArray.from_arrays(
-                            pa.array(offsets), pa.array(pos[order].astype(np.int32))
+                        # packed little-endian int32 per posting (the
+                        # delta-varint byte-slice idea of W4, zero-copy
+                        # via Arrow binary offsets); decode with
+                        # np.frombuffer(buf, '<i4')
+                        pos_bytes = pos[order].astype("<i4").tobytes()
+                        offsets = (np.concatenate((b0, [len(sk)])) * 4).astype(np.int32)
+                        positions = pa.Array.from_buffers(
+                            pa.binary(), len(b0),
+                            [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(pos_bytes)],
                         )
                     else:
                         positions = _null_positions(len(b0))
@@ -285,7 +310,8 @@ def tokenize_tf(docs: DataFrame, spec: CorpusSpec, analyzer: str = "standard",
 
 
 def blocked_postings(tf: DataFrame, block_size: int = BLOCK_SIZE,
-                     salt_range: int | None = None) -> DataFrame:
+                     salt_range: int | None = None,
+                     include_sentinels: bool = False) -> DataFrame:
     """Flat TF rows -> per-(segment,field,term) 128-doc posting blocks with
     block-max metadata.  Pure Catalyst (whole-stage codegen), one shuffle.
 
@@ -298,7 +324,9 @@ def blocked_postings(tf: DataFrame, block_size: int = BLOCK_SIZE,
     buckets via the tiny per-term window."""
     from pyspark.sql import Window
 
-    flat = tf.filter(~F.col("field").startswith(DOC_SENTINEL_FIELD))
+    flat = tf if include_sentinels else tf.filter(
+        ~F.col("field").startswith(DOC_SENTINEL_FIELD)
+    )
     plist = F.sort_array(
         F.collect_list(F.struct("doc_id", "freq", "dlq", "norm_byte", "positions"))
     )
@@ -381,6 +409,9 @@ def blocked_postings(tf: DataFrame, block_size: int = BLOCK_SIZE,
         F.array_min(dlqs).alias("block_min_dlq"),
         F.element_at(doc_ids, 1).alias("block_first_doc"),
         F.element_at(doc_ids, -1).alias("block_last_doc"),
+        F.when(F.col("field").startswith(DOC_SENTINEL_FIELD), "doc")
+        .otherwise("post")
+        .alias("kind"),
     )
 
 
@@ -457,60 +488,80 @@ class IndexBuilder:
                 metrics["docs"] += committed[chunk]["n_docs"]
                 continue
             t0 = time.time()
+            stage_sec = {}
+
+            def _mark(name, _t=[t0]):
+                now = time.time()
+                stage_sec[name] = round(now - _t[0], 3)
+                _t[0] = now
+
             part = docs if num_chunks == 1 else docs.filter(
                 F.pmod(F.col("segment_id"), num_chunks) == chunk
             )
             part = part.persist()
+            part.count()
+            _mark("assign_persist")
+
+            # ONE tokenize pass, ONE shuffle, ONE partitioned write:
+            # sentinel (per-doc) rows ride the same shuffle and land in
+            # kind=doc subdirectories; term_dict and doc_stats are then
+            # derived from the written parquet (cheap re-reads) instead
+            # of caching the 10-100x larger flat TF frame.
             tf = tokenize_tf(
                 part, self.spec, self.analyzer, self.quantize_norms, self.index_positions
-            ).persist()
-
-            post = blocked_postings(tf, self.block_size, self.salt_range)
-            (post.sortWithinPartitions("field", "term", "segment_id", "block_id")
+            )
+            post = blocked_postings(
+                tf, self.block_size, self.salt_range, include_sentinels=True
+            )
+            (post.sortWithinPartitions("kind", "field", "term", "segment_id", "block_id")
                  .write.mode("overwrite")
+                 .partitionBy("kind")
                  .parquet(os.path.join(index_dir, "postings", f"chunk={chunk}")))
+            _mark("postings_write")
 
+            written = self.spark.read.parquet(
+                os.path.join(index_dir, "postings", f"chunk={chunk}")
+            )
             td = (
-                tf.filter(~F.col("field").startswith(DOC_SENTINEL_FIELD))
+                written.filter(F.col("kind") == "post")
                 .groupBy("segment_id", "field", "term")
                 .agg(
-                    F.count("*").alias("df"),
-                    F.sum("freq").alias("ttf"),
+                    F.max("df_seg").alias("df"),
+                    F.max("ttf_seg").alias("ttf"),
                     # singleton pulsing (postingsWriter.go:388-392): df==1
                     # terms carry their only doc inline in the dictionary
-                    F.when(F.count("*") == 1, F.min("doc_id")).alias("pulsed_doc"),
-                    F.when(F.count("*") == 1, F.min("freq")).alias("pulsed_freq"),
+                    F.when(F.max("df_seg") == 1, F.min(F.element_at("doc_ids", 1))).alias("pulsed_doc"),
+                    F.when(F.max("df_seg") == 1, F.min(F.element_at("freqs", 1))).alias("pulsed_freq"),
                 )
             )
             (td.sortWithinPartitions("field", "term")
                .write.mode("overwrite")
                .parquet(os.path.join(index_dir, "term_dict", f"chunk={chunk}")))
+            _mark("term_dict_write")
 
-            ds = (
-                tf.filter(F.col("field").startswith(DOC_SENTINEL_FIELD))
-                .select(
-                    "segment_id",
-                    "doc_id",
-                    F.expr(f"substring(field, {len(DOC_SENTINEL_FIELD) + 1})").alias("field"),
-                    F.col("freq").cast("int").alias("length"),
-                    "norm_byte",
-                    "dlq",
-                    F.col("term").alias("content_sha256"),
-                )
+            ds = written.filter(F.col("kind") == "doc").select(
+                "segment_id",
+                F.element_at("doc_ids", 1).alias("doc_id"),
+                F.expr(f"substring(field, {len(DOC_SENTINEL_FIELD) + 1})").alias("field"),
+                F.element_at("freqs", 1).cast("int").alias("length"),
+                F.element_at("norm_bytes", 1).alias("norm_byte"),
+                F.element_at("dlqs", 1).alias("dlq"),
+                F.col("term").alias("content_sha256"),
             )
             ds.write.mode("overwrite").parquet(os.path.join(index_dir, "doc_stats", f"chunk={chunk}"))
+            _mark("doc_stats_write")
 
             meta_cols = [c for c in self.spec.meta_cols if c in part.columns]
             sha_col = F.sha2(F.col(self.spec.text_fields[0].column), 256).alias("content_sha256")
             dm = part.select("segment_id", "doc_id", *meta_cols, sha_col)
             dm.write.mode("overwrite").parquet(os.path.join(index_dir, "doc_meta", f"chunk={chunk}"))
+            _mark("doc_meta_write")
 
             n_docs = part.count()
             seg_counts = {
                 int(r["segment_id"]): int(r["cnt"])
                 for r in part.groupBy("segment_id").agg(F.count("*").alias("cnt")).collect()
             }
-            tf.unpersist()
             part.unpersist()
             self._commit_chunk(
                 index_dir,
@@ -526,6 +577,7 @@ class IndexBuilder:
                     "num_segments": nseg,
                     "num_chunks": num_chunks,
                     "wall_sec": round(time.time() - t0, 3),
+                    "stage_sec": stage_sec,
                 },
             )
             metrics["chunks_built"] += 1
@@ -637,6 +689,8 @@ class MaterializedIndex:
         self.spark = spark
         self.index_dir = index_dir
         self.postings = spark.read.parquet(os.path.join(index_dir, "postings"))
+        if "kind" in self.postings.columns:
+            self.postings = self.postings.filter(F.col("kind") == "post").drop("kind")
         self.term_dict = spark.read.parquet(os.path.join(index_dir, "term_dict"))
         self.doc_stats = spark.read.parquet(os.path.join(index_dir, "doc_stats"))
         self.doc_meta = spark.read.parquet(os.path.join(index_dir, "doc_meta"))

@@ -75,6 +75,9 @@ def merge_segments(
     post = spark.read.parquet(os.path.join(index_dir, "postings")).filter(
         F.col("segment_id").isin(segment_ids)
     )
+    has_kind = "kind" in post.columns
+    if not has_kind:
+        post = post.withColumn("kind", F.lit("post"))
     # per-term running block offset: windows over BLOCK rows only
     w_seq = Window.partitionBy("field", "term").orderBy("segment_id", "block_id")
     w_seg = Window.partitionBy("field", "term", "segment_id").orderBy("block_id")
@@ -96,7 +99,7 @@ def merge_segments(
         .withColumn("ttf_seg", F.col("ttf_new"))
         .drop("new_block_id", "rn_seg", "df_new", "ttf_new")
     )
-    merged.write.mode("overwrite").parquet(
+    merged.write.mode("overwrite").partitionBy("kind").parquet(
         os.path.join(index_dir, "postings", f"chunk={out_chunk}")
     )
 
@@ -153,6 +156,8 @@ def verify_index(spark: SparkSession, index_dir: str, source_df: DataFrame | Non
     from .builder import dead_segments
 
     post = spark.read.parquet(os.path.join(index_dir, "postings"))
+    if "kind" in post.columns:
+        post = post.filter(F.col("kind") == "post")
     td = spark.read.parquet(os.path.join(index_dir, "term_dict"))
     ds = spark.read.parquet(os.path.join(index_dir, "doc_stats"))
     dm = spark.read.parquet(os.path.join(index_dir, "doc_meta"))

@@ -263,6 +263,87 @@ class Searcher:
             return spark.createDataFrame([], RESULT_SCHEMA)
         return f.select(F.col("doc_id").cast("long"), F.col("score").cast("double"))
 
+    def explain(self, query, doc_id: int) -> dict:
+        """Score decomposition for one doc (Q13, search.go:129-152 /
+        terms.go:149-179): a nested dict whose top 'value' equals the
+        doc's score_frame score exactly (same arithmetic)."""
+        q = query.rewrite() if hasattr(query, "rewrite") else query
+        stats = self._term_stats(q)
+        qn = self.sim.query_norm(self._sum_sq(q, stats))
+        return self._explain(q, doc_id, stats, qn)
+
+    def _explain(self, q, doc_id, stats, query_norm) -> dict:
+        if isinstance(q, TermQuery):
+            st = stats[(q.field, q.term)]
+            cs = self._collection_stats(q.field)
+            idf = self.sim.idf(st.df, cs["max_doc"])
+            avgdl = self.sim.avgdl(cs["sum_ttf"], cs["max_doc"])
+            rows = (
+                self.index.postings_for_terms(q.field, [q.term])
+                .filter(F.col("doc_id") == doc_id)
+                .collect()
+            )
+            if not rows:
+                return {"match": False, "value": 0.0,
+                        "description": f"no match on {q.field}:{q.term}"}
+            r = rows[0]
+            import numpy as np
+
+            kwargs = {"query_norm": query_norm} if self.sim.uses_coord else {}
+            value = float(
+                self.sim.score_np(
+                    np.array([float(r["freq"])]), np.array([r["dlq"]]),
+                    np.array([r["norm_byte"]]), idf, avgdl, q.boost, **kwargs,
+                )[0]
+            )
+            return {
+                "match": True,
+                "value": value,
+                "description": f"score({q.field}:{q.term}, doc={doc_id}), "
+                               f"product of idf/tfNorm/boost",
+                "details": {
+                    "freq": int(r["freq"]), "df": st.df, "idf": idf,
+                    "dl": float(r["dlq"]), "avgdl": avgdl,
+                    "norm_byte": int(r["norm_byte"]), "boost": q.boost,
+                    "query_norm": query_norm,
+                },
+            }
+        if isinstance(q, BooleanQuery):
+            scoring = [c for c in q.clauses if not c.is_prohibited]
+            prohibited = [c for c in q.clauses if c.is_prohibited]
+            children = [self._explain(c.query, doc_id, stats, query_norm) for c in scoring]
+            n_must = sum(1 for c in scoring if c.is_required)
+            must_ok = all(
+                ch["match"] for c, ch in zip(scoring, children) if c.is_required
+            ) and (not n_must or n_must == sum(
+                1 for c, ch in zip(scoring, children) if c.is_required and ch["match"]))
+            for c in prohibited:
+                if self._explain(c.query, doc_id, stats, query_norm)["match"]:
+                    return {"match": False, "value": 0.0,
+                            "description": "prohibited clause matched", "details": children}
+            coord = sum(1 for ch in children if ch["match"])
+            if coord == 0 or not must_ok:
+                return {"match": False, "value": 0.0,
+                        "description": "required clause missing" if not must_ok else "no clause matched",
+                        "details": children}
+            if q.minimum_should_match:
+                should_cnt = coord - sum(
+                    1 for c, ch in zip(scoring, children) if c.is_required and ch["match"])
+                if should_cnt < q.minimum_should_match:
+                    return {"match": False, "value": 0.0,
+                            "description": "below minimumShouldMatch", "details": children}
+            total = sum(ch["value"] for ch in children)
+            if self.sim.uses_coord and len(scoring) > 1:
+                total = total * coord / float(len(scoring))
+            return {
+                "match": True,
+                "value": total * q.boost,
+                "description": f"sum of {coord} clause scores"
+                               + (f" * coord({coord}/{len(scoring)})" if self.sim.uses_coord and len(scoring) > 1 else ""),
+                "details": children,
+            }
+        raise TypeError(type(q))
+
     def search(self, query, k: int = 10) -> DataFrame:
         """Top-k by (score desc, doc_id asc) — the TopScoreDocCollector
         tie-break (collect.go:282-303: equal score -> lower docID wins)."""

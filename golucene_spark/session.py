@@ -46,14 +46,54 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        # NOTE: this VM advertises 125GB but host-backs only ~14GB at full
+        # speed (beyond that, page supply collapses to ~100MB/s).  Keep the
+        # total footprint small: modest JVM heap + bounded worker pools.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "10g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.executorEnv.MALLOC_MMAP_THRESHOLD_", "2147483648")
         .config("spark.executorEnv.MALLOC_TRIM_THRESHOLD_", "2147483648")
+        # preloading daemon: workers fork AFTER numpy/pandas/pyarrow and
+        # the analyzer tables are imported -> shared pages, not 250MB of
+        # private RSS per worker (see golucene_spark/daemon.py)
+        .config("spark.python.daemon.module", "golucene_spark.daemon")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def warm_workers(spark: SparkSession, slots: int | None = None) -> float:
+    """Pre-warm python workers (imports + analyzer tables + allocator
+    pools + gc.freeze).  Forked pyspark workers pay a heavy, partly
+    serialized cold start on this VM (~2-20s each); a real cluster pays
+    it once per executor lifetime.  Run this once per session before
+    building/benchmarking; returns the warmup wall seconds."""
+    import time as _time
+
+    t0 = _time.time()
+    try:
+        cores = spark.sparkContext.defaultParallelism
+    except Exception:
+        cores = 8
+    n = slots or max(8, cores) * 3
+
+    def w(batches):
+        import gc
+
+        import pandas as _pd
+        import pyarrow as _pa
+
+        from golucene_spark.analysis import get_analyzer
+
+        get_analyzer("standard").analyze_batch(["warm up the pools " * 200] * 64)
+        gc.freeze()
+        for _ in batches:
+            pass
+        yield _pa.RecordBatch.from_pandas(_pd.DataFrame({"ok": [1]}))
+
+    spark.range(n).repartition(n).mapInArrow(w, "ok long").count()
+    return _time.time() - t0

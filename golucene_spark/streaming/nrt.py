@@ -1,0 +1,147 @@
+"""Near-real-time incremental indexing via Structured Streaming.
+
+The reference has no streaming; its "NRT" is reopen-after-flush caching
+(core/store/nrt.go:15-40): a reader opening the latest committed
+segment set sees newly flushed docs.  The Spark-native equivalent: a
+``readStream`` of new documents, each micro-batch flushed as a fresh
+segment chunk through the SAME build pipeline (tokenize -> blocked
+postings -> tables) and committed to the manifest; a MaterializedIndex
+reopened after any batch sees everything committed so far.  Exactly-once
+comes from foreachBatch epoch ids naming the chunk directories
+(idempotent overwrite per epoch).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..index.builder import (
+    CorpusSpec,
+    IndexBuilder,
+    blocked_postings,
+    tokenize_tf,
+)
+
+
+def incremental_index_batch(
+    batch_df: DataFrame,
+    epoch_id: int,
+    index_dir: str,
+    spec: CorpusSpec,
+    analyzer: str = "standard",
+    quantize_norms: bool = True,
+    segment_offset: int = 1_000_000,
+) -> dict | None:
+    """Flush one micro-batch as a new segment (chunk ``stream-<epoch>``).
+
+    Idempotent per epoch: re-delivery of the same epoch overwrites the
+    same chunk directory and manifest record.  docIDs come from the
+    stream's id column (spec.id_col required) so they are stable across
+    retries; the segment id is derived from the epoch.
+    """
+    if spec.id_col is None:
+        raise ValueError("incremental indexing requires a stable id column")
+    n = batch_df.count()
+    if n == 0:
+        return None
+    t0 = time.time()
+    seg_id = segment_offset + int(epoch_id)
+    docs = batch_df.withColumn("doc_id", F.col(spec.id_col).cast("long")).withColumn(
+        "segment_id", F.lit(seg_id).cast("int")
+    )
+    chunk = f"stream-{int(epoch_id)}"
+    tf = tokenize_tf(docs, spec, analyzer, quantize_norms)
+    spark = batch_df.sparkSession
+
+    # same single-pass layout as IndexBuilder: one partitioned write,
+    # term_dict/doc_stats derived from the written parquet
+    (blocked_postings(tf, include_sentinels=True)
+     .write.mode("overwrite").partitionBy("kind")
+     .parquet(os.path.join(index_dir, "postings", f"chunk={chunk}")))
+    written = spark.read.parquet(os.path.join(index_dir, "postings", f"chunk={chunk}"))
+    td = (
+        written.filter(F.col("kind") == "post")
+        .groupBy("segment_id", "field", "term")
+        .agg(
+            F.max("df_seg").alias("df"),
+            F.max("ttf_seg").alias("ttf"),
+            F.when(F.max("df_seg") == 1, F.min(F.element_at("doc_ids", 1))).alias("pulsed_doc"),
+            F.when(F.max("df_seg") == 1, F.min(F.element_at("freqs", 1))).alias("pulsed_freq"),
+        )
+    )
+    td.write.mode("overwrite").parquet(os.path.join(index_dir, "term_dict", f"chunk={chunk}"))
+    ds = written.filter(F.col("kind") == "doc").select(
+        "segment_id",
+        F.element_at("doc_ids", 1).alias("doc_id"),
+        F.expr("substring(field, 8)").alias("field"),
+        F.element_at("freqs", 1).cast("int").alias("length"),
+        F.element_at("norm_bytes", 1).alias("norm_byte"),
+        F.element_at("dlqs", 1).alias("dlq"),
+        F.col("term").alias("content_sha256"),
+    )
+    ds.write.mode("overwrite").parquet(os.path.join(index_dir, "doc_stats", f"chunk={chunk}"))
+    meta_cols = [c for c in spec.meta_cols if c in docs.columns]
+    docs.select(
+        "segment_id", "doc_id", *meta_cols,
+        F.sha2(F.col(spec.text_fields[0].column), 256).alias("content_sha256"),
+    ).write.mode("overwrite").parquet(os.path.join(index_dir, "doc_meta", f"chunk={chunk}"))
+
+    rec = {
+        "chunk": chunk,
+        "status": "committed",
+        "kind": "stream",
+        "epoch": int(epoch_id),
+        "segment_id": seg_id,
+        "n_docs": n,
+        "wall_sec": round(time.time() - t0, 3),
+    }
+    mdir = os.path.join(index_dir, "manifest")
+    os.makedirs(mdir, exist_ok=True)
+    tmp = os.path.join(mdir, f".{chunk}.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(rec, f)
+    os.replace(tmp, os.path.join(mdir, f"{chunk}.json"))
+
+    # refresh collection statistics (cheap: doc_stats + term_dict aggs)
+    ds_all = spark.read.parquet(os.path.join(index_dir, "doc_stats"))
+    td_all = spark.read.parquet(os.path.join(index_dir, "term_dict"))
+    fs = (
+        ds_all.groupBy("field")
+        .agg(F.count("*").alias("doc_count"), F.sum("length").alias("sum_ttf_exact"))
+        .join(
+            td_all.groupBy("field").agg(
+                F.sum("ttf").alias("sum_ttf"), F.sum("df").alias("sum_df")
+            ),
+            "field",
+            "left",
+        )
+        .withColumn("max_doc", F.lit(int(ds_all.select(F.countDistinct("doc_id")).collect()[0][0])).cast("long"))
+    )
+    fs.coalesce(1).write.mode("overwrite").parquet(os.path.join(index_dir, "field_stats"))
+    return rec
+
+
+def start_incremental_index(
+    stream_df: DataFrame,
+    index_dir: str,
+    spec: CorpusSpec,
+    analyzer: str = "standard",
+    checkpoint_dir: str | None = None,
+    trigger_seconds: int | None = None,
+):
+    """Attach the incremental indexer to a streaming DataFrame.
+
+    Returns the StreamingQuery; callers drive it with
+    ``processAllAvailable()`` (tests) or leave it running."""
+    writer = stream_df.writeStream.foreachBatch(
+        lambda bdf, eid: incremental_index_batch(bdf, eid, index_dir, spec, analyzer)
+    ).outputMode("append")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()

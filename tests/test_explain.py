@@ -1,0 +1,48 @@
+"""Explain (Q13): decomposition value equals the scored value — the
+core_test/search_test.go:36-76 assertion (Explain ~ Score) generalized."""
+
+import pytest
+
+from golucene_spark.index import CorpusSpec, FieldSpec, LogicalIndex
+from golucene_spark.search import Searcher, TermQuery, parse_query
+
+
+@pytest.fixture(scope="module")
+def ix(spark):
+    df = spark.createDataFrame(
+        [(0, "bar", "go"), (1, "bar bar baz", "py"), (2, "qux", "go")],
+        "doc_id long, content string, lang string",
+    )
+    spec = CorpusSpec(
+        text_fields=[FieldSpec("content", "content", True)],
+        keyword_fields=[FieldSpec("lang", "lang", False)],
+        key_cols=["doc_id"], id_col="doc_id", meta_cols=["lang"],
+    )
+    return LogicalIndex(df, spec).cache()
+
+
+@pytest.mark.parametrize("sim", ["bm25", "classic"])
+@pytest.mark.parametrize("qs", ["content:bar", "content:bar OR content:baz",
+                                "content:bar AND NOT content:baz",
+                                "lang:go AND content:bar"])
+def test_explain_matches_score(ix, sim, qs):
+    s = Searcher(ix, sim)
+    q = parse_query(qs)
+    scores = {r["doc_id"]: r["score"] for r in s.score_frame(q).collect()}
+    for doc in (0, 1, 2):
+        exp = s.explain(q, doc)
+        if doc in scores:
+            assert exp["match"], (qs, doc)
+            assert exp["value"] == pytest.approx(scores[doc], rel=1e-9), (qs, doc)
+        else:
+            assert not exp["match"]
+            assert exp["value"] == 0.0
+
+
+def test_explain_negative_boost(ix):
+    # the reference round-trip asserts Explain ~ Score with boost -42
+    s = Searcher(ix, "bm25")
+    q = TermQuery("content", "qux", boost=-42.0)
+    score = s.search(q, 1).collect()[0]["score"]
+    exp = s.explain(q, 2)
+    assert score < 0 and exp["value"] == pytest.approx(score, rel=1e-9)
