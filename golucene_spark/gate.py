@@ -516,8 +516,103 @@ ORDER BY id_a, id_b
 """
 
 
+def _index_pos(spark, sf_dir):
+    """Logical index with positions (for phrase queries), simple/unquantized."""
+    from .index import assign_doc_ids
+    from .index.builder import tokenize_tf
+
+    spec = CorpusSpec.documents()
+    ix = LogicalIndex(_docs(spark, sf_dir), spec, analyzer="simple", quantize_norms=False)
+    docs = assign_doc_ids(_docs(spark, sf_dir), spec, 1)
+    tf_all = tokenize_tf(docs, spec, "simple", False, index_positions=True)
+    ix._tf_all = tf_all
+    ix.tf = tf_all.filter(~F.col("field").startswith("__doc__"))
+    ix.doc_stats = tf_all.filter(F.col("field").startswith("__doc__")).select(
+        "segment_id", "doc_id",
+        F.expr("substring(field, 8)").alias("field"),
+        F.col("freq").cast("int").alias("length"),
+        "norm_byte", "dlq", F.col("term").alias("content_sha256"),
+    )
+    return ix
+
+
+PHRASE = ("data", "query")
+
+
+def q_phrase_bm25(spark, sf_dir):
+    from .search.phrase import phrase_search
+
+    s = Searcher(_index_pos(spark, sf_dir), "bm25")
+    frame = phrase_search(s, "text", list(PHRASE), 10)
+    return (
+        frame.withColumn("score_e6", F.round(F.col("score") * 1e6, 0).cast("long"))
+        .orderBy(F.desc("score_e6"), F.asc("doc_id"))
+        .select("doc_id", "score_e6")
+    )
+
+
+def q_wand_term_bm25(spark, sf_dir):
+    """Block-max WAND over a materialized index — must equal the same
+    DuckDB oracle as the exhaustive term query (pruning is exact)."""
+    import shutil
+
+    from .index import IndexBuilder, MaterializedIndex
+    from .search.wand import wand_topk
+
+    ixdir = "/root/repo/.data/gate_wand_ix"
+    shutil.rmtree(ixdir, ignore_errors=True)
+    IndexBuilder(
+        spark, CorpusSpec.documents(), analyzer="simple",
+        quantize_norms=False, num_segments=4,
+    ).build(_docs(spark, sf_dir), ixdir)
+    s = Searcher(MaterializedIndex(spark, ixdir), "bm25")
+    q = parse_query("text:data", default_field="text", analyzer="simple")
+    frame = wand_topk(s, q, 10)
+    return (
+        frame.withColumn("score_e6", F.round(F.col("score") * 1e6, 0).cast("long"))
+        .orderBy(F.desc("score_e6"), F.asc("doc_id"))
+        .select("doc_id", "score_e6")
+    )
+
+
+ORACLES["phrase_bm25"] = f"""{BASE_CTE},
+otok AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS term,
+         generate_subscripts(regexp_extract_all(lower(text), '{TOKEN_PATTERN}'), 1) AS ord
+  FROM documents
+),
+kpos AS (
+  SELECT doc_id, term, row_number() OVER (PARTITION BY doc_id ORDER BY ord) - 1 AS pos
+  FROM otok WHERE term NOT IN ({STOP_SQL})
+),
+pf AS (
+  SELECT a.doc_id, count(*)::BIGINT AS freq
+  FROM kpos a JOIN kpos b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  WHERE a.term = '{PHRASE[0]}' AND b.term = '{PHRASE[1]}'
+  GROUP BY a.doc_id
+),
+ts0 AS (SELECT count(*)::BIGINT AS df FROM tf WHERE term = '{PHRASE[0]}'),
+ts1 AS (SELECT count(*)::BIGINT AS df FROM tf WHERE term = '{PHRASE[1]}'),
+idfp AS (
+  SELECT ln(1 + (stats.n_docs - ts0.df + 0.5) / (ts0.df + 0.5))
+       + ln(1 + (stats.n_docs - ts1.df + 0.5) / (ts1.df + 0.5)) AS idf
+  FROM stats, ts0, ts1
+)
+SELECT pf.doc_id AS doc_id,
+  CAST(ROUND((idfp.idf * {K1 + 1.0}
+       * pf.freq / (pf.freq + {K1} * (1 - {B} + {B} * dl.dl / (stats.sum_dl / stats.n_docs)))) * 1000000.0, 0) AS BIGINT) AS score_e6
+FROM pf JOIN dl USING (doc_id), stats, idfp
+ORDER BY score_e6 DESC, doc_id ASC LIMIT 10
+"""
+
+ORACLES["wand_term_bm25"] = _bm25_term_sql("data")
+
+
 QUERIES = {
     "term_bm25_topk": q_term_bm25,
+    "phrase_bm25": q_phrase_bm25,
+    "wand_term_bm25": q_wand_term_bm25,
     "term_classic_topk": q_term_classic,
     "bool_or_bm25": q_bool_or_bm25,
     "bool_and_bm25": q_bool_and_bm25,

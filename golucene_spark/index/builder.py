@@ -109,7 +109,8 @@ class CorpusSpec:
         )
 
 
-def assign_doc_ids(df: DataFrame, spec: CorpusSpec, num_segments: int) -> DataFrame:
+def assign_doc_ids(df: DataFrame, spec: CorpusSpec, num_segments: int,
+                   counts_out: dict | None = None) -> DataFrame:
     """Stable global docIDs: segment = hash bucket of the key columns,
     docBase = cumulative segment sizes (compositeReader.go:126-161's
     per-leaf docBase), local id = row_number over the deterministic key
@@ -126,6 +127,8 @@ def assign_doc_ids(df: DataFrame, spec: CorpusSpec, num_segments: int) -> DataFr
         r["segment_id"]: r["cnt"]
         for r in with_seg.groupBy("segment_id").agg(F.count("*").alias("cnt")).collect()
     }
+    if counts_out is not None:
+        counts_out.update(counts)
     base, acc = {}, 0
     for sid in range(num_segments):
         base[sid] = acc
@@ -478,7 +481,8 @@ class IndexBuilder:
     ) -> dict:
         """Build (or resume) the index.  Returns build metrics."""
         nseg = self.num_segments or max(df.rdd.getNumPartitions(), 8)
-        docs = assign_doc_ids(df, self.spec, nseg)
+        seg_counts_all: dict = {}
+        docs = assign_doc_ids(df, self.spec, nseg, counts_out=seg_counts_all)
         committed = self._committed_chunks(index_dir) if resume else {}
         metrics = {"chunks_built": 0, "chunks_skipped": 0, "docs": 0, "segments": nseg}
 
@@ -557,11 +561,14 @@ class IndexBuilder:
             dm.write.mode("overwrite").parquet(os.path.join(index_dir, "doc_meta", f"chunk={chunk}"))
             _mark("doc_meta_write")
 
-            n_docs = part.count()
-            seg_counts = {
-                int(r["segment_id"]): int(r["cnt"])
-                for r in part.groupBy("segment_id").agg(F.count("*").alias("cnt")).collect()
-            }
+            if seg_counts_all and num_chunks == 1:
+                seg_counts = {int(k): int(v) for k, v in seg_counts_all.items()}
+            else:
+                seg_counts = {
+                    int(r["segment_id"]): int(r["cnt"])
+                    for r in part.groupBy("segment_id").agg(F.count("*").alias("cnt")).collect()
+                }
+            n_docs = sum(seg_counts.values())
             part.unpersist()
             self._commit_chunk(
                 index_dir,
@@ -630,10 +637,12 @@ class LogicalIndex:
             F.col("term").alias("content_sha256"),
         )
 
-    def postings_for_terms(self, field: str, terms: list[str]) -> DataFrame:
-        return self.tf.filter((F.col("field") == field) & F.col("term").isin(terms)).select(
-            "term", "doc_id", "freq", "dlq", "norm_byte"
-        )
+    def postings_for_terms(self, field: str, terms: list[str],
+                           with_positions: bool = False) -> DataFrame:
+        cols = ["term", "doc_id", "freq", "dlq", "norm_byte"]
+        if with_positions:
+            cols.append("positions")
+        return self.tf.filter((F.col("field") == field) & F.col("term").isin(terms)).select(*cols)
 
     def term_stats(self, field: str, terms: list[str]) -> DataFrame:
         return (
@@ -715,22 +724,28 @@ class MaterializedIndex:
         }
 
     def postings_for_terms(self, field: str, terms: list[str],
-                           min_score_ub=None, score_ub_fn=None) -> DataFrame:
-        """Exploded (term, doc_id, freq, dlq) for the given terms.
-        Optional block-max pruning: score_ub_fn(block_max_freq,
+                           min_score_ub=None, score_ub_fn=None,
+                           with_positions: bool = False) -> DataFrame:
+        """Exploded (term, doc_id, freq, dlq[, positions]) for the given
+        terms.  Optional block-max pruning: score_ub_fn(block_max_freq,
         block_min_dlq, term) -> Column upper bound; blocks below
         min_score_ub are skipped before decode (the WAND move)."""
         p = self.postings.filter((F.col("field") == field) & F.col("term").isin(terms))
         if min_score_ub is not None and score_ub_fn is not None:
             p = p.filter(score_ub_fn(F.col("block_max_freq"), F.col("block_min_dlq"), F.col("term")) >= min_score_ub)
-        z = F.arrays_zip("doc_ids", "freqs", "dlqs", "norm_bytes")
-        return p.select("term", F.explode(z).alias("e")).select(
+        zcols = ["doc_ids", "freqs", "dlqs", "norm_bytes"] + (
+            ["positions"] if with_positions else []
+        )
+        z = F.arrays_zip(*zcols)
+        out = p.select("term", F.explode(z).alias("e")).select(
             "term",
             F.col("e.doc_ids").alias("doc_id"),
             F.col("e.freqs").alias("freq"),
             F.col("e.dlqs").alias("dlq"),
             F.col("e.norm_bytes").alias("norm_byte"),
+            *( [F.col("e.positions").alias("positions")] if with_positions else [] ),
         )
+        return out
 
     def term_stats(self, field: str, terms: list[str]) -> DataFrame:
         return (
