@@ -609,10 +609,30 @@ ORDER BY score_e6 DESC, doc_id ASC LIMIT 10
 ORACLES["wand_term_bm25"] = _bm25_term_sql("data")
 
 
+def q_wildcard_bm25(spark, sf_dir):
+    """WildcardQuery (Q19): dictionary expansion -> scoring boolean."""
+    return _topk_e6(Searcher(_index(spark, sf_dir), "bm25"), "text:qu*")
+
+
+ORACLES["wildcard_bm25"] = f"""{BASE_CTE},
+cand AS (SELECT term, count(*)::BIGINT AS df FROM tf WHERE term LIKE 'qu%' GROUP BY term),
+contrib AS (
+  SELECT tf.doc_id,
+    ln(1 + (stats.n_docs - cand.df + 0.5) / (cand.df + 0.5)) * {K1 + 1.0}
+    * tf.freq / (tf.freq + {K1} * (1 - {B} + {B} * dl.dl / (stats.sum_dl / stats.n_docs))) AS s
+  FROM tf JOIN cand USING (term) JOIN dl USING (doc_id), stats
+),
+summed AS (SELECT doc_id, sum(s) AS score FROM contrib GROUP BY doc_id)
+SELECT doc_id, CAST(ROUND(score * 1000000.0, 0) AS BIGINT) AS score_e6
+FROM summed ORDER BY score_e6 DESC, doc_id ASC LIMIT 10
+"""
+
+
 QUERIES = {
     "term_bm25_topk": q_term_bm25,
     "phrase_bm25": q_phrase_bm25,
     "wand_term_bm25": q_wand_term_bm25,
+    "wildcard_bm25": q_wildcard_bm25,
     "term_classic_topk": q_term_classic,
     "bool_or_bm25": q_bool_or_bm25,
     "bool_and_bm25": q_bool_and_bm25,

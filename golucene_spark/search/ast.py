@@ -33,6 +33,19 @@ class TermQuery:
 
 
 @dataclass(frozen=True)
+class WildcardQuery:
+    """Deferred multi-term query: expanded against the index's term
+    dictionary at search time (search/multiterm.py)."""
+
+    field: str
+    pattern: str
+    boost: float = 1.0
+
+    def rewrite(self):
+        return self
+
+
+@dataclass(frozen=True)
 class MatchAllQuery:
     boost: float = 1.0
 

@@ -25,7 +25,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, functions as F, types as T
 
-from .ast import BooleanQuery, MatchAllQuery, Occur, TermQuery
+from .ast import BooleanQuery, MatchAllQuery, Occur, TermQuery, WildcardQuery
 from .similarity import get_similarity
 
 RESULT_SCHEMA = T.StructType(
@@ -142,7 +142,28 @@ class Searcher:
             return self._term_frame(q, stats, query_norm)
         if isinstance(q, BooleanQuery):
             return self._boolean_frame(q, stats, query_norm)
+        if isinstance(q, MatchAllQuery):
+            return self.index.doc_stats.select("doc_id").distinct().select(
+                "doc_id", F.lit(float(q.boost)).alias("score")
+            )
         raise TypeError(f"unsupported query {type(q)}")
+
+    def _resolve(self, q):
+        """Expand deferred multi-term nodes against the index (the
+        Query.Rewrite fixpoint of search.go:173-181 for wildcard)."""
+        if isinstance(q, WildcardQuery):
+            from .multiterm import expand_wildcard
+
+            return expand_wildcard(self.index, q.field, q.pattern, q.boost)
+        if isinstance(q, BooleanQuery):
+            return BooleanQuery(
+                tuple(
+                    type(c)(self._resolve(c.query), c.occur) for c in q.clauses
+                ),
+                q.minimum_should_match,
+                q.boost,
+            )
+        return q
 
     def _flat_terms_frame(self, clauses, stats, query_norm: float) -> DataFrame | None:
         """Fast path: N same-field TermQuery clauses -> ONE term-pruned
@@ -254,7 +275,8 @@ class Searcher:
     # -- entry points ------------------------------------------------------
     def score_frame(self, query) -> DataFrame:
         """Full (doc_id, score) frame for a query (no top-k)."""
-        q = query.rewrite()
+        q = self._resolve(query.rewrite())
+        q = q.rewrite() if hasattr(q, "rewrite") else q
         stats = self._term_stats(q)
         qn = self.sim.query_norm(self._sum_sq(q, stats))
         f = self._frame(q, stats, qn)
@@ -267,7 +289,8 @@ class Searcher:
         """Score decomposition for one doc (Q13, search.go:129-152 /
         terms.go:149-179): a nested dict whose top 'value' equals the
         doc's score_frame score exactly (same arithmetic)."""
-        q = query.rewrite() if hasattr(query, "rewrite") else query
+        q = self._resolve(query.rewrite() if hasattr(query, "rewrite") else query)
+        q = q.rewrite() if hasattr(q, "rewrite") else q
         stats = self._term_stats(q)
         qn = self.sim.query_norm(self._sum_sq(q, stats))
         return self._explain(q, doc_id, stats, qn)

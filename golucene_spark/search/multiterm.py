@@ -1,0 +1,59 @@
+"""Multi-term queries (Q19): wildcard/prefix/regexp expansion.
+
+The reference carries the automaton machinery (core/util/automaton/)
+but its live query paths never use it (queryParser.go:178-190 panics).
+Spark-native equivalent: seek the term dictionary with a regex/LIKE
+predicate (Parquet/Catalyst prune the sorted term column), expand to a
+SHOULD-of-TermQuery boolean — Lucene's SCORING_BOOLEAN_QUERY_REWRITE —
+guarded by the 1024-clause limit (booleanQuery.go:9).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from .ast import MAX_CLAUSE_COUNT, BooleanClause, BooleanQuery, Occur, TermQuery
+
+
+def wildcard_to_regex(pattern: str) -> str:
+    """Lucene wildcard syntax (* = any run, ? = one char) -> anchored regex."""
+    out = []
+    for ch in pattern:
+        if ch == "*":
+            out.append(".*")
+        elif ch == "?":
+            out.append(".")
+        else:
+            out.append(re.escape(ch))
+    return "^" + "".join(out) + "$"
+
+
+def matching_terms(index, field: str, regex: str, max_terms: int = MAX_CLAUSE_COUNT) -> list[str]:
+    if hasattr(index, "term_dict"):
+        src = index.term_dict.filter(F.col("field") == field).select("term").distinct()
+    else:
+        src = index.tf.filter(F.col("field") == field).select("term").distinct()
+    rows = src.filter(F.col("term").rlike(regex)).orderBy("term").limit(max_terms + 1).collect()
+    if len(rows) > max_terms:
+        raise ValueError(f"maxClauseCount is set to {max_terms}")
+    return [r["term"] for r in rows]
+
+
+def expand_wildcard(index, field: str, pattern: str, boost: float = 1.0,
+                    max_terms: int = MAX_CLAUSE_COUNT):
+    """WildcardQuery -> BooleanQuery(SHOULD of TermQuery) over matching
+    dictionary terms; empty boolean if nothing matches."""
+    terms = matching_terms(index, field, wildcard_to_regex(pattern), max_terms)
+    return BooleanQuery(
+        tuple(BooleanClause(TermQuery(field, t, boost), Occur.SHOULD) for t in terms)
+    ).rewrite()
+
+
+def expand_regexp(index, field: str, regex: str, boost: float = 1.0,
+                  max_terms: int = MAX_CLAUSE_COUNT):
+    terms = matching_terms(index, field, regex, max_terms)
+    return BooleanQuery(
+        tuple(BooleanClause(TermQuery(field, t, boost), Occur.SHOULD) for t in terms)
+    ).rewrite()

@@ -19,12 +19,14 @@ from __future__ import annotations
 import re
 
 from ..analysis import get_analyzer
-from .ast import BooleanClause, BooleanQuery, Occur, TermQuery
+from .ast import BooleanClause, BooleanQuery, Occur, TermQuery, WildcardQuery
 
 _TOKEN_RE = re.compile(r"\s*(AND|OR|NOT|\(|\)|[^\s()]+)")
 
 
 def _analyze_text(field: str, text: str, analyzer, tokenized_fields) -> object | None:
+    if "*" in text or "?" in text:
+        return WildcardQuery(field, text.lower())
     if field not in tokenized_fields:
         return TermQuery(field, text)
     terms, _, _ = analyzer.analyze_batch([text])

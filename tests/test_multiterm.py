@@ -1,0 +1,58 @@
+"""Wildcard/regexp expansion (Q19) + MatchAll."""
+
+import pytest
+
+from golucene_spark.index import CorpusSpec, FieldSpec, LogicalIndex
+from golucene_spark.search import Searcher, parse_query
+from golucene_spark.search.ast import MatchAllQuery
+from golucene_spark.search.multiterm import expand_wildcard, wildcard_to_regex
+
+
+@pytest.fixture(scope="module")
+def wix(spark):
+    rows = [
+        (0, "parse parser parsing tokenize"),
+        (1, "parse buffer"),
+        (2, "partition partial"),
+        (3, "unrelated words here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content string")
+    spec = CorpusSpec(
+        text_fields=[FieldSpec("content", "content", True)],
+        keyword_fields=[], key_cols=["doc_id"], id_col="doc_id", meta_cols=[],
+    )
+    return LogicalIndex(df, spec).cache()
+
+
+def test_wildcard_regex():
+    assert wildcard_to_regex("par*") == "^par.*$"
+    assert wildcard_to_regex("p?rse") == "^p.rse$"
+    assert wildcard_to_regex("a.b*") == "^a\\.b.*$"
+
+
+def test_wildcard_expansion_and_search(wix):
+    q = expand_wildcard(wix, "content", "pars*")
+    # pars* -> parse, parser, parsing
+    s = Searcher(wix, "bm25")
+    hits = {r["doc_id"] for r in s.search(q, 10).collect()}
+    assert hits == {0, 1}
+    # via the parser
+    hits2 = {r["doc_id"] for r in s.search(parse_query("content:par*"), 10).collect()}
+    assert hits2 == {0, 1, 2}
+    # sum-of-expanded-terms semantics: doc0 matches 3 expanded terms
+    scores = {r["doc_id"]: r["score"] for r in s.search(parse_query("content:pars*"), 10).collect()}
+    assert scores[0] > scores[1]
+
+
+def test_wildcard_no_match_and_single(wix):
+    s = Searcher(wix, "bm25")
+    assert s.search(parse_query("content:zzz*"), 10).count() == 0
+    one = s.search(parse_query("content:tokeniz?"), 10).collect()
+    assert [r["doc_id"] for r in one] == [0]
+
+
+def test_match_all(wix):
+    s = Searcher(wix, "bm25")
+    rows = s.score_frame(MatchAllQuery(boost=2.0)).collect()
+    assert sorted(r["doc_id"] for r in rows) == [0, 1, 2, 3]
+    assert all(r["score"] == 2.0 for r in rows)
