@@ -614,6 +614,79 @@ def q_wildcard_bm25(spark, sf_dir):
     return _topk_e6(Searcher(_index(spark, sf_dir), "bm25"), "text:qu*")
 
 
+def q_events_window(spark, sf_dir):
+    """Tumbling-window aggregation over the events stream table (the
+    batch shape of the Structured Streaming windowed agg)."""
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    w = F.window("ts", "15 minutes")
+    return (
+        ev.groupBy(w.alias("w"), "event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.sum("value") * 1e6, 0).cast("long").alias("sum_value_e6"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).cast("long").alias("win_start"),
+            "event_type",
+            "n",
+            "sum_value_e6",
+        )
+        .orderBy("win_start", "event_type")
+    )
+
+
+def q_events_sessionize(spark, sf_dir):
+    """Sessionization: 30-min-gap sessions per user via lag + cumsum."""
+    from pyspark.sql import Window as W
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    w = W.partitionBy("user_id").orderBy("ts")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    sess = (
+        ev.withColumn("new_sess", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+        .withColumn("sess_id", F.sum("new_sess").over(w.rowsBetween(W.unboundedPreceding, 0)))
+    )
+    return (
+        sess.groupBy("user_id", "sess_id")
+        .agg(F.count("*").cast("long").alias("n_events"))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_sessions"),
+            F.max("n_events").cast("long").alias("max_session_events"),
+            F.sum("n_events").cast("long").alias("total_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+ORACLES["events_windowed_agg"] = """
+SELECT (floor(epoch(ts))::BIGINT // 900) * 900 AS win_start, event_type,
+       count(*)::BIGINT AS n,
+       CAST(ROUND(sum(value) * 1000000.0, 0) AS BIGINT) AS sum_value_e6
+FROM events GROUP BY 1, 2 ORDER BY win_start, event_type
+"""
+
+ORACLES["events_sessionize"] = """
+WITH g AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+),
+s AS (
+  SELECT user_id,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+  FROM g
+),
+per AS (SELECT user_id, sess_id, count(*)::BIGINT AS n_events FROM s GROUP BY 1, 2)
+SELECT user_id, count(*)::BIGINT AS n_sessions,
+       max(n_events)::BIGINT AS max_session_events,
+       sum(n_events)::BIGINT AS total_events
+FROM per GROUP BY user_id ORDER BY user_id
+"""
+
 ORACLES["wildcard_bm25"] = f"""{BASE_CTE},
 cand AS (SELECT term, count(*)::BIGINT AS df FROM tf WHERE term LIKE 'qu%' GROUP BY term),
 contrib AS (
@@ -633,6 +706,8 @@ QUERIES = {
     "phrase_bm25": q_phrase_bm25,
     "wand_term_bm25": q_wand_term_bm25,
     "wildcard_bm25": q_wildcard_bm25,
+    "events_windowed_agg": q_events_window,
+    "events_sessionize": q_events_sessionize,
     "term_classic_topk": q_term_classic,
     "bool_or_bm25": q_bool_or_bm25,
     "bool_and_bm25": q_bool_and_bm25,

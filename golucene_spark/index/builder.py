@@ -109,12 +109,20 @@ class CorpusSpec:
         )
 
 
-def assign_doc_ids(df: DataFrame, spec: CorpusSpec, num_segments: int,
-                   counts_out: dict | None = None) -> DataFrame:
+SEGMENT_STRIDE = 1 << 40  # ~1.1e12 docs per segment, 2^23 segments in int64
+
+
+def assign_doc_ids(df: DataFrame, spec: CorpusSpec, num_segments: int) -> DataFrame:
     """Stable global docIDs: segment = hash bucket of the key columns,
-    docBase = cumulative segment sizes (compositeReader.go:126-161's
-    per-leaf docBase), local id = row_number over the deterministic key
-    sort.  Never monotonically_increasing_id (unstable across reruns)."""
+    doc_id = segment_id * SEGMENT_STRIDE + row_number over the
+    deterministic key sort within the segment.
+
+    Striding replaces the reference's dense cumulative docBase
+    (compositeReader.go:126-161): segments keep disjoint ORDERED id
+    ranges (so merge-by-concatenation still holds) without the global
+    count barrier a cumulative base needs — at 10^12-file scale a
+    pre-count pass over the input is a whole extra scan.  Never
+    monotonically_increasing_id (unstable across reruns)."""
     from pyspark.sql import Window
 
     if spec.id_col:
@@ -122,28 +130,15 @@ def assign_doc_ids(df: DataFrame, spec: CorpusSpec, num_segments: int,
             "segment_id", F.pmod(F.xxhash64(F.col(spec.id_col)), F.lit(num_segments)).cast("int")
         )
     seg = F.pmod(F.xxhash64(*[F.col(c) for c in spec.key_cols]), F.lit(num_segments)).cast("int")
-    with_seg = df.withColumn("segment_id", seg)
-    counts = {
-        r["segment_id"]: r["cnt"]
-        for r in with_seg.groupBy("segment_id").agg(F.count("*").alias("cnt")).collect()
-    }
-    if counts_out is not None:
-        counts_out.update(counts)
-    base, acc = {}, 0
-    for sid in range(num_segments):
-        base[sid] = acc
-        acc += counts.get(sid, 0)
-    spark = df.sparkSession
-    base_df = F.broadcast(
-        spark.createDataFrame(
-            [(int(s), int(b)) for s, b in base.items()], "segment_id int, doc_base long"
-        )
-    )
     w = Window.partitionBy("segment_id").orderBy(*spec.key_cols)
     return (
-        with_seg.join(base_df, "segment_id")
-        .withColumn("doc_id", F.col("doc_base") + F.row_number().over(w) - 1)
-        .drop("doc_base")
+        df.withColumn("segment_id", seg)
+        .withColumn(
+            "doc_id",
+            F.col("segment_id").cast("long") * SEGMENT_STRIDE
+            + F.row_number().over(w)
+            - 1,
+        )
     )
 
 
@@ -481,8 +476,7 @@ class IndexBuilder:
     ) -> dict:
         """Build (or resume) the index.  Returns build metrics."""
         nseg = self.num_segments or max(df.rdd.getNumPartitions(), 8)
-        seg_counts_all: dict = {}
-        docs = assign_doc_ids(df, self.spec, nseg, counts_out=seg_counts_all)
+        docs = assign_doc_ids(df, self.spec, nseg)
         committed = self._committed_chunks(index_dir) if resume else {}
         metrics = {"chunks_built": 0, "chunks_skipped": 0, "docs": 0, "segments": nseg}
 
@@ -502,8 +496,10 @@ class IndexBuilder:
             part = docs if num_chunks == 1 else docs.filter(
                 F.pmod(F.col("segment_id"), num_chunks) == chunk
             )
-            part = part.persist()
-            part.count()
+            # no persist: caching the full-content docs frame costs more
+            # (one serialized multi-GB cache write) than recomputing the
+            # assignment window in the two consumers, and caching the
+            # input is impossible at real scale anyway
             _mark("assign_persist")
 
             # ONE tokenize pass, ONE shuffle, ONE partitioned write:
@@ -561,15 +557,16 @@ class IndexBuilder:
             dm.write.mode("overwrite").parquet(os.path.join(index_dir, "doc_meta", f"chunk={chunk}"))
             _mark("doc_meta_write")
 
-            if seg_counts_all and num_chunks == 1:
-                seg_counts = {int(k): int(v) for k, v in seg_counts_all.items()}
-            else:
-                seg_counts = {
-                    int(r["segment_id"]): int(r["cnt"])
-                    for r in part.groupBy("segment_id").agg(F.count("*").alias("cnt")).collect()
-                }
+            # lineage metrics from the (small) derived doc_stats table
+            seg_counts = {
+                int(r["segment_id"]): int(r["cnt"])
+                for r in self.spark.read.parquet(
+                    os.path.join(index_dir, "doc_stats", f"chunk={chunk}")
+                ).groupBy("segment_id").agg(
+                    F.countDistinct("doc_id").alias("cnt")
+                ).collect()
+            }
             n_docs = sum(seg_counts.values())
-            part.unpersist()
             self._commit_chunk(
                 index_dir,
                 {
