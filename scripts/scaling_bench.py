@@ -77,7 +77,7 @@ def run_one(cores: int, rows: int) -> dict:
     # steady-state throughput: best of 2 (this sandbox's host memory is
     # noisy-neighbor dependent; cold-start and warmup reported separately)
     build_secs = []
-    for attempt in range(2):
+    for attempt in range(3):
         ixdir = str(ROOT / ".data" / f"scaling_index_{cores}")
         shutil.rmtree(ixdir, ignore_errors=True)
         t0 = time.time()
