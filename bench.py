@@ -21,7 +21,7 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
-from golucene_spark.session import get_spark
+from golucene_spark.session import get_spark, warm_workers
 from golucene_spark.index import CorpusSpec, IndexBuilder, MaterializedIndex
 from golucene_spark.search import Searcher, parse_query
 
@@ -61,6 +61,7 @@ def main():
     )
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     n_docs = docs.count()
+    warm_sec = warm_workers(spark)
 
     ixdir = os.path.join(str(Path(__file__).resolve().parent), ".data", "bench_index")
     shutil.rmtree(ixdir, ignore_errors=True)
@@ -105,6 +106,7 @@ def main():
         "index_docs_per_sec": round(n_docs / build_sec, 1),
         "query_p50_sec": round(statistics.median(lat_all), 4),
         "query_p99_sec": round(sorted(lat_all)[max(0, int(len(lat_all) * 0.99) - 1)], 4),
+        "warmup_sec": round(warm_sec, 1),
         "cpus": cpus,
     }
     print(json.dumps(out))
