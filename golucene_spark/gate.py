@@ -614,6 +614,32 @@ def q_wildcard_bm25(spark, sf_dir):
     return _topk_e6(Searcher(_index(spark, sf_dir), "bm25"), "text:qu*")
 
 
+def q_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (brute-force baseline of
+    the LSH-bucketed scale path)."""
+    from .text.ann import cosine_pairs
+
+    p = cosine_pairs(_emb(spark, sf_dir), threshold=0.4)
+    return (
+        p.withColumn("cos_e6", F.round(F.col("cosine") * 1e6, 0).cast("long"))
+        .select("id_a", "id_b", "cos_e6")
+        .orderBy("id_a", "id_b")
+    )
+
+
+ORACLES["embedding_near_dup"] = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_dot_product(a.v, b.v)
+         / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cosine
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, CAST(ROUND(cosine * 1000000.0, 0) AS BIGINT) AS cos_e6
+FROM p WHERE cosine >= 0.4 ORDER BY id_a, id_b
+"""
+
+
 def q_events_window(spark, sf_dir):
     """Tumbling-window aggregation over the events stream table (the
     batch shape of the Structured Streaming windowed agg)."""
@@ -707,6 +733,7 @@ QUERIES = {
     "wand_term_bm25": q_wand_term_bm25,
     "wildcard_bm25": q_wildcard_bm25,
     "events_windowed_agg": q_events_window,
+    "embedding_near_dup": q_embedding_near_dup,
     "events_sessionize": q_events_sessionize,
     "term_classic_topk": q_term_classic,
     "bool_or_bm25": q_bool_or_bm25,

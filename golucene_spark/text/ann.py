@@ -44,6 +44,27 @@ def cosine_topk(
     )
 
 
+def cosine_pairs(
+    emb: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All-pairs cosine >= threshold (embedding near-duplicate dedup).
+    Brute-force self-join baseline; at scale, pre-bucket with
+    add_lsh_bucket and join within buckets instead."""
+    d = emb.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v")
+    )
+    a = d.select(F.col("_id").alias("id_a"), F.col("_v").alias("va"))
+    b = d.select(F.col("_id").alias("id_b"), F.col("_v").alias("vb"))
+    j = a.join(b, F.col("id_a") < F.col("id_b"))
+    cos = _dot(F.col("va"), F.col("vb")) / (
+        F.sqrt(_dot(F.col("va"), F.col("va"))) * F.sqrt(_dot(F.col("vb"), F.col("vb")))
+    )
+    return j.select("id_a", "id_b", cos.alias("cosine")).filter(F.col("cosine") >= threshold)
+
+
 def hyperplanes(dim: int, n_bits: int = 16, seed: int = 42) -> np.ndarray:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((n_bits, dim))
