@@ -426,6 +426,16 @@ def q_minhash_lsh(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
+def q_near_dup_groups(spark, sf_dir):
+    """rows-only: MinHash pairs -> iterative connected components
+    (canonical-doc groups); iterative, not SQL-expressible."""
+    from .text import minhash_lsh_pairs
+    from .text.dedup import dedup_groups
+
+    pairs = minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.3).select("id_a", "id_b")
+    return dedup_groups(pairs).orderBy("doc_id")
+
+
 def q_simhash(spark, sf_dir):
     """rows-only: 64-bit SimHash signatures."""
     from .text import simhash64
@@ -753,6 +763,7 @@ QUERIES = {
     "doc_fingerprint": q_fingerprint,
     "ngram_jaccard_pairs": q_jaccard_pairs,
     "minhash_lsh_pairs": q_minhash_lsh,   # rows-only (no xxhash64 in DuckDB)
+    "near_dup_groups": q_near_dup_groups,  # rows-only (iterative CC)
     "simhash64": q_simhash,               # rows-only
     "ann_lsh_topk": q_ann_lsh,            # rows-only (approximate path)
 }

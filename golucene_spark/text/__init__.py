@@ -1,4 +1,4 @@
-from .dedup import exact_dups, minhash_signatures, minhash_lsh_pairs, simhash64, ngram_jaccard_pairs
+from .dedup import exact_dups, minhash_signatures, minhash_lsh_pairs, simhash64, ngram_jaccard_pairs, dedup_groups
 from .quality import token_quality, language_id, doc_fingerprint
 from .ann import cosine_topk, lsh_cosine_topk
 
@@ -8,6 +8,7 @@ __all__ = [
     "minhash_lsh_pairs",
     "simhash64",
     "ngram_jaccard_pairs",
+    "dedup_groups",
     "token_quality",
     "language_id",
     "doc_fingerprint",

@@ -161,6 +161,56 @@ def ngram_jaccard_pairs(
     )
 
 
+def dedup_groups(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Near-duplicate GROUPS from candidate pairs: connected components
+    via iterative min-label propagation (the canonical-doc selection
+    step after MinHash/SimHash pair generation).
+
+    Input: (id_a, id_b) pairs.  Output: (doc_id, group_id) where
+    group_id = min doc id of the component (the kept/canonical doc).
+    Converges in O(component diameter) joins; each iteration is one
+    shuffle — the standard large-scale CC formulation.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("group_id", F.col("doc_id"))
+        .persist()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("group_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
+            .select(
+                "doc_id",
+                F.least(F.col("group_id"), F.coalesce("nbr_min", "group_id")).alias("group_id"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.group_id") != F.col("o.group_id"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
 def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """64-bit SimHash over token frequencies (JVM-side bit algebra)."""
     tf = (

@@ -135,3 +135,25 @@ def test_lsh_cosine_recall_planted(spark):
               lsh_cosine_topk(bucketed, q.tolist(), 10, n_bits=16, max_hamming=3, exclude_id=0).collect()]
     assert set(exact) <= set(range(1, 21))  # sanity: exact top-10 is planted
     assert len(set(exact) & set(approx)) >= 8
+
+
+def test_dedup_groups_connected_components(spark):
+    from golucene_spark.text.dedup import dedup_groups
+
+    # chain 1-2-3, pair 10-11, chain 20-21-22-23 (long diameter)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+        "id_a long, id_b long",
+    )
+    got = {r["doc_id"]: r["group_id"] for r in dedup_groups(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20, 23: 20}
+
+
+def test_dedup_groups_from_minhash(spark, text_df):
+    from golucene_spark.text import minhash_lsh_pairs
+    from golucene_spark.text.dedup import dedup_groups
+
+    pairs = minhash_lsh_pairs(text_df, threshold=0.5).select("id_a", "id_b")
+    groups = {r["doc_id"]: r["group_id"] for r in dedup_groups(pairs).collect()}
+    # docs 0,1 exact dups; 2 near-dup of both -> one component rooted at 0
+    assert groups[0] == groups[1] == groups[2] == 0
