@@ -706,6 +706,12 @@ class MaterializedIndex:
             self.postings = alive(self.postings)
             self.term_dict = alive(self.term_dict)
             self.doc_stats = alive(self.doc_stats)
+        # W12 deletes: tombstoned docs filtered at read time (liveDocs);
+        # stats intentionally keep counting them until expunge (Lucene's
+        # numDocs vs maxDoc semantics)
+        from .deletes import tombstones as _tombstones
+
+        self._tombstones = _tombstones(spark, index_dir)
         self.quantized = True
         mdir = os.path.join(index_dir, "manifest")
         if os.path.isdir(mdir):
@@ -742,6 +748,8 @@ class MaterializedIndex:
             F.col("e.norm_bytes").alias("norm_byte"),
             *( [F.col("e.positions").alias("positions")] if with_positions else [] ),
         )
+        if self._tombstones is not None:
+            out = out.join(self._tombstones, "doc_id", "left_anti")
         return out
 
     def term_stats(self, field: str, terms: list[str]) -> DataFrame:
