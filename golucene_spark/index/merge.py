@@ -62,13 +62,21 @@ def merge_segments(
     segment_ids: list[int],
     new_segment_id: int | None = None,
     out_chunk: str | None = None,
+    expunge_deletes: bool = False,
 ) -> dict:
     """Merge the given segments into one new segment (written as a new
     chunk directory, source rows superseded logically via the manifest).
 
     Invariants asserted downstream by verify_index: per-(field,term)
     df/ttf of the merged segment equal the sums of the sources; doc ids
-    unchanged; block ordering by docBase preserved."""
+    unchanged; block ordering by docBase preserved.
+
+    ``expunge_deletes``: physically drop tombstoned docs (the liveDocs
+    application at merge, dwpt.go:313-321): posting blocks are exploded,
+    filtered, and re-blocked, and df/ttf recomputed — after which the
+    tombstones no longer apply to the merged segment."""
+    if expunge_deletes:
+        return _merge_expunge(spark, index_dir, segment_ids, new_segment_id, out_chunk)
     t0 = time.time()
     new_id = new_segment_id if new_segment_id is not None else min(segment_ids)
     out_chunk = out_chunk or f"merge-{new_id}-{len(segment_ids)}"
@@ -146,6 +154,100 @@ def merge_segments(
     with open(os.path.join(mdir, f"{out_chunk}.json"), "w") as f:
         json.dump(rec, f)
     return rec
+
+
+def _merge_expunge(spark, index_dir, segment_ids, new_segment_id, out_chunk) -> dict:
+    """Merge with physical delete application: explode -> anti-join the
+    tombstones -> re-block through blocked_postings (one shuffle)."""
+    from .builder import TF_SCHEMA, blocked_postings
+    from .deletes import tombstones
+
+    t0 = time.time()
+    new_id = new_segment_id if new_segment_id is not None else min(segment_ids)
+    out_chunk = out_chunk or f"expunge-{new_id}-{len(segment_ids)}"
+    post = spark.read.parquet(os.path.join(index_dir, "postings")).filter(
+        F.col("segment_id").isin(segment_ids)
+    )
+    zcols = ["doc_ids", "freqs", "dlqs", "norm_bytes"]
+    if "positions" in post.columns:
+        zcols.append("positions")
+    flat = post.select(
+        "field", "term", F.explode(F.arrays_zip(*zcols)).alias("e")
+    ).select(
+        F.lit(new_id).cast("int").alias("segment_id"),
+        F.col("e.doc_ids").alias("doc_id"),
+        "field",
+        "term",
+        F.col("e.freqs").alias("freq"),
+        (F.col("e.positions") if "positions" in zcols else F.lit(None).cast("binary")).alias("positions"),
+        F.col("e.dlqs").alias("dlq"),
+        F.col("e.norm_bytes").alias("norm_byte"),
+    )
+    tomb = tombstones(spark, index_dir)
+    if tomb is not None:
+        flat = flat.join(tomb, "doc_id", "left_anti")
+    merged = blocked_postings(flat, include_sentinels=True)
+    merged.write.mode("overwrite").partitionBy("kind").parquet(
+        os.path.join(index_dir, "postings", f"chunk={out_chunk}")
+    )
+    written = spark.read.parquet(os.path.join(index_dir, "postings", f"chunk={out_chunk}"))
+    td = (
+        written.filter(F.col("kind") == "post")
+        .groupBy("segment_id", "field", "term")
+        .agg(
+            F.max("df_seg").alias("df"),
+            F.max("ttf_seg").alias("ttf"),
+            F.when(F.max("df_seg") == 1, F.min(F.element_at("doc_ids", 1))).alias("pulsed_doc"),
+            F.when(F.max("df_seg") == 1, F.min(F.element_at("freqs", 1))).alias("pulsed_freq"),
+        )
+    )
+    td.write.mode("overwrite").parquet(os.path.join(index_dir, "term_dict", f"chunk={out_chunk}"))
+    ds = spark.read.parquet(os.path.join(index_dir, "doc_stats")).filter(
+        F.col("segment_id").isin(segment_ids)
+    ).withColumn("segment_id", F.lit(new_id).cast("int"))
+    if tomb is not None:
+        ds = ds.join(tomb, "doc_id", "left_anti")
+    ds.write.mode("overwrite").parquet(os.path.join(index_dir, "doc_stats", f"chunk={out_chunk}"))
+    rec = {
+        "chunk": out_chunk,
+        "status": "committed",
+        "kind": "merge",
+        "expunged_deletes": True,
+        "merged_from_segments": sorted(int(s) for s in segment_ids),
+        "new_segment_id": int(new_id),
+        "wall_sec": round(time.time() - t0, 3),
+    }
+    mdir = os.path.join(index_dir, "manifest")
+    os.makedirs(mdir, exist_ok=True)
+    with open(os.path.join(mdir, f"{out_chunk}.json"), "w") as f:
+        json.dump(rec, f)
+    refresh_field_stats(spark, index_dir)
+    return rec
+
+
+def refresh_field_stats(spark: SparkSession, index_dir: str) -> None:
+    """Recompute the collection-statistics table from the LIVE segment
+    set (post-merge/expunge)."""
+    from .builder import dead_segments
+
+    ds = spark.read.parquet(os.path.join(index_dir, "doc_stats"))
+    td = spark.read.parquet(os.path.join(index_dir, "term_dict"))
+    dead = dead_segments(index_dir)
+    if dead:
+        alive = lambda df: df.filter(~F.col("segment_id").isin([int(x) for x in dead]))
+        ds, td = alive(ds), alive(td)
+    max_doc = int(ds.select(F.countDistinct("doc_id")).collect()[0][0])
+    fs = (
+        ds.groupBy("field")
+        .agg(F.count("*").alias("doc_count"), F.sum("length").alias("sum_ttf_exact"))
+        .join(
+            td.groupBy("field").agg(F.sum("ttf").alias("sum_ttf"), F.sum("df").alias("sum_df")),
+            "field",
+            "left",
+        )
+        .withColumn("max_doc", F.lit(max_doc).cast("long"))
+    )
+    fs.coalesce(1).write.mode("overwrite").parquet(os.path.join(index_dir, "field_stats"))
 
 
 def verify_index(spark: SparkSession, index_dir: str, source_df: DataFrame | None = None,
