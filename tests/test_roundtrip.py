@@ -165,3 +165,34 @@ def test_rank_identity_vs_oracle(corpus_pair, qs, sim):
     assert [r["doc_id"] for r in got] == [d for d, _ in want], qs
     for r, (_, sc) in zip(got, want):
         assert r["score"] == pytest.approx(sc, rel=1e-9), qs
+
+
+def test_wide_or_64_terms_rank_identity(corpus_pair):
+    """F4 q11: 64-term OR (random mid-df terms, seed 42) — wide unions,
+    clause-limit headroom (booleanQuery.go:9 = 1024)."""
+    import random
+
+    from golucene_spark.corpus import VOCAB
+    from golucene_spark.analysis import ENGLISH_STOP_WORDS
+
+    ix, oracle = corpus_pair
+    rng = random.Random(42)
+    cands = [t.lower() for t in VOCAB if t.lower() not in ENGLISH_STOP_WORDS]
+    terms = rng.sample(cands, 64)
+    qs = " OR ".join(f"content:{t}" for t in terms)
+    q = parse_query(qs)
+    got = Searcher(ix, "bm25").search(q, 10).collect()
+    want = oracle.search(q, 10, similarity="bm25")
+    assert [r["doc_id"] for r in got] == [d for d, _ in want]
+    for r, (_, sc) in zip(got, want):
+        assert r["score"] == pytest.approx(sc, rel=1e-9)
+
+
+def test_clause_limit_enforced():
+    from golucene_spark.search import BooleanClause, BooleanQuery, Occur, TermQuery
+
+    with pytest.raises(ValueError, match="maxClauseCount"):
+        BooleanQuery(tuple(
+            BooleanClause(TermQuery("content", f"t{i}"), Occur.SHOULD)
+            for i in range(1025)
+        ))
