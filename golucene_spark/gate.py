@@ -624,6 +624,29 @@ def q_wildcard_bm25(spark, sf_dir):
     return _topk_e6(Searcher(_index(spark, sf_dir), "bm25"), "text:qu*")
 
 
+def q_events_cube(spark, sf_dir):
+    """CUBE aggregation (grouping-sets surface) over events."""
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return (
+        ev.withColumn("user_bucket", F.pmod(F.col("user_id"), F.lit(4)).cast("long"))
+        .cube("event_type", "user_bucket")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.sum("value") * 1e6, 0).cast("long").alias("sum_value_e6"),
+        )
+        .orderBy("event_type", "user_bucket")
+    )
+
+
+ORACLES["events_cube"] = """
+SELECT event_type, (user_id % 4)::BIGINT AS user_bucket,
+       count(*)::BIGINT AS n,
+       CAST(ROUND(sum(value) * 1000000.0, 0) AS BIGINT) AS sum_value_e6
+FROM events GROUP BY CUBE (event_type, (user_id % 4))
+ORDER BY event_type, user_bucket
+"""
+
+
 def q_embedding_near_dup(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs (brute-force baseline of
     the LSH-bucketed scale path)."""
@@ -744,6 +767,7 @@ QUERIES = {
     "wildcard_bm25": q_wildcard_bm25,
     "events_windowed_agg": q_events_window,
     "embedding_near_dup": q_embedding_near_dup,
+    "events_cube": q_events_cube,
     "events_sessionize": q_events_sessionize,
     "term_classic_topk": q_term_classic,
     "bool_or_bm25": q_bool_or_bm25,

@@ -70,11 +70,23 @@ def parse_query(
         elif t in ("(", ")"):
             pass  # flat queries only in v1 (reference live paths are flat)
         else:
+            boost = 1.0
+            if "^" in t:
+                t, _, b = t.rpartition("^")
+                try:
+                    boost = float(b)
+                except ValueError:
+                    t = t + "^" + b
+                    boost = 1.0
             if ":" in t:
                 fld, _, text = t.partition(":")
             else:
                 fld, text = default_field, t
             sub = _analyze_text(fld, text, analyzer, tokenized_fields)
+            if sub is not None and boost != 1.0:
+                from .ast import _boosted
+
+                sub = _boosted(sub, boost)
             if sub is not None:
                 occur = pending_occur
                 if occur is None:

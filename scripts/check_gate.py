@@ -24,6 +24,8 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 def norm(v):
     if isinstance(v, float):
         return round(v, 9)
+    if v is None:
+        return "\x00<NULL>"  # sortable sentinel (cube/rollup totals)
     return v
 
 
@@ -74,8 +76,9 @@ def main():
             # order-insensitive compare after aligning column order by name
             sidx = [scols.index(c) for c in sorted(scols)]
             oidx = [ocols.index(c) for c in sorted(ocols)]
-            sset = sorted(tuple(r[i] for i in sidx) for r in srows)
-            oset = sorted(tuple(r[i] for i in oidx) for r in orows)
+            key = lambda t: tuple(repr(x) for x in t)
+            sset = sorted((tuple(r[i] for i in sidx) for r in srows), key=key)
+            oset = sorted((tuple(r[i] for i in oidx) for r in orows), key=key)
             if sset != oset:
                 diffs = [(a, b) for a, b in zip(sset, oset) if a != b][:3]
                 print(f"FAIL {name}: value mismatch, first diffs {diffs}")

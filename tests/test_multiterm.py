@@ -56,3 +56,14 @@ def test_match_all(wix):
     rows = s.score_frame(MatchAllQuery(boost=2.0)).collect()
     assert sorted(r["doc_id"] for r in rows) == [0, 1, 2, 3]
     assert all(r["score"] == 2.0 for r in rows)
+
+
+def test_parser_boost_syntax(wix):
+    from golucene_spark.search.ast import TermQuery as TQ
+
+    q = parse_query("content:parse^2.5")
+    assert q == TQ("content", "parse", 2.5)
+    s = Searcher(wix, "bm25")
+    base = s.search(parse_query("content:parse"), 1).collect()[0]["score"]
+    boosted = s.search(parse_query("content:parse^2.5"), 1).collect()[0]["score"]
+    assert boosted == pytest.approx(2.5 * base, rel=1e-12)
