@@ -626,6 +626,7 @@ def q_wildcard_bm25(spark, sf_dir):
 
 def q_events_cube(spark, sf_dir):
     """CUBE aggregation (grouping-sets surface) over events."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     return (
         ev.withColumn("user_bucket", F.pmod(F.col("user_id"), F.lit(4)).cast("long"))
@@ -676,6 +677,7 @@ FROM p WHERE cosine >= 0.4 ORDER BY id_a, id_b
 def q_events_window(spark, sf_dir):
     """Tumbling-window aggregation over the events stream table (the
     batch shape of the Structured Streaming windowed agg)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")  # match DuckDB epoch()
     ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     w = F.window("ts", "15 minutes")
     return (
@@ -698,6 +700,7 @@ def q_events_sessionize(spark, sf_dir):
     """Sessionization: 30-min-gap sessions per user via lag + cumsum."""
     from pyspark.sql import Window as W
 
+    spark.conf.set("spark.sql.session.timeZone", "UTC")  # match DuckDB epoch()
     ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     w = W.partitionBy("user_id").orderBy("ts")
     gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
