@@ -432,6 +432,7 @@ class IndexBuilder:
         quantize_norms: bool = True,
         index_positions: bool = True,
         salt_range: int | None = None,
+        range_layout: bool = False,
     ):
         self.spark = spark
         self.spec = spec or CorpusSpec.source_code()
@@ -441,6 +442,12 @@ class IndexBuilder:
         self.quantize_norms = quantize_norms
         self.index_positions = index_positions
         self.salt_range = salt_range
+        # range_layout: add a repartitionByRange(term) before the postings
+        # write so parquet FILES cover disjoint term ranges -> file-level
+        # pruning on term lookups (the BlockTree .tip role at table level).
+        # Default off: costs a second shuffle; worth it for indexes served
+        # by many point queries.
+        self.range_layout = range_layout
 
     # -- manifest helpers (the segments_N generation protocol analogue) --
     @staticmethod
@@ -513,6 +520,8 @@ class IndexBuilder:
             post = blocked_postings(
                 tf, self.block_size, self.salt_range, include_sentinels=True
             )
+            if self.range_layout:
+                post = post.repartitionByRange("kind", "field", "term")
             (post.sortWithinPartitions("kind", "field", "term", "segment_id", "block_id")
                  .write.mode("overwrite")
                  .partitionBy("kind")

@@ -148,3 +148,20 @@ def test_select_merges_policy():
     merges2 = select_merges({0: 10, 1: 20, **{i: 6_000_000 for i in range(2, 15)}})
     for g in merges2:
         assert sum({0: 10, 1: 20, **{i: 6_000_000 for i in range(2, 15)}}[s] for s in g) <= 6_000_020
+
+
+def test_range_layout_equivalence(spark, corpus, tmp_path_factory):
+    """range_layout changes only the physical file layout, not results."""
+    from pyspark.sql import functions as F
+
+    d1 = str(tmp_path_factory.mktemp("ixr") / "plain")
+    d2 = str(tmp_path_factory.mktemp("ixr") / "ranged")
+    IndexBuilder(spark, CorpusSpec.source_code(), num_segments=4).build(corpus, d1)
+    IndexBuilder(spark, CorpusSpec.source_code(), num_segments=4, range_layout=True).build(corpus, d2)
+    s1 = Searcher(MaterializedIndex(spark, d1), "bm25")
+    s2 = Searcher(MaterializedIndex(spark, d2), "bm25")
+    q = parse_query("content:parse OR content:buffer")
+    r1 = [(r["doc_id"], round(r["score"], 10)) for r in s1.search(q, 10).collect()]
+    r2 = [(r["doc_id"], round(r["score"], 10)) for r in s2.search(q, 10).collect()]
+    assert r1 == r2
+    verify_index(spark, d2, source_df=corpus, text_col="content")
