@@ -330,7 +330,9 @@ def blocked_postings(tf: DataFrame, block_size: int = BLOCK_SIZE,
     )
     if salt_range:
         g0 = (
-            flat.withColumn("salt", (F.col("doc_id") / salt_range).cast("long"))
+            # integer division: float division loses precision past 2^53
+            # (doc_id = segment_id * 2^40 + row), misplacing boundary docs
+            flat.withColumn("salt", F.expr(f"doc_id div {int(salt_range)}"))
             .groupBy("segment_id", "field", "term", "salt")
             .agg(
                 plist.alias("plist"),
@@ -410,6 +412,29 @@ def blocked_postings(tf: DataFrame, block_size: int = BLOCK_SIZE,
         F.when(F.col("field").startswith(DOC_SENTINEL_FIELD), "doc")
         .otherwise("post")
         .alias("kind"),
+    )
+
+
+def _explode_doc_sentinels(written: DataFrame) -> DataFrame:
+    """kind=doc sentinel blocks -> one doc_stats row per doc.
+
+    Sentinel rows are keyed by term=sha256(text), so docs with IDENTICAL
+    text in a segment share one posting list; taking element_at(...,1)
+    would silently drop all but the first such doc (wrong maxDoc/avgdl
+    for every query).  Explode the zipped block arrays instead."""
+    return written.filter(F.col("kind") == "doc").select(
+        "segment_id",
+        F.expr(f"substring(field, {len(DOC_SENTINEL_FIELD) + 1})").alias("field"),
+        F.col("term").alias("content_sha256"),
+        F.explode(F.arrays_zip("doc_ids", "freqs", "norm_bytes", "dlqs")).alias("e"),
+    ).select(
+        "segment_id",
+        F.col("e.doc_ids").alias("doc_id"),
+        "field",
+        F.col("e.freqs").cast("int").alias("length"),
+        F.col("e.norm_bytes").alias("norm_byte"),
+        F.col("e.dlqs").alias("dlq"),
+        "content_sha256",
     )
 
 
@@ -548,15 +573,7 @@ class IndexBuilder:
                .parquet(os.path.join(index_dir, "term_dict", f"chunk={chunk}")))
             _mark("term_dict_write")
 
-            ds = written.filter(F.col("kind") == "doc").select(
-                "segment_id",
-                F.element_at("doc_ids", 1).alias("doc_id"),
-                F.expr(f"substring(field, {len(DOC_SENTINEL_FIELD) + 1})").alias("field"),
-                F.element_at("freqs", 1).cast("int").alias("length"),
-                F.element_at("norm_bytes", 1).alias("norm_byte"),
-                F.element_at("dlqs", 1).alias("dlq"),
-                F.col("term").alias("content_sha256"),
-            )
+            ds = _explode_doc_sentinels(written)
             ds.write.mode("overwrite").parquet(os.path.join(index_dir, "doc_stats", f"chunk={chunk}"))
             _mark("doc_stats_write")
 
@@ -721,15 +738,20 @@ class MaterializedIndex:
         from .deletes import tombstones as _tombstones
 
         self._tombstones = _tombstones(spark, index_dir)
+        # read quantize_norms from a record that actually carries it
+        # (merge/tombstone records don't; breaking on the first json in
+        # listdir order could misread an unquantized index as quantized)
         self.quantized = True
         mdir = os.path.join(index_dir, "manifest")
         if os.path.isdir(mdir):
             import json as _json
-            for fn in os.listdir(mdir):
+            for fn in sorted(os.listdir(mdir)):
                 if fn.endswith(".json"):
                     with open(os.path.join(mdir, fn)) as f:
-                        self.quantized = bool(_json.load(f).get("quantize_norms", True))
-                    break
+                        rec = _json.load(f)
+                    if "quantize_norms" in rec:
+                        self.quantized = bool(rec["quantize_norms"])
+                        break
         self._field_stats = {
             r["field"]: r.asDict()
             for r in spark.read.parquet(os.path.join(index_dir, "field_stats")).collect()

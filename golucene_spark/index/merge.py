@@ -56,6 +56,28 @@ def select_merges(segments: dict[int, int], max_merged_docs: int = 5_000_000) ->
     return merges
 
 
+def _allocate_segment_id(index_dir: str, segment_ids: list[int]) -> int:
+    """A segment id not used by ANY segment recorded in the manifest.
+
+    Defaulting to min(segment_ids) (or any merged-away id) is wrong:
+    dead_segments() discards new_segment_id from the dead set, so the
+    original chunk's rows for that id would stay visible alongside the
+    merged copies (duplicated postings, inflated df/ttf)."""
+    used = set(int(s) for s in segment_ids)
+    mdir = os.path.join(index_dir, "manifest")
+    if os.path.isdir(mdir):
+        for fn in os.listdir(mdir):
+            if fn.endswith(".json"):
+                with open(os.path.join(mdir, fn)) as f:
+                    rec = json.load(f)
+                used.update(int(s) for s in (rec.get("segments") or {}))
+                for k in ("segment_id", "new_segment_id", "num_segments"):
+                    if rec.get(k) is not None:
+                        used.add(int(rec[k]))
+                used.update(int(s) for s in rec.get("merged_from_segments", []))
+    return max(used) + 1
+
+
 def merge_segments(
     spark: SparkSession,
     index_dir: str,
@@ -78,7 +100,7 @@ def merge_segments(
     if expunge_deletes:
         return _merge_expunge(spark, index_dir, segment_ids, new_segment_id, out_chunk)
     t0 = time.time()
-    new_id = new_segment_id if new_segment_id is not None else min(segment_ids)
+    new_id = new_segment_id if new_segment_id is not None else _allocate_segment_id(index_dir, segment_ids)
     out_chunk = out_chunk or f"merge-{new_id}-{len(segment_ids)}"
     post = spark.read.parquet(os.path.join(index_dir, "postings")).filter(
         F.col("segment_id").isin(segment_ids)
@@ -163,7 +185,7 @@ def _merge_expunge(spark, index_dir, segment_ids, new_segment_id, out_chunk) -> 
     from .deletes import tombstones
 
     t0 = time.time()
-    new_id = new_segment_id if new_segment_id is not None else min(segment_ids)
+    new_id = new_segment_id if new_segment_id is not None else _allocate_segment_id(index_dir, segment_ids)
     out_chunk = out_chunk or f"expunge-{new_id}-{len(segment_ids)}"
     post = spark.read.parquet(os.path.join(index_dir, "postings")).filter(
         F.col("segment_id").isin(segment_ids)

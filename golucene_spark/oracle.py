@@ -97,7 +97,10 @@ class OracleIndex:
         if isinstance(q, TermQuery):
             df = len(self.postings.get((q.field, q.term), {}))
             return (self._idf(df, sim) * q.boost) ** 2
-        return sum(self._sum_sq(c.query, sim) for c in q.clauses if not c.is_prohibited)
+        # BooleanWeight: boost^2 * sum of children (booleanQuery.go:68-80)
+        return q.boost ** 2 * sum(
+            self._sum_sq(c.query, sim) for c in q.clauses if not c.is_prohibited
+        )
 
     def _frame(self, q, sim, query_norm) -> dict[int, float] | None:
         if isinstance(q, TermQuery):

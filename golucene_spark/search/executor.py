@@ -96,7 +96,9 @@ class Searcher:
             idf = self.sim.idf(st.df, cs["max_doc"])
             return self.sim.value_for_normalization(idf, q.boost)
         if isinstance(q, BooleanQuery):
-            return sum(
+            # BooleanWeight multiplies child sumOfSquaredWeights by
+            # boost^2 (booleanQuery.go:68-80)
+            return q.boost ** 2 * sum(
                 self._sum_sq(c.query, stats)
                 for c in q.clauses
                 if not c.is_prohibited

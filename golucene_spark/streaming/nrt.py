@@ -74,21 +74,43 @@ def incremental_index_batch(
         )
     )
     td.write.mode("overwrite").parquet(os.path.join(index_dir, "term_dict", f"chunk={chunk}"))
-    ds = written.filter(F.col("kind") == "doc").select(
-        "segment_id",
-        F.element_at("doc_ids", 1).alias("doc_id"),
-        F.expr("substring(field, 8)").alias("field"),
-        F.element_at("freqs", 1).cast("int").alias("length"),
-        F.element_at("norm_bytes", 1).alias("norm_byte"),
-        F.element_at("dlqs", 1).alias("dlq"),
-        F.col("term").alias("content_sha256"),
-    )
+    from ..index.builder import _explode_doc_sentinels
+
+    ds = _explode_doc_sentinels(written)
     ds.write.mode("overwrite").parquet(os.path.join(index_dir, "doc_stats", f"chunk={chunk}"))
     meta_cols = [c for c in spec.meta_cols if c in docs.columns]
     docs.select(
         "segment_id", "doc_id", *meta_cols,
         F.sha2(F.col(spec.text_fields[0].column), 256).alias("content_sha256"),
     ).write.mode("overwrite").parquet(os.path.join(index_dir, "doc_meta", f"chunk={chunk}"))
+
+    # this batch's per-field stat deltas — chunk-sized aggs, NOT a full
+    # doc_stats/term_dict scan per epoch (the manifest records carry the
+    # deltas; the global field_stats table is folded incrementally)
+    batch_fs: dict[str, dict] = {}
+    for r in ds.groupBy("field").agg(
+        F.count("*").alias("doc_count"), F.sum("length").alias("sum_ttf_exact")
+    ).collect():
+        batch_fs[r["field"]] = {
+            "doc_count": int(r["doc_count"]),
+            "sum_ttf_exact": int(r["sum_ttf_exact"] or 0),
+            "sum_ttf": 0,
+            "sum_df": 0,
+        }
+    for r in td.groupBy("field").agg(
+        F.sum("ttf").alias("sum_ttf"), F.sum("df").alias("sum_df")
+    ).collect():
+        if r["field"] in batch_fs:
+            batch_fs[r["field"]]["sum_ttf"] = int(r["sum_ttf"] or 0)
+            batch_fs[r["field"]]["sum_df"] = int(r["sum_df"] or 0)
+
+    mdir = os.path.join(index_dir, "manifest")
+    manifest_path = os.path.join(mdir, f"{chunk}.json")
+    # re-delivered epoch (exactly-once retry): the chunk data was
+    # idempotently overwritten above, but its delta may already be folded
+    # into field_stats — fall back to a full recompute in that rare case
+    retry = os.path.exists(manifest_path)
+    incremental = not retry and os.path.isdir(os.path.join(index_dir, "field_stats"))
 
     rec = {
         "chunk": chunk,
@@ -97,32 +119,54 @@ def incremental_index_batch(
         "epoch": int(epoch_id),
         "segment_id": seg_id,
         "n_docs": n,
+        "quantize_norms": quantize_norms,
+        "field_stats": batch_fs,
+        "stats_mode": "incremental" if incremental else "recompute",
         "wall_sec": round(time.time() - t0, 3),
     }
-    mdir = os.path.join(index_dir, "manifest")
     os.makedirs(mdir, exist_ok=True)
     tmp = os.path.join(mdir, f".{chunk}.json.tmp")
     with open(tmp, "w") as f:
         json.dump(rec, f)
-    os.replace(tmp, os.path.join(mdir, f"{chunk}.json"))
+    os.replace(tmp, manifest_path)
 
-    # refresh collection statistics (cheap: doc_stats + term_dict aggs)
-    ds_all = spark.read.parquet(os.path.join(index_dir, "doc_stats"))
-    td_all = spark.read.parquet(os.path.join(index_dir, "term_dict"))
-    fs = (
-        ds_all.groupBy("field")
-        .agg(F.count("*").alias("doc_count"), F.sum("length").alias("sum_ttf_exact"))
-        .join(
-            td_all.groupBy("field").agg(
-                F.sum("ttf").alias("sum_ttf"), F.sum("df").alias("sum_df")
-            ),
-            "field",
-            "left",
-        )
-        .withColumn("max_doc", F.lit(int(ds_all.select(F.countDistinct("doc_id")).collect()[0][0])).cast("long"))
-    )
-    fs.coalesce(1).write.mode("overwrite").parquet(os.path.join(index_dir, "field_stats"))
+    _refresh_field_stats(spark, index_dir, batch_fs, n, full=not incremental)
     return rec
+
+
+FS_SCHEMA = (
+    "field string, doc_count long, sum_ttf_exact long, "
+    "sum_ttf long, sum_df long, max_doc long"
+)
+
+
+def _refresh_field_stats(spark, index_dir, batch_fs: dict, n_new_docs: int,
+                         full: bool = False) -> None:
+    """Fold one batch's per-field deltas into the (tiny) field_stats
+    table.  ``full=True`` (epoch retry, or no prior table) recomputes
+    from doc_stats/term_dict instead — the only case that scans them."""
+    fs_path = os.path.join(index_dir, "field_stats")
+    if full or not os.path.isdir(fs_path):
+        from ..index.merge import refresh_field_stats
+
+        refresh_field_stats(spark, index_dir)
+        return
+    old = {r["field"]: r.asDict() for r in spark.read.parquet(fs_path).collect()}
+    max_doc = max((int(v["max_doc"]) for v in old.values()), default=0) + n_new_docs
+    fields = set(old) | set(batch_fs)
+    rows = []
+    for f in sorted(fields):
+        o = old.get(f, {})
+        d = batch_fs.get(f, {})
+        rows.append((
+            f,
+            int(o.get("doc_count") or 0) + int(d.get("doc_count") or 0),
+            int(o.get("sum_ttf_exact") or 0) + int(d.get("sum_ttf_exact") or 0),
+            int(o.get("sum_ttf") or 0) + int(d.get("sum_ttf") or 0),
+            int(o.get("sum_df") or 0) + int(d.get("sum_df") or 0),
+            max_doc,
+        ))
+    spark.createDataFrame(rows, FS_SCHEMA).coalesce(1).write.mode("overwrite").parquet(fs_path)
 
 
 def start_incremental_index(

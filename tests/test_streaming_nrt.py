@@ -59,3 +59,35 @@ def test_streaming_incremental_index(spark, tmp_path_factory):
     hit_ids = {r["doc_id"] for r in hits}
     assert hit_ids & set(range(60)) and hit_ids & set(range(60, 120))
     verify_index(spark, ixdir)
+
+    # incremental field_stats: batches after the first fold manifest
+    # deltas instead of re-scanning doc_stats/term_dict per epoch, and
+    # the folded table equals a full recompute
+    import json
+    import os
+
+    mdir = os.path.join(ixdir, "manifest")
+    recs = []
+    for fn in os.listdir(mdir):
+        if fn.endswith(".json"):
+            with open(os.path.join(mdir, fn)) as f:
+                recs.append(json.load(f))
+    stream_recs = sorted(
+        (r for r in recs if r.get("kind") == "stream"), key=lambda r: r["epoch"]
+    )
+    assert len(stream_recs) == 2
+    assert all("field_stats" in r for r in stream_recs)
+    assert stream_recs[1]["stats_mode"] == "incremental"
+
+    folded = {
+        r["field"]: (r["doc_count"], r["sum_ttf_exact"], r["sum_ttf"], r["sum_df"], r["max_doc"])
+        for r in spark.read.parquet(os.path.join(ixdir, "field_stats")).collect()
+    }
+    from golucene_spark.index.merge import refresh_field_stats
+
+    refresh_field_stats(spark, ixdir)
+    full = {
+        r["field"]: (r["doc_count"], r["sum_ttf_exact"], r["sum_ttf"], r["sum_df"], r["max_doc"])
+        for r in spark.read.parquet(os.path.join(ixdir, "field_stats")).collect()
+    }
+    assert folded == full
