@@ -1,4 +1,13 @@
-from .ast import TermQuery, BooleanQuery, BooleanClause, Occur, MatchAllQuery
+from .ast import (
+    TermQuery,
+    BooleanQuery,
+    BooleanClause,
+    Occur,
+    MatchAllQuery,
+    PhraseQuery,
+    FuzzyQuery,
+    WildcardQuery,
+)
 from .parser import parse_query
 from .similarity import BM25Similarity, ClassicSimilarity
 from .executor import Searcher
@@ -9,6 +18,9 @@ __all__ = [
     "BooleanClause",
     "Occur",
     "MatchAllQuery",
+    "PhraseQuery",
+    "FuzzyQuery",
+    "WildcardQuery",
     "parse_query",
     "BM25Similarity",
     "ClassicSimilarity",

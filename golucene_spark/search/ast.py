@@ -46,6 +46,41 @@ class WildcardQuery:
 
 
 @dataclass(frozen=True)
+class PhraseQuery:
+    """Exact-phrase query over indexed positions (Q18).  The reference
+    indexes positions (termsHashConsumerPerField.go:268-282) and its
+    parser grammar has the phrase production (queryParser.go:58) but
+    panics on it; we implement the Lucene semantics (scorer in
+    search/phrase.py)."""
+
+    field: str
+    terms: tuple  # tuple[str, ...]
+    boost: float = 1.0
+
+    def rewrite(self):
+        if len(self.terms) == 1:
+            return TermQuery(self.field, self.terms[0], self.boost)
+        return self
+
+
+@dataclass(frozen=True)
+class FuzzyQuery:
+    """Deferred multi-term query: expanded against the term dictionary
+    with a Levenshtein predicate (queryParser.go:178-190 panics in the
+    reference; automaton lib at core/util/automaton/ is unused)."""
+
+    field: str
+    term: str
+    max_edits: int = 2
+    boost: float = 1.0
+
+    def rewrite(self):
+        if self.max_edits <= 0:
+            return TermQuery(self.field, self.term, self.boost)
+        return self
+
+
+@dataclass(frozen=True)
 class MatchAllQuery:
     boost: float = 1.0
 
@@ -102,4 +137,10 @@ def _boosted(q, boost: float):
         return BooleanQuery(q.clauses, q.minimum_should_match, q.boost * boost)
     if isinstance(q, MatchAllQuery):
         return MatchAllQuery(q.boost * boost)
+    if isinstance(q, PhraseQuery):
+        return PhraseQuery(q.field, q.terms, q.boost * boost)
+    if isinstance(q, FuzzyQuery):
+        return FuzzyQuery(q.field, q.term, q.max_edits, q.boost * boost)
+    if isinstance(q, WildcardQuery):
+        return WildcardQuery(q.field, q.pattern, q.boost * boost)
     return q

@@ -25,7 +25,15 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, functions as F, types as T
 
-from .ast import BooleanQuery, MatchAllQuery, Occur, TermQuery, WildcardQuery
+from .ast import (
+    BooleanQuery,
+    FuzzyQuery,
+    MatchAllQuery,
+    Occur,
+    PhraseQuery,
+    TermQuery,
+    WildcardQuery,
+)
 from .similarity import get_similarity
 
 RESULT_SCHEMA = T.StructType(
@@ -39,6 +47,9 @@ RESULT_SCHEMA = T.StructType(
 def _collect_terms(q, out):
     if isinstance(q, TermQuery):
         out.add((q.field, q.term))
+    elif isinstance(q, PhraseQuery):
+        for t in q.terms:
+            out.add((q.field, t))
     elif isinstance(q, BooleanQuery):
         for c in q.clauses:
             _collect_terms(c.query, out)
@@ -95,6 +106,13 @@ class Searcher:
             cs = self._collection_stats(q.field)
             idf = self.sim.idf(st.df, cs["max_doc"])
             return self.sim.value_for_normalization(idf, q.boost)
+        if isinstance(q, PhraseQuery):
+            # PhraseWeight sums the terms' idfs (Similarity.idfExplain)
+            cs = self._collection_stats(q.field)
+            idf = sum(
+                self.sim.idf(stats[(q.field, t)].df, cs["max_doc"]) for t in q.terms
+            )
+            return self.sim.value_for_normalization(idf, q.boost)
         if isinstance(q, BooleanQuery):
             # BooleanWeight multiplies child sumOfSquaredWeights by
             # boost^2 (booleanQuery.go:68-80)
@@ -139,11 +157,33 @@ class Searcher:
         f = self._frame(q, stats, 1.0)
         return None if f is None else f.select("doc_id")
 
+    def _phrase_frame(self, q: PhraseQuery, stats, query_norm: float) -> DataFrame | None:
+        """Scored frame for an exact phrase: conjunction + vectorized
+        position intersection (search/phrase.py), scored with
+        freq=phraseFreq and idf = sum of the terms' idfs."""
+        from .phrase import phrase_freq_frame
+
+        if any(stats[(q.field, t)].df == 0 for t in q.terms):
+            return None
+        cs = self._collection_stats(q.field)
+        idf = sum(self.sim.idf(stats[(q.field, t)].df, cs["max_doc"]) for t in q.terms)
+        avgdl = self.sim.avgdl(cs["sum_ttf"], cs["max_doc"])
+        frame = phrase_freq_frame(self.index, q.field, list(q.terms))
+        norm_col = F.col("norm_byte") if getattr(self.index, "quantized", True) else None
+        kwargs = {"query_norm": query_norm} if self.sim.uses_coord else {}
+        score = self.sim.score_col(
+            F.col("freq").cast("double"), F.col("dlq"), norm_col,
+            idf, avgdl, q.boost, **kwargs,
+        )
+        return frame.select("doc_id", score.alias("score"))
+
     def _frame(self, q, stats, query_norm: float) -> DataFrame | None:
         if isinstance(q, TermQuery):
             return self._term_frame(q, stats, query_norm)
         if isinstance(q, BooleanQuery):
             return self._boolean_frame(q, stats, query_norm)
+        if isinstance(q, PhraseQuery):
+            return self._phrase_frame(q, stats, query_norm)
         if isinstance(q, MatchAllQuery):
             return self.index.doc_stats.select("doc_id").distinct().select(
                 "doc_id", F.lit(float(q.boost)).alias("score")
@@ -157,6 +197,10 @@ class Searcher:
             from .multiterm import expand_wildcard
 
             return expand_wildcard(self.index, q.field, q.pattern, q.boost)
+        if isinstance(q, FuzzyQuery):
+            from .multiterm import expand_fuzzy
+
+            return expand_fuzzy(self.index, q.field, q.term, q.max_edits, q.boost)
         if isinstance(q, BooleanQuery):
             return BooleanQuery(
                 tuple(

@@ -51,6 +51,41 @@ def expand_wildcard(index, field: str, pattern: str, boost: float = 1.0,
     ).rewrite()
 
 
+def expand_fuzzy(index, field: str, term: str, max_edits: int = 2,
+                 boost: float = 1.0, max_terms: int = MAX_CLAUSE_COUNT):
+    """FuzzyQuery -> BooleanQuery(SHOULD of TermQuery) over dictionary
+    terms within ``max_edits`` Levenshtein distance.
+
+    Candidate generation is JVM-side: a pushed-down length-window
+    prefilter (|len(t) - len(q)| <= e) then F.levenshtein — no automaton
+    port needed (the reference's automaton lib at core/util/automaton/
+    is never reached: queryParser.go:178-190 panics).  Each expanded
+    term is down-weighted by Lucene's FuzzyTermsEnum boost
+    (1 - distance / min(len(term), len(query)))."""
+    if hasattr(index, "term_dict"):
+        src = index.term_dict.filter(F.col("field") == field).select("term").distinct()
+    else:
+        src = index.tf.filter(F.col("field") == field).select("term").distinct()
+    n = len(term)
+    cand = (
+        src.filter(F.length("term").between(n - max_edits, n + max_edits))
+        .withColumn("dist", F.levenshtein(F.col("term"), F.lit(term)))
+        .filter(F.col("dist") <= max_edits)
+        .orderBy("term")
+        .limit(max_terms + 1)
+        .collect()
+    )
+    if len(cand) > max_terms:
+        raise ValueError(f"maxClauseCount is set to {max_terms}")
+    clauses = []
+    for r in cand:
+        t, d = r["term"], int(r["dist"])
+        tb = boost * (1.0 - d / min(len(t), n)) if d > 0 else boost
+        if tb > 0:
+            clauses.append(BooleanClause(TermQuery(field, t, tb), Occur.SHOULD))
+    return BooleanQuery(tuple(clauses)).rewrite()
+
+
 def expand_regexp(index, field: str, regex: str, boost: float = 1.0,
                   max_terms: int = MAX_CLAUSE_COUNT):
     terms = matching_terms(index, field, regex, max_terms)

@@ -1,17 +1,26 @@
-"""Minimal classic query parser (the live subset of
-queryparser/classic/queryParser.go:87-222 + queryBuilder.go:23-130).
+"""Classic query parser (queryparser/classic/queryParser.go:87-222 +
+queryBuilder.go:23-130), extended to the full grammar where the
+reference panics (phrase at queryParser.go:58, fuzzy at :178-190).
 
-Grammar (live reference paths only — phrase/wildcard/fuzzy/range panic
-in the reference and are out of scope):
+Grammar:
 
-    query   := clause (( 'AND' | 'OR' )? 'NOT'? clause)*
-    clause  := [field ':'] text
+    query   := (conj? mod? clause)*
+    clause  := [field ':'] ( '(' query ')' suffix*
+                           | '"' phrase '"' suffix*
+                           | text )
+    conj    := 'AND' | '&&' | 'OR' | '||'
+    mod     := 'NOT' | '!'
+    suffix  := '^' number            (boost on groups/phrases)
+    text    := term[~[edits]][^boost]   (fuzzy + boost inside the token)
 
 Semantics follow QueryParserBase with default operator OR
 (queryParserBase.go:62-101): bare terms become SHOULD clauses; a term
 after AND (and the term before it) is MUST; NOT x is MUST_NOT.  `text`
 is run through the same analyzer as the index; multi-token text expands
-to a SHOULD-of-TermQuery boolean (queryBuilder.go:23-130).
+to a SHOULD-of-TermQuery boolean (queryBuilder.go:23-130).  Quoted text
+becomes a PhraseQuery over the analyzed terms (slop is not supported —
+exact adjacency only).  `term~`/`term~1` becomes a FuzzyQuery
+(max_edits default 2, as Lucene).
 """
 
 from __future__ import annotations
@@ -19,24 +28,59 @@ from __future__ import annotations
 import re
 
 from ..analysis import get_analyzer
-from .ast import BooleanClause, BooleanQuery, Occur, TermQuery, WildcardQuery
+from .ast import (
+    BooleanClause,
+    BooleanQuery,
+    FuzzyQuery,
+    Occur,
+    PhraseQuery,
+    TermQuery,
+    WildcardQuery,
+    _boosted,
+)
 
-_TOKEN_RE = re.compile(r"\s*(AND|OR|NOT|\(|\)|[^\s()]+)")
+_TOKEN_RE = re.compile(r'\s*("(?:[^"\\]|\\.)*"|\(|\)|&&|\|\||!|[^\s()"]+)')
+
+
+def _analyze_terms(text: str, analyzer) -> list[str]:
+    terms, _, _ = analyzer.analyze_batch([text])
+    return terms.tolist()
 
 
 def _analyze_text(field: str, text: str, analyzer, tokenized_fields) -> object | None:
+    """One bare `text` token (possibly with trailing ~ / ^ operators)."""
+    boost = 1.0
+    if "^" in text:
+        head, _, b = text.rpartition("^")
+        try:
+            boost = float(b)
+            text = head
+        except ValueError:
+            pass
+    fuzzy_edits = None
+    m = re.fullmatch(r"(.+?)~(\d*)", text)
+    if m:
+        text = m.group(1)
+        fuzzy_edits = int(m.group(2)) if m.group(2) else 2
+    if fuzzy_edits is not None:
+        terms = _analyze_terms(text, analyzer) if field in tokenized_fields else [text]
+        if not terms:
+            return None
+        return FuzzyQuery(field, terms[0], min(fuzzy_edits, 2), boost)
     if "*" in text or "?" in text:
-        return WildcardQuery(field, text.lower())
+        return WildcardQuery(field, text.lower(), boost)
     if field not in tokenized_fields:
-        return TermQuery(field, text)
-    terms, _, _ = analyzer.analyze_batch([text])
-    terms = terms.tolist()
+        return _boosted(TermQuery(field, text), boost)
+    terms = _analyze_terms(text, analyzer)
     if not terms:
         return None
     if len(terms) == 1:
-        return TermQuery(field, terms[0])
-    return BooleanQuery(
-        tuple(BooleanClause(TermQuery(field, t), Occur.SHOULD) for t in terms)
+        return TermQuery(field, terms[0], boost)
+    return _boosted(
+        BooleanQuery(
+            tuple(BooleanClause(TermQuery(field, t), Occur.SHOULD) for t in terms)
+        ),
+        boost,
     )
 
 
@@ -50,50 +94,93 @@ def parse_query(
     if isinstance(analyzer, str):
         analyzer = get_analyzer(analyzer)
     toks = _TOKEN_RE.findall(q)
-    clauses: list[BooleanClause] = []
-    pending_occur: Occur | None = None
-    saw_and = False
-    i = 0
-    while i < len(toks):
-        t = toks[i]
-        if t == "AND":
-            saw_and = True
-            # retroactively promote previous clause to MUST (classic
-            # parser conj handling, queryParserBase.go:62-101)
-            if clauses and clauses[-1].occur is Occur.SHOULD:
-                clauses[-1] = BooleanClause(clauses[-1].query, Occur.MUST)
-            pending_occur = Occur.MUST
-        elif t == "OR":
-            pending_occur = Occur.SHOULD
-        elif t == "NOT":
-            pending_occur = Occur.MUST_NOT
-        elif t in ("(", ")"):
-            pass  # flat queries only in v1 (reference live paths are flat)
-        else:
-            boost = 1.0
-            if "^" in t:
-                t, _, b = t.rpartition("^")
-                try:
-                    boost = float(b)
-                except ValueError:
-                    t = t + "^" + b
-                    boost = 1.0
-            if ":" in t:
-                fld, _, text = t.partition(":")
-            else:
-                fld, text = default_field, t
-            sub = _analyze_text(fld, text, analyzer, tokenized_fields)
-            if sub is not None and boost != 1.0:
-                from .ast import _boosted
+    pos = [0]
 
-                sub = _boosted(sub, boost)
+    def peek():
+        return toks[pos[0]] if pos[0] < len(toks) else None
+
+    def advance():
+        t = toks[pos[0]]
+        pos[0] += 1
+        return t
+
+    def suffixes(sub):
+        """Consume ^boost tokens after a group/phrase."""
+        while True:
+            t = peek()
+            if t and t.startswith("^") and len(t) > 1:
+                try:
+                    b = float(t[1:])
+                except ValueError:
+                    break
+                advance()
+                sub = _boosted(sub, b)
+            elif t and re.fullmatch(r"~\d*", t):
+                raise ValueError("phrase slop (~N) is not supported: exact adjacency only")
+            else:
+                break
+        return sub
+
+    def parse_phrase(tok: str, field: str):
+        text = tok[1:-1].replace('\\"', '"').replace("\\\\", "\\")
+        if field in tokenized_fields:
+            terms = _analyze_terms(text, analyzer)
+        else:
+            terms = [text] if text else []
+        if not terms:
+            return None
+        return PhraseQuery(field, tuple(terms))
+
+    def parse_atom(t: str, field_ctx: str | None):
+        field = field_ctx or default_field
+        if t == "(":
+            sub = BooleanQuery(tuple(parse_clauses(field_ctx)))
+            if peek() == ")":
+                advance()
+            return suffixes(sub)
+        if t.startswith('"') and t.endswith('"') and len(t) >= 2:
+            return suffixes(parse_phrase(t, field))
+        if t.endswith(":") and len(t) > 1:
+            nxt = peek()
+            if nxt == "(" or (nxt or "").startswith('"'):
+                return parse_atom(advance(), t[:-1])
+            return None  # dangling "field:" with no value
+        if ":" in t:
+            fld, _, text = t.partition(":")
+            return _analyze_text(fld, text, analyzer, tokenized_fields)
+        return _analyze_text(field, t, analyzer, tokenized_fields)
+
+    def parse_clauses(field_ctx: str | None) -> list[BooleanClause]:
+        clauses: list[BooleanClause] = []
+        pending: Occur | None = None
+        while True:
+            t = peek()
+            if t is None or t == ")":
+                break
+            advance()
+            if t in ("AND", "&&"):
+                # retroactively promote previous clause to MUST (classic
+                # parser conj handling, queryParserBase.go:62-101)
+                if clauses and clauses[-1].occur is Occur.SHOULD:
+                    clauses[-1] = BooleanClause(clauses[-1].query, Occur.MUST)
+                pending = Occur.MUST
+                continue
+            if t in ("OR", "||"):
+                pending = Occur.SHOULD
+                continue
+            if t in ("NOT", "!"):
+                pending = Occur.MUST_NOT
+                continue
+            sub = parse_atom(t, field_ctx)
             if sub is not None:
-                occur = pending_occur
+                occur = pending
                 if occur is None:
                     occur = Occur.MUST if default_operator == "AND" else Occur.SHOULD
                 clauses.append(BooleanClause(sub, occur))
-            pending_occur = None
-        i += 1
+            pending = None
+        return clauses
+
+    clauses = parse_clauses(None)
     if not clauses:
         return BooleanQuery(())
     return BooleanQuery(tuple(clauses)).rewrite()

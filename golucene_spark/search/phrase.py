@@ -8,9 +8,11 @@ similarity with freq=phraseFreq and idf = sum of the terms' idfs
 (Lucene's PhraseWeight sums idfs via Similarity.idfExplain(terms)).
 
 Execution shape: conjunction (inner joins on doc_id — only docs
-containing ALL terms survive) -> one vectorized pandas stage decoding
-the packed position blobs and intersecting offset-shifted position
-sets per doc.
+containing ALL terms survive) -> one vectorized pandas stage that
+intersects offset-shifted position sets for the WHOLE Arrow batch at
+once: per-doc position arrays are flattened into a single int64 array
+keyed by (row_index << 32) + (position - term_offset), so one
+np.intersect1d per query term replaces any per-doc Python loop.
 """
 
 from __future__ import annotations
@@ -20,13 +22,23 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F, types as T
 
-from .ast import TermQuery
+from .ast import PhraseQuery
 
 
-def _decode(buf) -> np.ndarray:
-    if buf is None:
-        return np.array([], dtype=np.int32)
-    return np.frombuffer(bytes(buf), dtype="<i4")
+def _flat_positions(col, term_offset: int, n_rows: int):
+    """Column of packed little-endian int32 position blobs -> sorted
+    int64 keys (row << 32) + (pos - term_offset), invalid (negative)
+    shifts dropped.  One frombuffer over the concatenated blobs — no
+    per-position Python work."""
+    bufs = [bytes(b) if b is not None else b"" for b in col]
+    lens = np.fromiter((len(b) >> 2 for b in bufs), dtype=np.int64, count=n_rows)
+    flat = np.frombuffer(b"".join(bufs), dtype="<i4").astype(np.int64)
+    rows = np.repeat(np.arange(n_rows, dtype=np.int64), lens)
+    adj = flat - term_offset
+    if term_offset:
+        valid = adj >= 0
+        rows, adj = rows[valid], adj[valid]
+    return (rows << 32) + adj
 
 
 def phrase_freq_frame(index, field: str, terms: list[str]) -> DataFrame:
@@ -52,17 +64,18 @@ def phrase_freq_frame(index, field: str, terms: list[str]) -> DataFrame:
 
     def compute(batches):
         for pdf in batches:
-            if len(pdf) == 0:
+            m = len(pdf)
+            if m == 0:
                 continue
-            freqs = np.zeros(len(pdf), dtype=np.int32)
-            for r in range(len(pdf)):
-                match = _decode(pdf["pos0"].iat[r])
-                for i in range(1, n):
-                    nxt = _decode(pdf[f"pos{i}"].iat[r]) - i
-                    match = np.intersect1d(match, nxt, assume_unique=True)
-                    if match.size == 0:
-                        break
-                freqs[r] = match.size
+            match = _flat_positions(pdf["pos0"], 0, m)
+            for i in range(1, n):
+                if match.size == 0:
+                    break
+                nxt = _flat_positions(pdf[f"pos{i}"], i, m)
+                match = np.intersect1d(match, nxt, assume_unique=True)
+            freqs = np.bincount(
+                (match >> 32).astype(np.int64), minlength=m
+            ).astype(np.int32) if match.size else np.zeros(m, dtype=np.int32)
             out = pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -77,42 +90,12 @@ def phrase_freq_frame(index, field: str, terms: list[str]) -> DataFrame:
 
 
 def phrase_search(searcher, field: str, terms: list[str], k: int = 10) -> DataFrame:
-    """Top-k BM25/classic scoring of an exact phrase."""
+    """Top-k BM25/classic scoring of an exact phrase (the PhraseQuery
+    path through the Searcher — same stats/weights machinery as every
+    other query)."""
     from .executor import RESULT_SCHEMA
 
     terms = list(terms)
     if not terms:
         return searcher.index.spark.createDataFrame([], RESULT_SCHEMA)
-    if len(terms) == 1:
-        return searcher.search(TermQuery(field, terms[0]), k)
-    stats = searcher._term_stats(
-        # reuse the stats path via a throwaway boolean of the terms
-        _terms_query(field, terms)
-    )
-    if any(stats[(field, t)].df == 0 for t in terms):
-        return searcher.index.spark.createDataFrame([], RESULT_SCHEMA)
-    cs = searcher._collection_stats(field)
-    idf = sum(searcher.sim.idf(stats[(field, t)].df, cs["max_doc"]) for t in terms)
-    avgdl = searcher.sim.avgdl(cs["sum_ttf"], cs["max_doc"])
-    frame = phrase_freq_frame(searcher.index, field, terms)
-    norm_col = F.col("norm_byte") if getattr(searcher.index, "quantized", True) else None
-    kwargs = {}
-    if searcher.sim.uses_coord:
-        qn = searcher.sim.query_norm(searcher.sim.value_for_normalization(idf, 1.0))
-        kwargs["query_norm"] = qn
-    score = searcher.sim.score_col(
-        F.col("freq").cast("double"), F.col("dlq"), norm_col, idf, avgdl, 1.0, **kwargs
-    )
-    return (
-        frame.select("doc_id", score.alias("score"))
-        .orderBy(F.desc("score"), F.asc("doc_id"))
-        .limit(k)
-    )
-
-
-def _terms_query(field, terms):
-    from .ast import BooleanClause, BooleanQuery, Occur
-
-    return BooleanQuery(
-        tuple(BooleanClause(TermQuery(field, t), Occur.MUST) for t in terms)
-    )
+    return searcher.search(PhraseQuery(field, tuple(terms)), k)

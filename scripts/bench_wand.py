@@ -1,0 +1,128 @@
+"""Block-max WAND vs exhaustive: wall time AND decode work at 500k docs.
+
+Writes BENCH/wand.json.  Two corpora:
+- skewed: per-block freq decay (first 5k docs carry freq=40 of the hot
+  term, the rest freq=1) — the regime block-max pruning exists for.
+- zipf: the uniform synthetic source-code corpus, where every 128-doc
+  block has near-identical (max_freq, min_dlq) metadata, so the upper
+  bounds cannot separate blocks and pruning degenerates (reported
+  honestly).
+
+Run: python3 scripts/bench_wand.py [n_docs]
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+import pandas as pd
+
+from golucene_spark.session import get_spark, warm_workers
+from golucene_spark.corpus import make_corpus
+from golucene_spark.index import CorpusSpec, FieldSpec, IndexBuilder, MaterializedIndex
+from golucene_spark.search import Searcher, parse_query
+from golucene_spark.search.wand import wand_topk
+
+N = int(sys.argv[1]) if len(sys.argv) > 1 else 500_000
+DATA = Path(__file__).resolve().parent.parent / ".data"
+
+
+def skewed_corpus(n: int) -> pd.DataFrame:
+    rng = np.random.default_rng(42)
+    hot_n = 5_000
+    pads = np.array([f"pad{j}" for j in range(200)], dtype=object)
+    rows = []
+    fill = " ".join(pads[rng.integers(0, 200, size=60)].tolist())
+    hot_text = "hot " * 40 + fill
+    for i in range(n):
+        if i < hot_n:
+            rows.append((i, hot_text))
+        else:
+            rows.append((i, "hot " + fill))
+    return pd.DataFrame(rows, columns=["doc_id", "content"])
+
+
+def run_pair(s: Searcher, qs: str, k: int = 10) -> dict:
+    q = parse_query(qs)
+    best_ex, best_wd = 1e9, 1e9
+    stats = {}
+    for _ in range(3):
+        t0 = time.time()
+        ex = s.search(q, k).collect()
+        best_ex = min(best_ex, time.time() - t0)
+        t0 = time.time()
+        st = {}
+        wd = wand_topk(s, q, k, stats_out=st).collect()
+        best_wd = min(best_wd, time.time() - t0)
+        stats = st
+    assert [(r["doc_id"], round(r["score"], 9)) for r in ex] == [
+        (r["doc_id"], round(r["score"], 9)) for r in wd
+    ], f"wand != exhaustive for {qs}"
+    decoded = stats.get("blocks_decoded_seed", 0) + stats.get("blocks_decoded_rescore", 0)
+    return {
+        "exhaustive_sec": round(best_ex, 3),
+        "wand_sec": round(best_wd, 3),
+        "blocks_total": stats.get("blocks_total"),
+        "blocks_decoded_wand": decoded,
+        "decode_reduction": round(1 - decoded / stats["blocks_total"], 3)
+        if stats.get("blocks_total")
+        else None,
+    }
+
+
+def main():
+    spark = get_spark(app_name="wand-bench",
+                      extra_conf={"spark.ui.showConsoleProgress": "false"})
+    warm_workers(spark)
+    out: dict = {"n_docs": N}
+
+    # --- skewed corpus -------------------------------------------------
+    ixdir = str(DATA / "wand_bench_skew")
+    shutil.rmtree(ixdir, ignore_errors=True)
+    spec = CorpusSpec(
+        text_fields=[FieldSpec("content", "content", True)],
+        keyword_fields=[], key_cols=["doc_id"], id_col="doc_id", meta_cols=[],
+    )
+    df = spark.createDataFrame(skewed_corpus(N)).repartition(32)
+    t0 = time.time()
+    IndexBuilder(spark, spec, num_segments=8).build(df, ixdir)
+    out["skew_build_sec"] = round(time.time() - t0, 1)
+    ix = MaterializedIndex(spark, ixdir)
+    ix.postings = ix.postings.cache(); ix.postings.count()
+    s = Searcher(ix, "bm25")
+    out["skew_hot"] = run_pair(s, "content:hot")
+
+    # --- zipf corpus ----------------------------------------------------
+    ixdir2 = str(DATA / "wand_bench_zipf")
+    shutil.rmtree(ixdir2, ignore_errors=True)
+    df2 = spark.createDataFrame(make_corpus(N)).repartition(32)
+    t0 = time.time()
+    IndexBuilder(spark, CorpusSpec.source_code(), num_segments=8).build(df2, ixdir2)
+    out["zipf_build_sec"] = round(time.time() - t0, 1)
+    ix2 = MaterializedIndex(spark, ixdir2)
+    ix2.postings = ix2.postings.cache(); ix2.postings.count()
+    s2 = Searcher(ix2, "bm25")
+    out["zipf_hot"] = run_pair(s2, "content:return")
+    out["zipf_or3"] = run_pair(s2, "content:return OR content:func OR content:import")
+    out["note"] = (
+        "wand_topk rescores candidates from only the blocks whose doc "
+        "range can contain them (bucket join on doc_id div 128); "
+        "blocks_decoded_wand = seed + rescore decode work vs an "
+        "exhaustive scan's blocks_total. Pruning depends on block-metadata "
+        "variance: strong on the skewed corpus, degenerate on the uniform "
+        "zipf corpus (every block's upper bound ties, reported honestly)."
+    )
+    print(json.dumps(out, indent=2))
+    with open(Path(__file__).resolve().parent.parent / "BENCH" / "wand.json", "w") as f:
+        json.dump(out, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

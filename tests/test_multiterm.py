@@ -67,3 +67,29 @@ def test_parser_boost_syntax(wix):
     base = s.search(parse_query("content:parse"), 1).collect()[0]["score"]
     boosted = s.search(parse_query("content:parse^2.5"), 1).collect()[0]["score"]
     assert boosted == pytest.approx(2.5 * base, rel=1e-12)
+
+
+def test_fuzzy_expansion_and_search(wix):
+    """FuzzyQuery (queryParser.go:178-190 panics in the reference):
+    dictionary expansion via Levenshtein with distance down-weighting."""
+    from golucene_spark.search.multiterm import expand_fuzzy
+
+    q = expand_fuzzy(wix, "content", "parse", max_edits=1)
+    # parse(0), parser(1) within 1 edit; parsing/partition/partial not
+    terms = {(c.query.term, round(c.query.boost, 6)) for c in q.clauses}
+    assert ("parse", 1.0) in terms
+    assert ("parser", round(1.0 - 1 / 5, 6)) in terms
+    assert len(terms) == 2
+    s = Searcher(wix, "bm25")
+    hits = {r["doc_id"] for r in s.search(parse_query("content:parse~1"), 10).collect()}
+    assert hits == {0, 1}
+    # exact term outranks the down-weighted fuzzy neighbor contribution
+    scores = {r["doc_id"]: r["score"] for r in s.search(parse_query("content:parse~1"), 10).collect()}
+    assert scores[0] > 0 and scores[1] > 0
+
+
+def test_fuzzy_zero_edits_is_exact(wix):
+    s = Searcher(wix, "bm25")
+    a = [(r["doc_id"], round(r["score"], 10)) for r in s.search(parse_query("content:parse~0"), 10).collect()]
+    b = [(r["doc_id"], round(r["score"], 10)) for r in s.search(parse_query("content:parse"), 10).collect()]
+    assert a == b

@@ -34,3 +34,38 @@ def test_wand_equals_exhaustive(mat_index, qs):
     exact = [(r["doc_id"], round(r["score"], 9)) for r in s.search(q, 10).collect()]
     pruned = [(r["doc_id"], round(r["score"], 9)) for r in wand_topk(s, q, 10).collect()]
     assert exact == pruned, qs
+
+
+def test_wand_actually_prunes_decode_work(spark, tmp_path_factory):
+    """The phase-2 rescore must decode strictly fewer blocks than an
+    exhaustive scan of the query terms' postings (the whole point).
+
+    Corpus with real block skew: the first 64 docs carry freq=40 of the
+    query term, the remaining 960 carry freq=1 — posting blocks are
+    doc-ordered, so later blocks have block_max_freq=1 and an upper
+    bound far below theta."""
+    rows = []
+    for i in range(64):
+        rows.append((i, "hot " * 40 + " ".join(f"pad{j}" for j in range(10))))
+    for i in range(64, 1024):
+        rows.append((i, "hot " + " ".join(f"pad{j}" for j in range(49))))
+    df = spark.createDataFrame(rows, "doc_id long, content string")
+    from golucene_spark.index import CorpusSpec, FieldSpec
+
+    spec = CorpusSpec(
+        text_fields=[FieldSpec("content", "content", True)],
+        keyword_fields=[], key_cols=["doc_id"], id_col="doc_id", meta_cols=[],
+    )
+    ixdir = str(tmp_path_factory.mktemp("ixskew"))
+    IndexBuilder(spark, spec, num_segments=1).build(df, ixdir)
+    s = Searcher(MaterializedIndex(spark, ixdir), "bm25")
+    q = parse_query("content:hot")
+    stats = {}
+    exact = [(r["doc_id"], round(r["score"], 9)) for r in s.search(q, 10).collect()]
+    pruned = [(r["doc_id"], round(r["score"], 9))
+              for r in wand_topk(s, q, 10, stats_out=stats).collect()]
+    assert exact == pruned
+    assert stats["blocks_total"] == 8  # 1024 docs / 128
+    assert stats["blocks_surviving"] < stats["blocks_total"]
+    assert stats["blocks_decoded_rescore"] < stats["blocks_total"]
+    assert stats["blocks_decoded_seed"] <= 2
