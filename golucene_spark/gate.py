@@ -195,9 +195,17 @@ def q_postings_blocks(spark, sf_dir):
 
 
 def q_dedup_exact(spark, sf_dir):
+    """Exact dedup over the corpus + a seeded duplicate wave (the driver
+    corpus has no exact dups, which made this gate vacuous): docs 0-7
+    re-appear under doc_id+100000, mirrored in the oracle."""
     docs = _docs(spark, sf_dir)
+    cols = docs.columns
+    dups = docs.filter(F.col("doc_id") < 8).withColumn(
+        "doc_id", F.col("doc_id") + 100000
+    ).select(*cols)
     return (
-        docs.groupBy(F.md5("text").alias("text_md5"))
+        docs.select(*cols).unionByName(dups)
+        .groupBy(F.md5("text").alias("text_md5"))
         .agg(F.count("*").cast("long").alias("n"), F.min("doc_id").cast("long").alias("keep_doc"))
         .filter(F.col("n") > 1)
         .orderBy("text_md5")
@@ -352,8 +360,14 @@ GROUP BY term ORDER BY term
 """
 
 ORACLES["dedup_exact"] = """
+WITH seeded AS (
+  SELECT * FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text, lang, source, n_chars
+  FROM documents WHERE doc_id < 8
+)
 SELECT md5(text) AS text_md5, count(*)::BIGINT AS n, min(doc_id)::BIGINT AS keep_doc
-FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY text_md5
+FROM seeded GROUP BY 1 HAVING count(*) > 1 ORDER BY text_md5
 """
 
 ORACLES["token_stats"] = f"""{BASE_CTE}
@@ -763,6 +777,317 @@ FROM summed ORDER BY score_e6 DESC, doc_id ASC LIMIT 10
 """
 
 
+# ---------------------------------------------------------------------------
+# round-2 gates: parsed phrase, nested boolean, fuzzy, standard-analyzer
+# oracle pairing, deletes/expunge, totalHits+hydration, LSH near-dup
+# ---------------------------------------------------------------------------
+
+def q_parsed_phrase_bm25(spark, sf_dir):
+    """The parser's quoted-phrase production routed to the phrase scorer
+    (queryParser.go:58 panics in the reference) — shares phrase_bm25's
+    oracle."""
+    s = Searcher(_index_pos(spark, sf_dir), "bm25")
+    q = parse_query(f'text:"{PHRASE[0]} {PHRASE[1]}"', default_field="text", analyzer="simple")
+    frame = s.score_frame(q)
+    return (
+        frame.withColumn("score_e6", F.round(F.col("score") * 1e6, 0).cast("long"))
+        .orderBy(F.desc("score_e6"), F.asc("doc_id"))
+        .limit(10)
+        .select("doc_id", "score_e6")
+    )
+
+
+def q_nested_bool_bm25(spark, sf_dir):
+    """Parenthesized nesting: data AND (query OR window)."""
+    return _topk_e6(
+        Searcher(_index(spark, sf_dir), "bm25"),
+        "text:data AND (text:query OR text:window)",
+    )
+
+
+_NQ, _NW = _bm25_contrib_sql("query", 1), _bm25_contrib_sql("window", 2)
+_ND = _bm25_contrib_sql("data", 0)
+ORACLES["nested_bool_bm25"] = f"""{BASE_CTE},{_ND[0]},{_NQ[0]},{_NW[0]},
+inner_sum AS (
+  SELECT doc_id, sum(s) AS s FROM (({_NQ[1]}) UNION ALL ({_NW[1]})) GROUP BY doc_id
+),
+contrib AS (({_ND[1]}) UNION ALL (SELECT doc_id, s FROM inner_sum)),
+summed AS (
+  SELECT doc_id, sum(s) AS score, count(*) AS nmatch FROM contrib GROUP BY doc_id HAVING count(*) >= 2
+)
+SELECT doc_id, CAST(ROUND(score * 1000000.0, 0) AS BIGINT) AS score_e6
+FROM summed ORDER BY score_e6 DESC, doc_id ASC LIMIT 10
+"""
+
+
+def q_fuzzy_bm25(spark, sf_dir):
+    """FuzzyQuery (queryParser.go:178-190 panics in the reference):
+    part~2 expands to {part, fast, sort, spark} with distance
+    down-weighted boosts."""
+    return _topk_e6(Searcher(_index(spark, sf_dir), "bm25"), "text:part~2")
+
+
+ORACLES["fuzzy_bm25"] = f"""{BASE_CTE},
+cand AS (
+  SELECT term, count(*)::BIGINT AS df,
+         CASE WHEN levenshtein(term, 'part') = 0 THEN 1.0
+              ELSE 1.0 - levenshtein(term, 'part') / least(length(term), 4) END AS boost
+  FROM tf
+  WHERE length(term) BETWEEN 2 AND 6 AND levenshtein(term, 'part') <= 2
+  GROUP BY term HAVING boost > 0
+),
+contrib AS (
+  SELECT tf.doc_id,
+    ln(1 + (stats.n_docs - cand.df + 0.5) / (cand.df + 0.5)) * cand.boost * {K1 + 1.0}
+    * tf.freq / (tf.freq + {K1} * (1 - {B} + {B} * dl.dl / (stats.sum_dl / stats.n_docs))) AS s
+  FROM tf JOIN cand USING (term) JOIN dl USING (doc_id), stats
+),
+summed AS (SELECT doc_id, sum(s) AS score FROM contrib GROUP BY doc_id)
+SELECT doc_id, CAST(ROUND(score * 1000000.0, 0) AS BIGINT) AS score_e6
+FROM summed ORDER BY score_e6 DESC, doc_id ASC LIMIT 10
+"""
+
+
+# --- standard (UAX#29) analyzer oracle pairing -----------------------------
+# The DuckDB twin consumes a golden token parquet produced by the
+# REFERENCE's own JFlex DFA tables (tests/ref_dfa.py executes them from
+# the read-only checkout) + the same lowercase/stop chain — fully
+# independent of the engine's wordbreak.py.
+
+def _std_tokens_parquet(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    import importlib.util
+
+    out = os.path.join(
+        "/root/repo/.data", f"std_tokens_{os.path.basename(os.path.normpath(sf_dir))}.parquet"
+    )
+    if os.path.exists(out):
+        return out
+    spec = importlib.util.spec_from_file_location("ref_dfa", "/root/repo/tests/ref_dfa.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = duckdb.sql(
+        f"SELECT doc_id, text FROM '{os.path.join(sf_dir, 'documents.parquet')}' ORDER BY doc_id"
+    ).fetchall()
+    ids, terms = [], []
+    for did, text in rows:
+        for t, _p in mod.analyze(text or ""):
+            ids.append(did)
+            terms.append(t)
+    os.makedirs("/root/repo/.data", exist_ok=True)
+    pq.write_table(
+        pa.table({"doc_id": pa.array(ids, pa.int64()), "term": pa.array(terms, pa.string())}),
+        out,
+    )
+    return out
+
+
+def q_term_bm25_standard(spark, sf_dir):
+    """BM25 term top-k through the flagship UAX#29 standard analyzer
+    (wordbreak.py end-to-end; every other oracle gate runs 'simple')."""
+    ix = LogicalIndex(
+        _docs(spark, sf_dir), CorpusSpec.documents(),
+        analyzer="standard", quantize_norms=False,
+    )
+    s = Searcher(ix, "bm25")
+    q = parse_query("text:data", default_field="text", analyzer="standard")
+    frame = s.score_frame(q)
+    return (
+        frame.withColumn("score_e6", F.round(F.col("score") * 1e6, 0).cast("long"))
+        .orderBy(F.desc("score_e6"), F.asc("doc_id"))
+        .limit(10)
+        .select("doc_id", "score_e6")
+    )
+
+
+try:
+    _STD_TOK = _std_tokens_parquet()
+    ORACLES["term_bm25_standard"] = f"""
+WITH kept AS (SELECT doc_id, term FROM '{_STD_TOK}'),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS freq FROM kept GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM kept GROUP BY 1),
+stats AS (SELECT (SELECT count(*) FROM documents)::BIGINT AS n_docs,
+                 (SELECT sum(dl) FROM dl)::BIGINT AS sum_dl),
+ts AS (SELECT count(*)::BIGINT AS df FROM tf WHERE term = 'data')
+SELECT tf.doc_id AS doc_id,
+  CAST(ROUND((ln(1 + (stats.n_docs - ts.df + 0.5) / (ts.df + 0.5)) * {K1 + 1.0}
+       * tf.freq / (tf.freq + {K1} * (1 - {B} + {B} * dl.dl / (stats.sum_dl / stats.n_docs)))) * 1000000.0, 0) AS BIGINT) AS score_e6
+FROM tf JOIN dl USING (doc_id), stats, ts
+WHERE tf.term = 'data'
+ORDER BY score_e6 DESC, doc_id ASC LIMIT 10
+"""
+    _HAS_STD_ORACLE = True
+except Exception:  # reference checkout unavailable: skip this gate
+    _HAS_STD_ORACLE = False
+
+
+# --- deletes + expunge-merge oracle pairing (W12/W14) ----------------------
+
+_DEL_IDS = [2, 4, 6, 8]
+_DEL_QUERY_TERM = "slow"
+
+
+def _deleted_index(spark, sf_dir, ixdir):
+    import shutil
+
+    from .index import IndexBuilder
+    from .index.deletes import delete_by_query, delete_docs
+
+    shutil.rmtree(ixdir, ignore_errors=True)
+    IndexBuilder(
+        spark, CorpusSpec.documents(), analyzer="simple",
+        quantize_norms=False, num_segments=4,
+    ).build(_docs(spark, sf_dir), ixdir)
+    delete_docs(spark, ixdir, _DEL_IDS)
+    from .search.ast import TermQuery
+
+    delete_by_query(spark, ixdir, TermQuery("text", _DEL_QUERY_TERM))
+    return ixdir
+
+
+def q_deletes_term_bm25(spark, sf_dir):
+    """Tombstoned docs (delete-by-id AND the reference-stubbed
+    delete-by-query) filtered at read time; stats keep counting them
+    (Lucene numDocs vs maxDoc semantics, before expunge)."""
+    from .index import MaterializedIndex
+
+    ixdir = _deleted_index(spark, sf_dir, "/root/repo/.data/gate_del_ix")
+    s = Searcher(MaterializedIndex(spark, ixdir), "bm25")
+    q = parse_query("text:data", default_field="text", analyzer="simple")
+    frame = s.score_frame(q)
+    return (
+        frame.withColumn("score_e6", F.round(F.col("score") * 1e6, 0).cast("long"))
+        .orderBy(F.desc("score_e6"), F.asc("doc_id"))
+        .limit(10)
+        .select("doc_id", "score_e6")
+    )
+
+
+_DEL_ID_SQL = ", ".join(str(i) for i in _DEL_IDS)
+
+ORACLES["deletes_term_bm25"] = f"""{BASE_CTE},
+ts AS (SELECT count(*)::BIGINT AS df FROM tf WHERE term = 'data')
+SELECT tf.doc_id AS doc_id,
+  CAST(ROUND((ln(1 + (stats.n_docs - ts.df + 0.5) / (ts.df + 0.5)) * {K1 + 1.0}
+       * tf.freq / (tf.freq + {K1} * (1 - {B} + {B} * dl.dl / (stats.sum_dl / stats.n_docs)))) * 1000000.0, 0) AS BIGINT) AS score_e6
+FROM tf JOIN dl USING (doc_id), stats, ts
+WHERE tf.term = 'data'
+  AND tf.doc_id NOT IN ({_DEL_ID_SQL})
+  AND tf.doc_id NOT IN (SELECT doc_id FROM tf WHERE term = '{_DEL_QUERY_TERM}')
+ORDER BY score_e6 DESC, doc_id ASC LIMIT 10
+"""
+
+
+def q_expunge_merge_bm25(spark, sf_dir):
+    """Expunge-merge applies the tombstones physically (liveDocs at
+    merge, dwpt.go:313-321) and recomputes df/ttf/avgdl from the live
+    docs — the oracle rebuilds its stats over the live corpus."""
+    from .index import MaterializedIndex
+    from .index.merge import merge_segments
+
+    ixdir = _deleted_index(spark, sf_dir, "/root/repo/.data/gate_exp_ix")
+    segs = sorted(
+        int(r["segment_id"])
+        for r in spark.read.parquet(os.path.join(ixdir, "doc_stats"))
+        .select("segment_id").distinct().collect()
+    )
+    merge_segments(spark, ixdir, segs, expunge_deletes=True)
+    s = Searcher(MaterializedIndex(spark, ixdir), "bm25")
+    q = parse_query("text:data", default_field="text", analyzer="simple")
+    frame = s.score_frame(q)
+    return (
+        frame.withColumn("score_e6", F.round(F.col("score") * 1e6, 0).cast("long"))
+        .orderBy(F.desc("score_e6"), F.asc("doc_id"))
+        .limit(10)
+        .select("doc_id", "score_e6")
+    )
+
+
+ORACLES["expunge_merge_bm25"] = f"""
+WITH all_tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS term
+  FROM documents
+),
+all_kept AS (SELECT doc_id, term FROM all_tok WHERE term NOT IN ({STOP_SQL})),
+dead AS (
+  SELECT DISTINCT doc_id FROM all_kept WHERE term = '{_DEL_QUERY_TERM}'
+  UNION SELECT unnest([{_DEL_ID_SQL}]) AS doc_id
+),
+kept AS (SELECT * FROM all_kept WHERE doc_id NOT IN (SELECT doc_id FROM dead)),
+live_docs AS (SELECT * FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM dead)),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS freq FROM kept GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM kept GROUP BY 1),
+stats AS (SELECT (SELECT count(*) FROM live_docs)::BIGINT AS n_docs,
+                 (SELECT sum(dl) FROM dl)::BIGINT AS sum_dl),
+ts AS (SELECT count(*)::BIGINT AS df FROM tf WHERE term = 'data')
+SELECT tf.doc_id AS doc_id,
+  CAST(ROUND((ln(1 + (stats.n_docs - ts.df + 0.5) / (ts.df + 0.5)) * {K1 + 1.0}
+       * tf.freq / (tf.freq + {K1} * (1 - {B} + {B} * dl.dl / (stats.sum_dl / stats.n_docs)))) * 1000000.0, 0) AS BIGINT) AS score_e6
+FROM tf JOIN dl USING (doc_id), stats, ts
+WHERE tf.term = 'data'
+ORDER BY score_e6 DESC, doc_id ASC LIMIT 10
+"""
+
+
+def q_term_topk_hydrated(spark, sf_dir):
+    """TotalHits + stored-field hydration: TopDocs{totalHits,[ScoreDoc]}
+    (collect.go:53-57) + per-hit stored fields (document.go:75)."""
+    ix = _index(spark, sf_dir)
+    s = Searcher(ix, "bm25")
+    q = parse_query("text:data", default_field="text", analyzer="simple")
+    frame = s.score_frame(q).withColumn(
+        "score_e6", F.round(F.col("score") * 1e6, 0).cast("long")
+    )
+    total = frame.count()
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "source")
+    return (
+        frame.orderBy(F.desc("score_e6"), F.asc("doc_id")).limit(10)
+        .join(docs, "doc_id")
+        .withColumn("total_hits", F.lit(int(total)).cast("long"))
+        .select("doc_id", "score_e6", "lang", "source", "total_hits")
+        .orderBy(F.desc("score_e6"), F.asc("doc_id"))
+    )
+
+
+ORACLES["term_topk_hydrated"] = f"""{BASE_CTE},
+ts AS (SELECT count(*)::BIGINT AS df FROM tf WHERE term = 'data'),
+scored AS (
+  SELECT tf.doc_id,
+    CAST(ROUND((ln(1 + (stats.n_docs - ts.df + 0.5) / (ts.df + 0.5)) * {K1 + 1.0}
+         * tf.freq / (tf.freq + {K1} * (1 - {B} + {B} * dl.dl / (stats.sum_dl / stats.n_docs)))) * 1000000.0, 0) AS BIGINT) AS score_e6
+  FROM tf JOIN dl USING (doc_id), stats, ts WHERE tf.term = 'data'
+)
+SELECT s.doc_id AS doc_id, s.score_e6, d.lang, d.source,
+       (SELECT count(*) FROM scored)::BIGINT AS total_hits
+FROM scored s JOIN documents d USING (doc_id)
+ORDER BY s.score_e6 DESC, s.doc_id ASC LIMIT 10
+"""
+
+
+def q_embedding_near_dup_lsh(spark, sf_dir):
+    """Banded sign-LSH near-dup (16 bands x 3 bits over 48 hyperplanes)
+    + exact cosine verify — candidates come from within-band equi-joins,
+    never an all-pairs cross join.  Shares the brute-force oracle: the
+    gate asserts the banding achieved full recall on this corpus."""
+    from .text.ann import cosine_pairs_lsh
+
+    emb = _emb(spark, sf_dir)
+    dim = len(emb.select("embedding").first()[0])
+    p = cosine_pairs_lsh(emb, threshold=0.4, dim=dim, n_bands=16, band_bits=3)
+    return (
+        p.withColumn("cos_e6", F.round(F.col("cosine") * 1e6, 0).cast("long"))
+        .select("id_a", "id_b", "cos_e6")
+        .orderBy("id_a", "id_b")
+    )
+
+
+ORACLES["embedding_near_dup_lsh"] = ORACLES["embedding_near_dup"]
+ORACLES["parsed_phrase_bm25"] = ORACLES["phrase_bm25"]
+
+
 QUERIES = {
     "term_bm25_topk": q_term_bm25,
     "phrase_bm25": q_phrase_bm25,
@@ -793,4 +1118,14 @@ QUERIES = {
     "near_dup_groups": q_near_dup_groups,  # rows-only (iterative CC)
     "simhash64": q_simhash,               # rows-only
     "ann_lsh_topk": q_ann_lsh,            # rows-only (approximate path)
+    "parsed_phrase_bm25": q_parsed_phrase_bm25,
+    "nested_bool_bm25": q_nested_bool_bm25,
+    "fuzzy_bm25": q_fuzzy_bm25,
+    "deletes_term_bm25": q_deletes_term_bm25,
+    "expunge_merge_bm25": q_expunge_merge_bm25,
+    "term_topk_hydrated": q_term_topk_hydrated,
+    "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
 }
+
+if _HAS_STD_ORACLE:
+    QUERIES["term_bm25_standard"] = q_term_bm25_standard

@@ -252,22 +252,67 @@ class Searcher:
             F.col("doc_id"), score.alias("score"), mk(must_map, "int").alias("is_must")
         )
 
+    def _is_keyword_field(self, field: str) -> bool:
+        """StringField-style field: omitNorms, freq=1/dlq=1 postings —
+        every doc's score for a term on it is the same constant."""
+        return self._collection_stats(field)["sum_ttf"] == 0
+
+    def _keyword_const_score(self, q: TermQuery, stats, query_norm: float) -> float:
+        """The constant per-doc score of a keyword-field TermQuery,
+        computed with the exact operation order of score_col (Python
+        float ops are the same IEEE-754 doubles as the JVM's)."""
+        import numpy as np
+
+        st = stats[(q.field, q.term)]
+        cs = self._collection_stats(q.field)
+        idf = self.sim.idf(st.df, cs["max_doc"])
+        avgdl = self.sim.avgdl(cs["sum_ttf"], cs["max_doc"])
+        nb = np.array([124]) if getattr(self.index, "quantized", True) else None
+        kwargs = {"query_norm": query_norm} if self.sim.uses_coord else {}
+        return float(self.sim.score_np(
+            np.array([1.0]), np.array([1.0]), nb, idf, avgdl, q.boost, **kwargs
+        )[0])
+
     def _boolean_frame(self, q: BooleanQuery, stats, query_norm: float) -> DataFrame | None:
         scoring = [c for c in q.clauses if not c.is_prohibited]
         prohibited = [c for c in q.clauses if c.is_prohibited]
-        n_must = sum(1 for c in scoring if c.is_required)
         max_coord = len(scoring)
+
+        # MUST clauses on keyword (omitNorms) fields become semi-joins +
+        # a constant score added after aggregation: such a clause scores
+        # every matching doc identically, so unioning its (potentially
+        # huge — every lang:de doc) frame into the groupBy only to
+        # re-aggregate a constant is a wasted shuffle.  Only applied when
+        # another scoring clause remains to drive the frame.
+        kw_semi: list = []
+        rest: list = []
+        for c in scoring:
+            if (
+                c.is_required
+                and isinstance(c.query, TermQuery)
+                and self._is_keyword_field(c.query.field)
+            ):
+                kw_semi.append(c)
+            else:
+                rest.append(c)
+        if not rest and kw_semi:
+            rest.append(kw_semi.pop())  # keep one clause to drive the frame
+        for c in kw_semi:
+            if stats[(c.query.field, c.query.term)].df == 0:
+                return None  # a MUST clause with no matches: empty result
+
+        n_must = sum(1 for c in rest if c.is_required)
 
         # bucket same-field TermQuery clauses for the single-scan path
         buckets: dict[str, list] = {}
         others = []
-        for c in scoring:
+        for c in rest:
             if isinstance(c.query, TermQuery):
                 buckets.setdefault(c.query.field, []).append(c)
             else:
                 others.append(c)
 
-        frames = []
+        frames = []  # (frame, doc_unique)
         for field, cl in list(buckets.items()):
             terms = [c.query.term for c in cl]
             if len(cl) > 1 and len(set(terms)) == len(terms):
@@ -275,7 +320,7 @@ class Searcher:
                 if f is None and any(c.is_required for c in cl):
                     return None
                 if f is not None:
-                    frames.append(f)
+                    frames.append((f, False))
             else:
                 others.extend(cl)
 
@@ -283,27 +328,48 @@ class Searcher:
             f = self._frame(c.query, stats, query_norm)
             if f is not None:
                 f = f.withColumn("is_must", F.lit(1 if c.is_required else 0))
-                frames.append(f)
+                frames.append((f, True))
             elif c.is_required:
                 return None  # a MUST clause with no matches: empty result
 
         if not frames:
             return None
 
-        u = frames[0]
-        for f in frames[1:]:
-            u = u.unionByName(f)
-        agg = u.groupBy("doc_id").agg(
-            F.sum("score").alias("score"),
-            F.count("*").alias("coord"),
-            F.sum("is_must").alias("must_cnt"),
-        )
+        if len(frames) == 1 and frames[0][1]:
+            # a single doc-unique scoring frame (term/phrase/nested
+            # boolean): the groupBy would re-shuffle rows that are
+            # already one-per-doc — skip it
+            agg = frames[0][0].select(
+                "doc_id",
+                "score",
+                F.lit(1).cast("long").alias("coord"),
+                F.col("is_must").cast("long").alias("must_cnt"),
+            )
+        else:
+            u = frames[0][0]
+            for f, _ in frames[1:]:
+                u = u.unionByName(f)
+            agg = u.groupBy("doc_id").agg(
+                F.sum("score").alias("score"),
+                F.count("*").alias("coord"),
+                F.sum("is_must").alias("must_cnt"),
+            )
         if n_must:
             agg = agg.filter(F.col("must_cnt") == n_must)
         if q.minimum_should_match > 0:
             agg = agg.filter(
                 (F.col("coord") - F.col("must_cnt")) >= q.minimum_should_match
             )
+
+        for c in kw_semi:
+            kd = self.index.postings_for_terms(c.query.field, [c.query.term]).select("doc_id")
+            const = self._keyword_const_score(c.query, stats, query_norm)
+            agg = (
+                agg.join(kd, "doc_id", "left_semi")
+                .withColumn("score", F.col("score") + F.lit(const))
+                .withColumn("coord", F.col("coord") + 1)
+            )
+
         if self.sim.uses_coord and max_coord > 1:
             # coord factor search.go:467-469 applied as in
             # booleanScorer.go:169-183
@@ -425,3 +491,23 @@ class Searcher:
             .orderBy(F.desc("score"), F.asc("doc_id"))
             .limit(k)
         )
+
+    def search_with_total(self, query, k: int = 10,
+                          hydrate: bool = False) -> tuple[int, DataFrame]:
+        """TopDocs{totalHits, [ScoreDoc]} (collect.go:53-57): returns
+        (total_hits, top-k frame).  ``hydrate=True`` left-joins the hits
+        with the index's stored doc_meta columns (the stored-field
+        visitor role, document.go:75) when the index materializes one."""
+        if isinstance(query, str):
+            from .parser import parse_query
+
+            query = parse_query(query)
+        frame = self.score_frame(query)
+        total = frame.count()
+        top = frame.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        if hydrate and hasattr(self.index, "doc_meta"):
+            meta = self.index.doc_meta.drop("segment_id")
+            top = top.join(meta, "doc_id", "left").orderBy(
+                F.desc("score"), F.asc("doc_id")
+            )
+        return total, top

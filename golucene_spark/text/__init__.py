@@ -1,6 +1,14 @@
 from .dedup import exact_dups, minhash_signatures, minhash_lsh_pairs, simhash64, ngram_jaccard_pairs, dedup_groups
 from .quality import token_quality, language_id, doc_fingerprint
-from .ann import cosine_topk, lsh_cosine_topk
+from .ann import (
+    cosine_topk,
+    cosine_pairs,
+    cosine_pairs_lsh,
+    lsh_cosine_topk,
+    add_lsh_bucket,
+    band_keys,
+    probe_buckets,
+)
 
 __all__ = [
     "exact_dups",
@@ -13,5 +21,10 @@ __all__ = [
     "language_id",
     "doc_fingerprint",
     "cosine_topk",
+    "cosine_pairs",
+    "cosine_pairs_lsh",
     "lsh_cosine_topk",
+    "add_lsh_bucket",
+    "band_keys",
+    "probe_buckets",
 ]

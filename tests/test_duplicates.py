@@ -97,3 +97,24 @@ def test_merge_default_id_not_live(spark, tmp_path_factory):
     top_after = [(r["doc_id"], round(r["score"], 10))
                  for r in after.search(TermQuery("content", "parse"), 10).collect()]
     assert top_before == top_after
+
+
+def test_search_with_total_and_hydration(spark, dup_corpus, tmp_path_factory):
+    """TopDocs{totalHits,[ScoreDoc]} (collect.go:53-57) + stored-field
+    hydration (document.go:75)."""
+    ixdir = str(tmp_path_factory.mktemp("th")) + "/ix"
+    IndexBuilder(spark, dup_spec(), num_segments=2).build(dup_corpus, ixdir)
+    s = Searcher(MaterializedIndex(spark, ixdir), "bm25")
+    q = TermQuery("content", "duplicate")
+    total, top = s.search_with_total(q, k=3, hydrate=True)
+    assert total == s.score_frame(q).count() == 10
+    rows = top.collect()
+    assert len(rows) == 3
+    assert [r["doc_id"] for r in rows] == [0, 1, 2]
+    # hydrated stored fields (lang) present per hit
+    assert all(r["lang"] in ("go", "py") for r in rows)
+    # top-k scores identical to plain search
+    plain = s.search(q, 3).collect()
+    assert [(r["doc_id"], r["score"]) for r in rows] == [
+        (r["doc_id"], r["score"]) for r in plain
+    ]
