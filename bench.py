@@ -43,6 +43,9 @@ QUERIES = {
     ),
     "q10_miss": "text:zzz_missing_term",
     "q11_classic": "text:data",  # scored with classic TFIDF
+    "q12_phrase": 'text:"data query"',
+    "q13_fuzzy": "text:part~2",
+    "q14_nested": "text:data AND (text:query OR text:window)",
 }
 
 REPS = 3

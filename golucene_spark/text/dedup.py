@@ -189,14 +189,15 @@ def dedup_groups(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             .groupBy("src")
             .agg(F.min("group_id").alias("nbr_min"))
         )
-        new_labels = (
-            labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
-            .select(
-                "doc_id",
-                F.least(F.col("group_id"), F.coalesce("nbr_min", "group_id")).alias("group_id"),
-            )
-            .persist()
+        new_labels = labels.join(
+            neighbor_min, labels.doc_id == neighbor_min.src, "left"
+        ).select(
+            "doc_id",
+            F.least(F.col("group_id"), F.coalesce("nbr_min", "group_id")).alias("group_id"),
         )
+        # truncate lineage each iteration: without this the plan doubles
+        # per round and deep components blow up the optimizer at scale
+        new_labels = new_labels.localCheckpoint(eager=True)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "doc_id")
