@@ -82,6 +82,9 @@ def main():
     ix.term_dict = ix.term_dict.cache()
     ix.term_dict.count()  # warm
     ix.postings.count()
+    # query path: tiny reduce sides; large shuffle fan-out only adds
+    # map-side write overhead (see BENCH/BASELINE.md interpretation)
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
 
     qtimes: dict[str, float] = {}
     lat_all: list[float] = []

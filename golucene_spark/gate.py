@@ -1088,6 +1088,48 @@ ORACLES["embedding_near_dup_lsh"] = ORACLES["embedding_near_dup"]
 ORACLES["parsed_phrase_bm25"] = ORACLES["phrase_bm25"]
 
 
+def q_range_bm25(spark, sf_dir):
+    """TermRangeQuery [batch TO data] (queryParser.go:214-219 panics in
+    the reference): dictionary range expansion -> scoring boolean."""
+    return _topk_e6(Searcher(_index(spark, sf_dir), "bm25"), "text:[batch TO data]")
+
+
+ORACLES["range_bm25"] = f"""{BASE_CTE},
+cand AS (SELECT term, count(*)::BIGINT AS df FROM tf
+         WHERE term BETWEEN 'batch' AND 'data' GROUP BY term),
+contrib AS (
+  SELECT tf.doc_id,
+    ln(1 + (stats.n_docs - cand.df + 0.5) / (cand.df + 0.5)) * {K1 + 1.0}
+    * tf.freq / (tf.freq + {K1} * (1 - {B} + {B} * dl.dl / (stats.sum_dl / stats.n_docs))) AS s
+  FROM tf JOIN cand USING (term) JOIN dl USING (doc_id), stats
+),
+summed AS (SELECT doc_id, sum(s) AS score FROM contrib GROUP BY doc_id)
+SELECT doc_id, CAST(ROUND(score * 1000000.0, 0) AS BIGINT) AS score_e6
+FROM summed ORDER BY score_e6 DESC, doc_id ASC LIMIT 10
+"""
+
+
+def q_regexp_bm25(spark, sf_dir):
+    """RegexpQuery /s.*a.*/ (automaton lib unused in the reference):
+    anchored dictionary regex expansion -> scoring boolean."""
+    return _topk_e6(Searcher(_index(spark, sf_dir), "bm25"), "text:/s.*a.*/")
+
+
+ORACLES["regexp_bm25"] = f"""{BASE_CTE},
+cand AS (SELECT term, count(*)::BIGINT AS df FROM tf
+         WHERE regexp_full_match(term, 's.*a.*') GROUP BY term),
+contrib AS (
+  SELECT tf.doc_id,
+    ln(1 + (stats.n_docs - cand.df + 0.5) / (cand.df + 0.5)) * {K1 + 1.0}
+    * tf.freq / (tf.freq + {K1} * (1 - {B} + {B} * dl.dl / (stats.sum_dl / stats.n_docs))) AS s
+  FROM tf JOIN cand USING (term) JOIN dl USING (doc_id), stats
+),
+summed AS (SELECT doc_id, sum(s) AS score FROM contrib GROUP BY doc_id)
+SELECT doc_id, CAST(ROUND(score * 1000000.0, 0) AS BIGINT) AS score_e6
+FROM summed ORDER BY score_e6 DESC, doc_id ASC LIMIT 10
+"""
+
+
 QUERIES = {
     "term_bm25_topk": q_term_bm25,
     "phrase_bm25": q_phrase_bm25,
@@ -1125,6 +1167,8 @@ QUERIES = {
     "expunge_merge_bm25": q_expunge_merge_bm25,
     "term_topk_hydrated": q_term_topk_hydrated,
     "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
+    "range_bm25": q_range_bm25,
+    "regexp_bm25": q_regexp_bm25,
 }
 
 if _HAS_STD_ORACLE:

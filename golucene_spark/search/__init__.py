@@ -7,6 +7,8 @@ from .ast import (
     PhraseQuery,
     FuzzyQuery,
     WildcardQuery,
+    RegexpQuery,
+    TermRangeQuery,
 )
 from .parser import parse_query
 from .similarity import BM25Similarity, ClassicSimilarity
@@ -21,6 +23,8 @@ __all__ = [
     "PhraseQuery",
     "FuzzyQuery",
     "WildcardQuery",
+    "RegexpQuery",
+    "TermRangeQuery",
     "parse_query",
     "BM25Similarity",
     "ClassicSimilarity",

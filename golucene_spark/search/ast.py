@@ -81,6 +81,37 @@ class FuzzyQuery:
 
 
 @dataclass(frozen=True)
+class RegexpQuery:
+    """Regexp multi-term query (queryparser syntax /re/; the reference's
+    automaton lib at core/util/automaton/regexp.go is never reached by a
+    live path).  Expanded against the term dictionary via rlike."""
+
+    field: str
+    regex: str
+    boost: float = 1.0
+
+    def rewrite(self):
+        return self
+
+
+@dataclass(frozen=True)
+class TermRangeQuery:
+    """Term range [a TO b] / {a TO b} (queryParser.go:214-219 panics in
+    the reference).  Expanded against the term dictionary with a range
+    predicate — Parquet min/max stats prune the dictionary scan."""
+
+    field: str
+    lower: str | None
+    upper: str | None
+    include_lower: bool = True
+    include_upper: bool = True
+    boost: float = 1.0
+
+    def rewrite(self):
+        return self
+
+
+@dataclass(frozen=True)
 class MatchAllQuery:
     boost: float = 1.0
 
@@ -143,4 +174,9 @@ def _boosted(q, boost: float):
         return FuzzyQuery(q.field, q.term, q.max_edits, q.boost * boost)
     if isinstance(q, WildcardQuery):
         return WildcardQuery(q.field, q.pattern, q.boost * boost)
+    if isinstance(q, RegexpQuery):
+        return RegexpQuery(q.field, q.regex, q.boost * boost)
+    if isinstance(q, TermRangeQuery):
+        return TermRangeQuery(q.field, q.lower, q.upper, q.include_lower,
+                              q.include_upper, q.boost * boost)
     return q

@@ -31,7 +31,9 @@ from .ast import (
     MatchAllQuery,
     Occur,
     PhraseQuery,
+    RegexpQuery,
     TermQuery,
+    TermRangeQuery,
     WildcardQuery,
 )
 from .similarity import get_similarity
@@ -201,6 +203,17 @@ class Searcher:
             from .multiterm import expand_fuzzy
 
             return expand_fuzzy(self.index, q.field, q.term, q.max_edits, q.boost)
+        if isinstance(q, RegexpQuery):
+            from .multiterm import expand_regexp
+
+            return expand_regexp(self.index, q.field, q.regex, q.boost)
+        if isinstance(q, TermRangeQuery):
+            from .multiterm import expand_term_range
+
+            return expand_term_range(
+                self.index, q.field, q.lower, q.upper,
+                q.include_lower, q.include_upper, q.boost,
+            )
         if isinstance(q, BooleanQuery):
             return BooleanQuery(
                 tuple(
@@ -441,6 +454,26 @@ class Searcher:
                     "dl": float(r["dlq"]), "avgdl": avgdl,
                     "norm_byte": int(r["norm_byte"]), "boost": q.boost,
                     "query_norm": query_norm,
+                },
+            }
+        if isinstance(q, PhraseQuery):
+            rows = (
+                self._phrase_frame(q, stats, query_norm) or
+                self.index.spark.createDataFrame([], RESULT_SCHEMA)
+            ).filter(F.col("doc_id") == doc_id).collect()
+            if not rows:
+                return {"match": False, "value": 0.0,
+                        "description": f'no match on {q.field}:"{" ".join(q.terms)}"'}
+            cs = self._collection_stats(q.field)
+            return {
+                "match": True,
+                "value": float(rows[0]["score"]),
+                "description": f'phrase({q.field}:"{" ".join(q.terms)}", doc={doc_id}), '
+                               f"freq=phraseFreq, idf=sum of term idfs",
+                "details": {
+                    "idf": sum(self.sim.idf(stats[(q.field, t)].df, cs["max_doc"])
+                               for t in q.terms),
+                    "boost": q.boost,
                 },
             }
         if isinstance(q, BooleanQuery):

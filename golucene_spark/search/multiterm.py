@@ -87,8 +87,37 @@ def expand_fuzzy(index, field: str, term: str, max_edits: int = 2,
 
 
 def expand_regexp(index, field: str, regex: str, boost: float = 1.0,
-                  max_terms: int = MAX_CLAUSE_COUNT):
-    terms = matching_terms(index, field, regex, max_terms)
+                  max_terms: int = MAX_CLAUSE_COUNT, anchored: bool = True):
+    """RegexpQuery expansion.  Lucene regexps match the WHOLE term
+    (core/util/automaton/regexp.go semantics), so the pattern is
+    anchored by default."""
+    rx = f"^(?:{regex})$" if anchored else regex
+    terms = matching_terms(index, field, rx, max_terms)
     return BooleanQuery(
         tuple(BooleanClause(TermQuery(field, t, boost), Occur.SHOULD) for t in terms)
+    ).rewrite()
+
+
+def expand_term_range(index, field: str, lower: str | None, upper: str | None,
+                      include_lower: bool = True, include_upper: bool = True,
+                      boost: float = 1.0, max_terms: int = MAX_CLAUSE_COUNT):
+    """TermRangeQuery [a TO b] -> SHOULD-of-TermQuery over dictionary
+    terms in the range.  The range predicate is pushed to the parquet
+    scan (term column min/max stats prune row groups)."""
+    if hasattr(index, "term_dict"):
+        src = index.term_dict.filter(F.col("field") == field).select("term").distinct()
+    else:
+        src = index.tf.filter(F.col("field") == field).select("term").distinct()
+    if lower is not None:
+        src = src.filter(F.col("term") >= lower if include_lower else F.col("term") > lower)
+    if upper is not None:
+        src = src.filter(F.col("term") <= upper if include_upper else F.col("term") < upper)
+    rows = src.orderBy("term").limit(max_terms + 1).collect()
+    if len(rows) > max_terms:
+        raise ValueError(f"maxClauseCount is set to {max_terms}")
+    return BooleanQuery(
+        tuple(
+            BooleanClause(TermQuery(field, r["term"], boost), Occur.SHOULD)
+            for r in rows
+        )
     ).rewrite()

@@ -39,7 +39,7 @@ from .ast import (
     _boosted,
 )
 
-_TOKEN_RE = re.compile(r'\s*("(?:[^"\\]|\\.)*"|\(|\)|&&|\|\||!|[^\s()"]+)')
+_TOKEN_RE = re.compile(r'\s*("(?:[^"\\]|\\.)*"|\(|\)|\[|\]|\{|\}|&&|\|\||!|[^\s()"\[\]{}]+)')
 
 
 def _analyze_terms(text: str, analyzer) -> list[str]:
@@ -132,21 +132,50 @@ def parse_query(
         return PhraseQuery(field, tuple(terms))
 
     def parse_atom(t: str, field_ctx: str | None):
+        from .ast import MatchAllQuery, RegexpQuery, TermRangeQuery
+
         field = field_ctx or default_field
         if t == "(":
             sub = BooleanQuery(tuple(parse_clauses(field_ctx)))
             if peek() == ")":
                 advance()
             return suffixes(sub)
+        if t in ("[", "{"):
+            include_lower = t == "["
+            include_upper = True
+            parts = []
+            while True:
+                nt = peek()
+                if nt is None:
+                    break
+                advance()
+                if nt in ("]", "}"):
+                    include_upper = nt == "]"
+                    break
+                parts.append(nt)
+            parts = [p for p in parts if p.upper() != "TO"]
+            lo = parts[0] if parts else "*"
+            hi = parts[1] if len(parts) > 1 else "*"
+            lo = None if lo == "*" else lo.lower()
+            hi = None if hi == "*" else hi.lower()
+            return suffixes(TermRangeQuery(field, lo, hi, include_lower, include_upper))
         if t.startswith('"') and t.endswith('"') and len(t) >= 2:
             return suffixes(parse_phrase(t, field))
+        if t == "*:*":
+            return MatchAllQuery()
         if t.endswith(":") and len(t) > 1:
             nxt = peek()
-            if nxt == "(" or (nxt or "").startswith('"'):
+            if nxt in ("(", "[", "{") or (nxt or "").startswith('"') or (
+                (nxt or "").startswith("/") and (nxt or "").endswith("/") and len(nxt or "") >= 2
+            ):
                 return parse_atom(advance(), t[:-1])
             return None  # dangling "field:" with no value
+        if t.startswith("/") and t.endswith("/") and len(t) > 2:
+            return suffixes(RegexpQuery(field, t[1:-1]))
         if ":" in t:
             fld, _, text = t.partition(":")
+            if text.startswith("/") and text.endswith("/") and len(text) > 2:
+                return suffixes(RegexpQuery(fld, text[1:-1]))
             return _analyze_text(fld, text, analyzer, tokenized_fields)
         return _analyze_text(field, t, analyzer, tokenized_fields)
 

@@ -163,13 +163,24 @@ def wand_topk(searcher: Searcher, query, k: int = 10,
     term_blocks = index.postings.filter(
         (F.col("field") == field) & F.col("term").isin(terms)
     )
+    # metadata-only frame, consulted by several small driver jobs
+    # (per-term max ub, seed-block pick, surviving filter): cache it so
+    # the postings parquet is read once for metadata
     blocks = term_blocks.select(
         "term", "segment_id", "block_id", "block_len",
         "block_first_doc", "block_last_doc", ub_col.alias("ub"),
-    )
+    ).persist()
     if stats_out is not None:
         stats_out["blocks_total"] = blocks.count()
+    try:
+        return _wand_phases(searcher, q, k, field, weights, avgdl,
+                            term_blocks, blocks, stats_out)
+    finally:
+        blocks.unpersist()
 
+
+def _wand_phases(searcher, q, k, field, weights, avgdl, term_blocks, blocks,
+                 stats_out) -> DataFrame:
     # per-term global max ub (tiny agg)
     max_ub = {
         r["term"]: r["mu"]
@@ -228,8 +239,11 @@ def wand_topk(searcher: Searcher, query, k: int = 10,
         searcher, field, weights, avgdl, term_blocks, cand_docs,
         stats_out, "blocks_decoded_rescore",
     )
-    return (
+    out = (
         rescored.orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
         .select("doc_id", "score")
     )
+    # materialize before the caller's unpersist of the metadata cache
+    rows = out.collect()
+    return searcher.index.spark.createDataFrame(rows, out.schema)

@@ -93,3 +93,21 @@ def test_fuzzy_zero_edits_is_exact(wix):
     a = [(r["doc_id"], round(r["score"], 10)) for r in s.search(parse_query("content:parse~0"), 10).collect()]
     b = [(r["doc_id"], round(r["score"], 10)) for r in s.search(parse_query("content:parse"), 10).collect()]
     assert a == b
+
+
+def test_term_range_and_regexp_search(wix):
+    """TermRangeQuery (queryParser.go:214-219 panics in the reference)
+    and anchored RegexpQuery expansion."""
+    s = Searcher(wix, "bm25")
+    # range [parse TO parsing] -> parse, parser, parsing, partial?, partition?
+    # alphabetical: parse < parser < parsing; partial/partition > parsing? No:
+    # 'partial' < 'partition' < 'parse' (t < s is false: 'parti' vs 'parse',
+    # 'i' < 's' so partial/partition sort BEFORE parse). Range excludes them.
+    hits = {r["doc_id"] for r in s.search(parse_query("content:[parse TO parsing]"), 10).collect()}
+    assert hits == {0, 1}
+    # anchored regexp: /part.+/ -> partition, partial only
+    hits2 = {r["doc_id"] for r in s.search(parse_query("content:/part.+/"), 10).collect()}
+    assert hits2 == {2}
+    # unanchored substring must NOT match (Lucene whole-term semantics):
+    # /arse/ matches no whole term
+    assert s.search(parse_query("content:/arse/"), 10).count() == 0

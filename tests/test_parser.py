@@ -134,3 +134,34 @@ def test_multi_token_text_expands_to_should():
     q = P("foo-bar")
     assert isinstance(q, BooleanQuery)
     assert all(c.occur is Occur.SHOULD for c in q.clauses)
+
+
+def test_regexp_syntax():
+    from golucene_spark.search import RegexpQuery
+
+    assert P("content:/par.*/") == RegexpQuery("content", "par.*")
+    assert P("/x+y/") == RegexpQuery("content", "x+y")
+
+
+def test_term_range_syntax():
+    from golucene_spark.search import TermRangeQuery
+
+    assert P("content:[alpha TO beta]") == TermRangeQuery("content", "alpha", "beta", True, True)
+    q = P("content:{alpha TO beta}")
+    assert (q.lower, q.upper, q.include_lower, q.include_upper) == ("alpha", "beta", False, False)
+    q2 = P("content:[alpha TO *]")
+    assert (q2.lower, q2.upper) == ("alpha", None)
+
+
+def test_match_all_syntax():
+    from golucene_spark.search import MatchAllQuery
+
+    assert P("*:*") == MatchAllQuery()
+
+
+def test_range_inside_boolean():
+    from golucene_spark.search import TermRangeQuery
+
+    q = P("buffer AND content:[a TO c]")
+    assert isinstance(q.clauses[1].query, TermRangeQuery)
+    assert q.clauses[1].occur is Occur.MUST

@@ -157,3 +157,58 @@ def test_dedup_groups_from_minhash(spark, text_df):
     groups = {r["doc_id"]: r["group_id"] for r in dedup_groups(pairs).collect()}
     # docs 0,1 exact dups; 2 near-dup of both -> one component rooted at 0
     assert groups[0] == groups[1] == groups[2] == 0
+
+
+def test_lsh_bucket_partition_pruning(spark, tmp_path_factory):
+    """lsh_cosine_topk's driver-enumerated probe set must prune a
+    bucket-partitioned table's partitions (no full scan)."""
+    rng = np.random.default_rng(7)
+    V = rng.standard_normal((300, 16))
+    emb = spark.createDataFrame(
+        [(int(i), [float(x) for x in V[i]]) for i in range(300)],
+        "vec_id long, embedding array<double>",
+    )
+    from golucene_spark.text.ann import lsh_cosine_topk, probe_buckets
+
+    bucketed = add_lsh_bucket(emb, dim=16, n_bits=8)
+    path = str(tmp_path_factory.mktemp("lshp")) + "/emb"
+    bucketed.write.partitionBy("lsh_bucket").parquet(path)
+    table = spark.read.parquet(path)
+    qv = [float(x) for x in V[0]]
+    out = lsh_cosine_topk(table, qv, k=5, n_bits=8, max_hamming=1, exclude_id=0)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # partition pruning realized: the scan carries PartitionFilters on
+    # lsh_bucket (an IN-list), not a post-scan bit_count filter
+    assert "PartitionFilters" in plan and "lsh_bucket" in plan
+    rows = out.collect()
+    # equals brute force restricted to the probed buckets
+    probes = set(probe_buckets(
+        int(add_lsh_bucket(emb.filter(F.col("vec_id") == 0), 16, 8)
+            .select("lsh_bucket").first()[0]), 8, 1))
+    cand = bucketed.filter(F.col("lsh_bucket").isin(list(probes)))
+    brute = cosine_topk(cand, qv, k=5, exclude_id=0).collect()
+    assert [(r["vec_id"], round(r["cosine"], 9)) for r in rows] == [
+        (r["vec_id"], round(r["cosine"], 9)) for r in brute
+    ]
+
+
+def test_cosine_pairs_lsh_matches_brute_on_clusters(spark):
+    """Banded-LSH near-dup equals brute force on cluster-structured
+    embeddings (tight clusters -> identical sign bits -> full recall)."""
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((5, 32)) * 3
+    rows = []
+    vid = 0
+    for c in range(5):
+        for _ in range(8):
+            v = centers[c] + rng.standard_normal(32) * 0.05
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    from golucene_spark.text.ann import cosine_pairs, cosine_pairs_lsh
+
+    brute = {(r["id_a"], r["id_b"], round(r["cosine"], 9))
+             for r in cosine_pairs(emb, 0.9).collect()}
+    lsh = {(r["id_a"], r["id_b"], round(r["cosine"], 9))
+           for r in cosine_pairs_lsh(emb, 0.9, dim=32, n_bands=16, band_bits=3).collect()}
+    assert brute == lsh and len(brute) == 5 * (8 * 7 // 2)
