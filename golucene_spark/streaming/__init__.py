@@ -1,3 +1,9 @@
 from .nrt import start_incremental_index, incremental_index_batch
+from .events import sessionize_stream, windowed_counts_stream
 
-__all__ = ["start_incremental_index", "incremental_index_batch"]
+__all__ = [
+    "start_incremental_index",
+    "incremental_index_batch",
+    "sessionize_stream",
+    "windowed_counts_stream",
+]
