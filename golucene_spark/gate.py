@@ -1130,6 +1130,61 @@ FROM summed ORDER BY score_e6 DESC, doc_id ASC LIMIT 10
 """
 
 
+def _media_frame(spark, sf_dir, limit=100):
+    """Deterministic media table synthesized from documents: content =
+    UTF-8 bytes of the text (ASCII corpus, so byte offsets == char
+    offsets — mirrored exactly in the DuckDB twins)."""
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < limit)
+    return docs.select(
+        F.col("doc_id").alias("id"),
+        F.lit("video").alias("media_type"),
+        F.encode("text", "UTF-8").alias("content"),
+        F.create_map(F.lit("source"), F.col("source")).alias("meta"),
+    )
+
+
+def q_media_stats(spark, sf_dir):
+    """Multimodal byte-level stats (size/sha/magic) over opaque binary
+    payloads — the pure-Catalyst stage of the media pipeline."""
+    from .text.multimodal import media_stats
+
+    return media_stats(_media_frame(spark, sf_dir)).orderBy("id")
+
+
+ORACLES["media_stats"] = """
+SELECT doc_id AS id, 'video' AS media_type,
+       octet_length(encode(text))::BIGINT AS n_bytes,
+       sha256(text) AS content_sha256,
+       hex(encode(substring(text, 1, 4))) AS magic,
+       source
+FROM documents WHERE doc_id < 100 ORDER BY id
+"""
+
+
+def q_media_frames(spark, sf_dir):
+    """Frame-sampling plumbing (video demux stand-in): one row per
+    sampled fixed-size frame via Arrow-batched mapInPandas."""
+    from .text.multimodal import sample_frames
+
+    frames = sample_frames(_media_frame(spark, sf_dir, limit=50),
+                           every_n_bytes=64, max_frames=4)
+    return frames.select(
+        "id", F.col("frame_idx").cast("int"), F.hex("frame").alias("frame_hex")
+    ).orderBy("id", "frame_idx")
+
+
+ORACLES["media_frames"] = """
+WITH m AS (SELECT doc_id, text FROM documents WHERE doc_id < 50),
+f AS (SELECT doc_id,
+             unnest(generate_series(1, least(4, greatest(1, length(text) // 64)))) AS k,
+             text
+      FROM m)
+SELECT doc_id AS id, (k - 1)::INT AS frame_idx,
+       hex(encode(substring(text, ((k - 1) * 64 + 1)::BIGINT, 64))) AS frame_hex
+FROM f ORDER BY id, frame_idx
+"""
+
+
 QUERIES = {
     "term_bm25_topk": q_term_bm25,
     "phrase_bm25": q_phrase_bm25,
@@ -1169,6 +1224,8 @@ QUERIES = {
     "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
     "range_bm25": q_range_bm25,
     "regexp_bm25": q_regexp_bm25,
+    "media_stats": q_media_stats,
+    "media_frames": q_media_frames,
 }
 
 if _HAS_STD_ORACLE:
