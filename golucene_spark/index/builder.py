@@ -415,6 +415,41 @@ def blocked_postings(tf: DataFrame, block_size: int = BLOCK_SIZE,
     )
 
 
+def _collect_term_ranges(index_dir: str, chunk: int | str) -> dict[str, list] | None:
+    """Per-file [min_term, max_term] from the parquet footers of a
+    chunk's kind=post files — the FST terms index (.tip) role at table
+    level: a reader consults this tiny map to open ONLY the files whose
+    term range can contain a query term (realized file-level pruning,
+    beyond Parquet's in-task row-group pruning).  Returns None when any
+    footer lacks term statistics (reader falls back to the full scan)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    post_dir = os.path.join(index_dir, "postings", f"chunk={chunk}", "kind=post")
+    out: dict[str, list] = {}
+    for f in sorted(glob.glob(os.path.join(post_dir, "*.parquet"))):
+        md = pq.ParquetFile(f).metadata
+        col_idx = None
+        for i in range(md.num_columns):
+            if md.schema.column(i).name == "term":
+                col_idx = i
+                break
+        if col_idx is None:
+            return None
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(col_idx).statistics
+            if st is None or not st.has_min_max:
+                return None
+            mins.append(st.min)
+            maxs.append(st.max)
+        if mins:
+            rel = os.path.relpath(f, index_dir)
+            out[rel] = [min(mins), max(maxs)]
+    return out or None
+
+
 def _explode_doc_sentinels(written: DataFrame) -> DataFrame:
     """kind=doc sentinel blocks -> one doc_stats row per doc.
 
@@ -458,6 +493,7 @@ class IndexBuilder:
         index_positions: bool = True,
         salt_range: int | None = None,
         range_layout: bool = False,
+        range_partitions: int | None = None,
     ):
         self.spark = spark
         self.spec = spec or CorpusSpec.source_code()
@@ -473,6 +509,7 @@ class IndexBuilder:
         # Default off: costs a second shuffle; worth it for indexes served
         # by many point queries.
         self.range_layout = range_layout
+        self.range_partitions = range_partitions
 
     # -- manifest helpers (the segments_N generation protocol analogue) --
     @staticmethod
@@ -546,7 +583,14 @@ class IndexBuilder:
                 tf, self.block_size, self.salt_range, include_sentinels=True
             )
             if self.range_layout:
-                post = post.repartitionByRange("kind", "field", "term")
+                # explicit partition count: AQE coalescing would merge a
+                # small build into one file, defeating file-level pruning
+                if self.range_partitions:
+                    post = post.repartitionByRange(
+                        self.range_partitions, "kind", "field", "term"
+                    )
+                else:
+                    post = post.repartitionByRange("kind", "field", "term")
             (post.sortWithinPartitions("kind", "field", "term", "segment_id", "block_id")
                  .write.mode("overwrite")
                  .partitionBy("kind")
@@ -593,12 +637,16 @@ class IndexBuilder:
                 ).collect()
             }
             n_docs = sum(seg_counts.values())
+            term_ranges = (
+                _collect_term_ranges(index_dir, chunk) if self.range_layout else None
+            )
             self._commit_chunk(
                 index_dir,
                 {
                     "chunk": chunk,
                     "status": "committed",
                     "n_docs": n_docs,
+                    **({"term_ranges": term_ranges} if term_ranges else {}),
                     "segments": seg_counts,
                     "analyzer": self.analyzer,
                     "quantize_norms": self.quantize_norms,
@@ -726,9 +774,9 @@ class MaterializedIndex:
         self.term_dict = spark.read.parquet(os.path.join(index_dir, "term_dict"))
         self.doc_stats = spark.read.parquet(os.path.join(index_dir, "doc_stats"))
         self.doc_meta = spark.read.parquet(os.path.join(index_dir, "doc_meta"))
-        dead = dead_segments(index_dir)
-        if dead:
-            alive = lambda df: df.filter(~F.col("segment_id").isin([int(x) for x in dead]))
+        self._dead = sorted(int(x) for x in dead_segments(index_dir))
+        if self._dead:
+            alive = lambda df: df.filter(~F.col("segment_id").isin(self._dead))
             self.postings = alive(self.postings)
             self.term_dict = alive(self.term_dict)
             self.doc_stats = alive(self.doc_stats)
@@ -738,24 +786,62 @@ class MaterializedIndex:
         from .deletes import tombstones as _tombstones
 
         self._tombstones = _tombstones(spark, index_dir)
-        # read quantize_norms from a record that actually carries it
-        # (merge/tombstone records don't; breaking on the first json in
-        # listdir order could misread an unquantized index as quantized)
+        # one manifest pass: quantize_norms (from a record that actually
+        # carries it — merge/tombstone records don't) + file-level term
+        # ranges (the .tip role: range_layout builds record per-file
+        # [min_term, max_term]; pruning is enabled only when EVERY data
+        # chunk carries ranges, else full scan)
         self.quantized = True
+        self._term_ranges: dict[str, list] = {}
+        ranges_ok = True
+        saw_quant = False
         mdir = os.path.join(index_dir, "manifest")
         if os.path.isdir(mdir):
             import json as _json
             for fn in sorted(os.listdir(mdir)):
-                if fn.endswith(".json"):
-                    with open(os.path.join(mdir, fn)) as f:
-                        rec = _json.load(f)
-                    if "quantize_norms" in rec:
-                        self.quantized = bool(rec["quantize_norms"])
-                        break
+                if not fn.endswith(".json"):
+                    continue
+                with open(os.path.join(mdir, fn)) as f:
+                    rec = _json.load(f)
+                if not saw_quant and "quantize_norms" in rec:
+                    self.quantized = bool(rec["quantize_norms"])
+                    saw_quant = True
+                if rec.get("kind") == "delete":
+                    continue
+                tr = rec.get("term_ranges")
+                if tr:
+                    self._term_ranges.update(tr)
+                else:
+                    ranges_ok = False
+        self._prune_files = ranges_ok and bool(self._term_ranges)
+        self.last_prune_stats: tuple | None = None
         self._field_stats = {
             r["field"]: r.asDict()
             for r in spark.read.parquet(os.path.join(index_dir, "field_stats")).collect()
         }
+
+    def postings_frame(self, field: str, terms: list[str]) -> DataFrame:
+        """Block-level posting rows for the given terms, reading ONLY
+        the parquet files whose [min_term, max_term] footer range can
+        contain one of them (file-level pruning via the manifest's
+        term_ranges — the FST .tip seek re-expressed).  Falls back to
+        the full term-pruned scan when ranges are unavailable."""
+        if not self._prune_files:
+            return self.postings.filter(
+                (F.col("field") == field) & F.col("term").isin(terms)
+            )
+        files = [
+            os.path.join(self.index_dir, rel)
+            for rel, (lo, hi) in self._term_ranges.items()
+            if any(lo <= t <= hi for t in terms)
+        ]
+        self.last_prune_stats = (len(self._term_ranges), len(files))
+        if not files:
+            return self.postings.filter(F.lit(False))
+        df = self.spark.read.parquet(*files)
+        if self._dead:
+            df = df.filter(~F.col("segment_id").isin(self._dead))
+        return df.filter((F.col("field") == field) & F.col("term").isin(terms))
 
     def postings_for_terms(self, field: str, terms: list[str],
                            min_score_ub=None, score_ub_fn=None,
@@ -764,7 +850,7 @@ class MaterializedIndex:
         terms.  Optional block-max pruning: score_ub_fn(block_max_freq,
         block_min_dlq, term) -> Column upper bound; blocks below
         min_score_ub are skipped before decode (the WAND move)."""
-        p = self.postings.filter((F.col("field") == field) & F.col("term").isin(terms))
+        p = self.postings_frame(field, terms)
         if min_score_ub is not None and score_ub_fn is not None:
             p = p.filter(score_ub_fn(F.col("block_max_freq"), F.col("block_min_dlq"), F.col("term")) >= min_score_ub)
         zcols = ["doc_ids", "freqs", "dlqs", "norm_bytes"] + (

@@ -95,9 +95,7 @@ def _rescore_candidates(
     needed = _blocks_for_candidates(term_blocks, cand_docs)
     if stats_out is not None:
         stats_out[stats_key] = needed.count()
-    p = index.postings.filter(
-        (F.col("field") == field) & F.col("term").isin(list(weights))
-    ).join(needed, ["term", "segment_id", "block_id"], "left_semi")
+    p = term_blocks.join(needed, ["term", "segment_id", "block_id"], "left_semi")
     flat = p.select(
         "term", F.explode(F.arrays_zip("doc_ids", "freqs", "dlqs", "norm_bytes")).alias("e")
     ).select(
@@ -160,8 +158,10 @@ def wand_topk(searcher: Searcher, query, k: int = 10,
         * mf
         / (mf + k1 * (1.0 - b + b * F.col("block_min_dlq") / avgdl))
     )
-    term_blocks = index.postings.filter(
-        (F.col("field") == field) & F.col("term").isin(terms)
+    term_blocks = (
+        index.postings_frame(field, terms)
+        if hasattr(index, "postings_frame")
+        else index.postings.filter((F.col("field") == field) & F.col("term").isin(terms))
     )
     # metadata-only frame, consulted by several small driver jobs
     # (per-term max ub, seed-block pick, surviving filter): cache it so

@@ -157,11 +157,27 @@ def test_range_layout_equivalence(spark, corpus, tmp_path_factory):
     d1 = str(tmp_path_factory.mktemp("ixr") / "plain")
     d2 = str(tmp_path_factory.mktemp("ixr") / "ranged")
     IndexBuilder(spark, CorpusSpec.source_code(), num_segments=4).build(corpus, d1)
-    IndexBuilder(spark, CorpusSpec.source_code(), num_segments=4, range_layout=True).build(corpus, d2)
+    IndexBuilder(spark, CorpusSpec.source_code(), num_segments=4, range_layout=True, range_partitions=8).build(corpus, d2)
     s1 = Searcher(MaterializedIndex(spark, d1), "bm25")
-    s2 = Searcher(MaterializedIndex(spark, d2), "bm25")
+    ix2 = MaterializedIndex(spark, d2)
+    s2 = Searcher(ix2, "bm25")
     q = parse_query("content:parse OR content:buffer")
     r1 = [(r["doc_id"], round(r["score"], 10)) for r in s1.search(q, 10).collect()]
     r2 = [(r["doc_id"], round(r["score"], 10)) for r in s2.search(q, 10).collect()]
     assert r1 == r2
     verify_index(spark, d2, source_df=corpus, text_col="content")
+
+    # file-level term pruning (the .tip role): the ranged build records
+    # per-file [min_term, max_term] in the manifest, and a term query
+    # opens strictly fewer files than the index has
+    assert ix2._prune_files
+    total, opened = ix2.last_prune_stats
+    assert opened < total and opened >= 1
+    # the plain build records no ranges -> full scan path
+    assert not MaterializedIndex(spark, d1)._prune_files
+    # pruning returns the identical result set for a rare and a hot term
+    for qs in ("content:zyzzyva_rare0", "content:return"):
+        qq = parse_query(qs)
+        a = [(r["doc_id"], round(r["score"], 10)) for r in s1.search(qq, 10).collect()]
+        b = [(r["doc_id"], round(r["score"], 10)) for r in s2.search(qq, 10).collect()]
+        assert a == b, qs
