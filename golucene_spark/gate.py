@@ -1185,6 +1185,38 @@ FROM f ORDER BY id, frame_idx
 """
 
 
+def q_bpe_tokens(spark, sf_dir):
+    """Token-counting for training-data budgeting: whitespace count vs
+    a BPE-ish pre-tokenizer regex count + chars/token."""
+    from .text import bpe_token_count
+
+    q = bpe_token_count(_docs(spark, sf_dir).filter(F.col("doc_id") < 200))
+    return q.select(
+        "doc_id", "ws_tokens", "bpe_tokens",
+        F.round(F.col("chars_per_token") * 1e6, 0).cast("long").alias("cpt_e6"),
+    ).orderBy("doc_id")
+
+
+from .text.quality import BPE_PATTERN as _BPE  # noqa: E402
+
+# DuckDB regular strings keep backslashes literal: only quotes need doubling
+_BPE_SQL = _BPE.replace("'", "''")
+
+ORACLES["bpe_token_count"] = f"""
+WITH t AS (
+  SELECT doc_id,
+    CASE WHEN length(trim(text)) > 0
+         THEN len(regexp_split_to_array(trim(text), '\\s+')) ELSE 0 END AS ws_tokens,
+    len(regexp_extract_all(text, '{_BPE_SQL}')) AS bpe_tokens,
+    length(text) AS n_chars
+  FROM documents WHERE doc_id < 200
+)
+SELECT doc_id, ws_tokens::BIGINT AS ws_tokens, bpe_tokens::BIGINT AS bpe_tokens,
+       CAST(ROUND(n_chars::DOUBLE / greatest(bpe_tokens, 1) * 1000000.0, 0) AS BIGINT) AS cpt_e6
+FROM t ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "term_bm25_topk": q_term_bm25,
     "phrase_bm25": q_phrase_bm25,
@@ -1226,6 +1258,7 @@ QUERIES = {
     "regexp_bm25": q_regexp_bm25,
     "media_stats": q_media_stats,
     "media_frames": q_media_frames,
+    "bpe_token_count": q_bpe_tokens,
 }
 
 if _HAS_STD_ORACLE:

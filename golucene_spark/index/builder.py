@@ -876,6 +876,16 @@ class MaterializedIndex:
             .agg(F.sum("df").alias("df"), F.sum("ttf").alias("ttf"))
         )
 
+    def document(self, doc_id: int) -> dict | None:
+        """Stored-field retrieval by docID (IndexReader.Document,
+        core/document/document.go:75): the doc_meta row as a dict, or
+        None for an unknown/deleted doc."""
+        if self._tombstones is not None:
+            if self._tombstones.filter(F.col("doc_id") == int(doc_id)).count():
+                return None
+        rows = self.doc_meta.filter(F.col("doc_id") == int(doc_id)).limit(1).collect()
+        return rows[0].asDict() if rows else None
+
     def collection_stats_row(self, field: str) -> dict:
         if field in self._field_stats:
             return self._field_stats[field]

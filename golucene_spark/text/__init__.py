@@ -1,5 +1,5 @@
 from .dedup import exact_dups, minhash_signatures, minhash_lsh_pairs, simhash64, ngram_jaccard_pairs, dedup_groups
-from .quality import token_quality, language_id, doc_fingerprint
+from .quality import token_quality, language_id, doc_fingerprint, bpe_token_count
 from .ann import (
     cosine_topk,
     cosine_pairs,
@@ -20,6 +20,7 @@ __all__ = [
     "token_quality",
     "language_id",
     "doc_fingerprint",
+    "bpe_token_count",
     "cosine_topk",
     "cosine_pairs",
     "cosine_pairs_lsh",

@@ -54,6 +54,30 @@ def token_quality(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
+# GPT-2-style pre-tokenizer, simplified to the RE2-compatible subset
+# (no lookahead; lowercase ASCII corpus): contractions, space-prefixed
+# letter runs, space-prefixed digit runs, space-prefixed punct runs.
+BPE_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?[a-zA-Z]+| ?[0-9]+| ?[^\sa-zA-Z0-9]+"
+
+
+def bpe_token_count(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-doc token counts under a BPE-ish pre-tokenizer regex (the
+    pre-merge segmentation a GPT-2-style tokenizer applies) next to the
+    plain whitespace count — the cost-estimation numbers a training
+    pipeline budgets with.  Pure Catalyst; identical regex runs in the
+    DuckDB oracle."""
+    ws = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    ws = F.when(F.length(F.trim(F.col(text_col))) > 0, ws).otherwise(F.lit(0))
+    # Column-typed pattern avoids SQL string-literal backslash mangling
+    bpe = F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_PATTERN), F.lit(0)))
+    return df.select(
+        F.col(id_col),
+        ws.cast("long").alias("ws_tokens"),
+        bpe.cast("long").alias("bpe_tokens"),
+        (F.length(text_col).cast("double") / F.greatest(bpe, F.lit(1)).cast("double")).alias("chars_per_token"),
+    )
+
+
 def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Heuristic language ID: English stopword hit-rate vs small
     German/French/Spanish function-word sets (n-gram-free, vectorized).
