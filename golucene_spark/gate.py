@@ -1217,6 +1217,62 @@ FROM t ORDER BY doc_id
 """
 
 
+def q_bool_or_classic(spark, sf_dir):
+    """Classic TF-IDF boolean OR: exercises queryNorm over multiple
+    clauses AND the coord factor (search.go:467-469) — previously
+    pytest-only (the classic gate was single-term)."""
+    return _topk_e6(Searcher(_index(spark, sf_dir), "classic"), "text:data OR text:query")
+
+
+ORACLES["bool_or_classic"] = f"""{BASE_CTE},
+ts0 AS (SELECT count(*)::BIGINT AS df FROM tf WHERE term = 'data'),
+ts1 AS (SELECT count(*)::BIGINT AS df FROM tf WHERE term = 'query'),
+idf0 AS (SELECT ln(stats.n_docs / (ts0.df + 1.0)) + 1 AS idf FROM stats, ts0),
+idf1 AS (SELECT ln(stats.n_docs / (ts1.df + 1.0)) + 1 AS idf FROM stats, ts1),
+qn AS (SELECT 1.0 / sqrt(power(idf0.idf * 1.0, 2) + power(idf1.idf * 1.0, 2)) AS v
+       FROM idf0, idf1),
+contrib AS (
+  SELECT tf.doc_id, qn.v * (idf0.idf * 1.0) * idf0.idf * sqrt(tf.freq) * (1.0 / sqrt(dl.dl)) AS s
+  FROM tf JOIN dl USING (doc_id), qn, idf0 WHERE tf.term = 'data'
+  UNION ALL
+  SELECT tf.doc_id, qn.v * (idf1.idf * 1.0) * idf1.idf * sqrt(tf.freq) * (1.0 / sqrt(dl.dl)) AS s
+  FROM tf JOIN dl USING (doc_id), qn, idf1 WHERE tf.term = 'query'
+),
+summed AS (SELECT doc_id, sum(s) AS score, count(*) AS coord FROM contrib GROUP BY doc_id)
+SELECT doc_id, CAST(ROUND(((score * coord) / 2.0) * 1000000.0, 0) AS BIGINT) AS score_e6
+FROM summed ORDER BY score_e6 DESC, doc_id ASC LIMIT 10
+"""
+
+
+def q_bool_msm_bm25(spark, sf_dir):
+    """minimumShouldMatch=2 over three SHOULD clauses
+    (booleanQuery.go:104-105 panics on >1 in the reference)."""
+    from .search.ast import BooleanClause, BooleanQuery, Occur, TermQuery
+
+    q = BooleanQuery(
+        tuple(
+            BooleanClause(TermQuery("text", t), Occur.SHOULD)
+            for t in ("data", "query", "window")
+        ),
+        minimum_should_match=2,
+    )
+    s = Searcher(_index(spark, sf_dir), "bm25")
+    frame = s.score_frame(q)
+    return (
+        frame.withColumn("score_e6", F.round(F.col("score") * 1e6, 0).cast("long"))
+        .orderBy(F.desc("score_e6"), F.asc("doc_id"))
+        .limit(10)
+        .select("doc_id", "score_e6")
+    )
+
+
+ORACLES["bool_msm_bm25"] = _bool_sum_sql(
+    [_bm25_contrib_sql("data", 0), _bm25_contrib_sql("query", 1),
+     _bm25_contrib_sql("window", 2)],
+    n_must=2,
+)
+
+
 QUERIES = {
     "term_bm25_topk": q_term_bm25,
     "phrase_bm25": q_phrase_bm25,
@@ -1259,6 +1315,8 @@ QUERIES = {
     "media_stats": q_media_stats,
     "media_frames": q_media_frames,
     "bpe_token_count": q_bpe_tokens,
+    "bool_or_classic": q_bool_or_classic,
+    "bool_msm_bm25": q_bool_msm_bm25,
 }
 
 if _HAS_STD_ORACLE:
