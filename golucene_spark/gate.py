@@ -431,7 +431,8 @@ def q_jaccard_pairs(spark, sf_dir):
 
 
 def q_minhash_lsh(spark, sf_dir):
-    """rows-only: MinHash+LSH near-dup pairs (xxhash64 not in DuckDB)."""
+    """MinHash+LSH near-dup pairs; DuckDB twin joins a golden XXH64
+    parquet generated by an independent pure-Python spec implementation."""
     from .text import minhash_lsh_pairs
 
     p = minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.3)
@@ -441,8 +442,8 @@ def q_minhash_lsh(spark, sf_dir):
 
 
 def q_near_dup_groups(spark, sf_dir):
-    """rows-only: MinHash pairs -> iterative connected components
-    (canonical-doc groups); iterative, not SQL-expressible."""
+    """MinHash pairs -> iterative connected components (canonical-doc
+    groups); DuckDB twin = recursive-CTE transitive closure."""
     from .text import minhash_lsh_pairs
     from .text.dedup import dedup_groups
 
@@ -451,23 +452,76 @@ def q_near_dup_groups(spark, sf_dir):
 
 
 def q_simhash(spark, sf_dir):
-    """rows-only: 64-bit SimHash signatures."""
+    """64-bit SimHash signatures (oracle via golden XXH64 parquet)."""
     from .text import simhash64
 
     return simhash64(_docs(spark, sf_dir).filter(F.col("doc_id") < 100)).orderBy("doc_id")
 
 
 def q_ann_lsh(spark, sf_dir):
-    """rows-only: LSH-bucketed approximate cosine top-k (scale path)."""
+    """LSH-bucketed approximate cosine top-k (scale path): sign-bit
+    bucketing + driver-enumerated probe set; oracle-paired via a
+    hyperplane parquet the DuckDB twin replays with the same fold."""
     from .text.ann import add_lsh_bucket, lsh_cosine_topk
 
     emb = _emb(spark, sf_dir)
     qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
     bucketed = add_lsh_bucket(emb, len(qv), n_bits=16)
     out = lsh_cosine_topk(bucketed, qv, 10, n_bits=16, max_hamming=4, exclude_id=0)
-    return out.withColumn("cos_e6", F.round(F.col("cosine") * 1e6, 0).cast("long")).select(
-        "vec_id", "cos_e6"
+    return (
+        out.withColumn("cos_e6", F.round(F.col("cosine") * 1e6, 0).cast("long"))
+        .select("vec_id", "cos_e6")
+        .orderBy(F.desc("cos_e6"), F.asc("vec_id"))
     )
+
+
+def _hyperplane_parquet(dim: int = 64, n_bits: int = 16) -> str:
+    out = os.path.join("/root/repo/.data", f"lsh_hyperplanes_{n_bits}x{dim}.parquet")
+    if os.path.exists(out):
+        return out
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from .text.ann import hyperplanes
+
+    H = hyperplanes(dim, n_bits, seed=42)
+    os.makedirs("/root/repo/.data", exist_ok=True)
+    pq.write_table(
+        pa.table({
+            "bit": pa.array(list(range(n_bits)), pa.int32()),
+            "coefs": pa.array([[float(x) for x in H[i]] for i in range(n_bits)],
+                              pa.list_(pa.float64())),
+        }),
+        out,
+    )
+    return out
+
+
+try:
+    _HPQ = _hyperplane_parquet()
+    ORACLES["ann_lsh_topk"] = f"""
+WITH hp AS (SELECT bit, coefs FROM '{_HPQ}'),
+eb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+bk AS (
+  SELECT vec_id,
+         sum(CASE WHEN list_dot_product(v, coefs) > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS bucket
+  FROM eb, hp GROUP BY vec_id
+),
+qb AS (SELECT bucket AS qbucket FROM bk WHERE vec_id = 0),
+cand AS (
+  SELECT eb.vec_id, eb.v FROM eb JOIN bk USING (vec_id), qb
+  WHERE bit_count(xor(bk.bucket, qb.qbucket)) <= 4 AND eb.vec_id != 0
+),
+q AS (SELECT v AS qv FROM eb WHERE vec_id = 0)
+SELECT vec_id::BIGINT AS vec_id,
+  CAST(ROUND(list_dot_product(cand.v, q.qv)
+       / (sqrt(list_dot_product(cand.v, cand.v)) * sqrt(list_dot_product(q.qv, q.qv)))
+       * 1000000.0, 0) AS BIGINT) AS cos_e6
+FROM cand, q
+ORDER BY cos_e6 DESC, vec_id ASC LIMIT 10
+"""
+except Exception:  # pragma: no cover
+    pass
 
 
 _TOKS = f"regexp_extract_all(lower(text), '{TOKEN_PATTERN}')"
@@ -1217,6 +1271,187 @@ FROM t ORDER BY doc_id
 """
 
 
+# --- xxhash64-based dedup oracle pairing -----------------------------------
+# Spark's xxhash64 is XXH64(seed=42) over UTF-8 bytes; an INDEPENDENT
+# pure-Python implementation of the public spec (text/xxh64.py)
+# generates a golden (string -> hash) parquet the DuckDB twins join,
+# turning minhash_lsh_pairs and simhash64 from rows-only into
+# oracle-paired.
+
+def _xxh_parquet(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    import re as _re
+
+    out = os.path.join(
+        "/root/repo/.data", f"xxh64_{os.path.basename(os.path.normpath(sf_dir))}.parquet"
+    )
+    if os.path.exists(out):
+        return out
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from .text.xxh64 import xxh64_str
+
+    rows = duckdb.sql(
+        f"SELECT text FROM '{os.path.join(sf_dir, 'documents.parquet')}'"
+    ).fetchall()
+    tokre = _re.compile(TOKEN_PATTERN)
+    strings: set[str] = set()
+    for (text,) in rows:
+        toks = tokre.findall((text or "").lower())
+        strings.update(toks)
+        if len(toks) >= 3:
+            strings.update(" ".join(toks[i:i + 3]) for i in range(len(toks) - 2))
+        else:
+            strings.add(" ".join(toks))
+    items = sorted(strings)
+    os.makedirs("/root/repo/.data", exist_ok=True)
+    pq.write_table(
+        pa.table({
+            "s": pa.array(items, pa.string()),
+            "h": pa.array([xxh64_str(s) for s in items], pa.int64()),
+        }),
+        out,
+    )
+    return out
+
+
+def _minhash_oracle_sql(hx_path: str, num_perm=64, bands=16, threshold=0.3) -> str:
+    from .text.dedup import MERSENNE_P, _perm_params
+
+    a, b = _perm_params(num_perm, seed=42)
+    rpb = num_perm // bands
+    mins = ",\n    ".join(
+        f"min((h * {int(a[i])} + {int(b[i])}) % {MERSENNE_P}) AS mh{i}"
+        for i in range(num_perm)
+    )
+    band_sel = "\n  UNION ALL ".join(
+        "SELECT doc_id, {band} AS band, {key} AS key FROM mh".format(
+            band=bnd,
+            key=" || '_' || ".join(
+                f"mh{bnd * rpb + j}::VARCHAR" for j in range(rpb)
+            ),
+        )
+        for bnd in range(bands)
+    )
+    return f"""
+WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS toks FROM documents),
+shl AS (SELECT doc_id,
+          list_distinct(CASE WHEN len(toks) >= 3
+            THEN list_transform(generate_series(1, len(toks) - 2), i -> array_to_string(toks[i:i+2], ' '))
+            ELSE [array_to_string(toks, ' ')] END) AS s
+        FROM tok),
+sh AS (SELECT doc_id, unnest(s) AS s FROM shl),
+hx AS (SELECT s, h FROM '{hx_path}'),
+hh AS (SELECT doc_id, ((h % {MERSENNE_P}) + {MERSENNE_P}) % {MERSENNE_P} AS h
+       FROM sh JOIN hx USING (s)),
+mh AS (SELECT doc_id,
+    {mins}
+  FROM hh GROUP BY doc_id),
+banded AS (
+  {band_sel}
+),
+cand AS (
+  SELECT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM banded l JOIN banded r ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+  GROUP BY 1, 2
+),
+p AS (
+  SELECT c.id_a, c.id_b,
+         len(list_intersect(a2.s, b2.s))::DOUBLE / len(list_distinct(list_concat(a2.s, b2.s)))::DOUBLE AS jaccard
+  FROM cand c JOIN shl a2 ON a2.doc_id = c.id_a JOIN shl b2 ON b2.doc_id = c.id_b
+)
+SELECT id_a, id_b, CAST(ROUND(jaccard * 1000000.0, 0) AS BIGINT) AS jaccard_e6
+FROM p WHERE jaccard >= {threshold} ORDER BY id_a, id_b
+"""
+
+
+def _simhash_oracle_sql(hx_path: str) -> str:
+    bit_sums = ",\n    ".join(
+        f"sum((((h >> {k}) & 1) * 2 - 1) * w) AS b{k}" for k in range(64)
+    )
+    acc = " + ".join(
+        f"(CASE WHEN b{k} > 0 THEN {1 << k if k < 63 else -(1 << 63)} ELSE 0 END)"
+        for k in range(64)
+    )
+    return f"""
+WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS tok
+             FROM documents WHERE doc_id < 100),
+tf AS (SELECT doc_id, tok, count(*)::BIGINT AS w FROM tok GROUP BY 1, 2),
+hx AS (SELECT s, h FROM '{hx_path}'),
+th AS (SELECT doc_id, w, h FROM tf JOIN hx ON hx.s = tf.tok),
+bits AS (SELECT doc_id,
+    {bit_sums}
+  FROM th GROUP BY doc_id)
+SELECT doc_id, ({acc})::BIGINT AS simhash FROM bits ORDER BY doc_id
+"""
+
+
+def _near_dup_groups_oracle_sql(hx_path: str, num_perm=64, bands=16, threshold=0.3) -> str:
+    """Connected components over the MinHash near-dup pairs via a
+    recursive CTE (transitive closure + min label) — the SQL twin of
+    the engine's iterative min-label propagation."""
+    from .text.dedup import MERSENNE_P, _perm_params
+
+    a, b = _perm_params(num_perm, seed=42)
+    rpb = num_perm // bands
+    mins = ",\n    ".join(
+        f"min((h * {int(a[i])} + {int(b[i])}) % {MERSENNE_P}) AS mh{i}"
+        for i in range(num_perm)
+    )
+    band_sel = "\n  UNION ALL ".join(
+        "SELECT doc_id, {band} AS band, {key} AS key FROM mh".format(
+            band=bnd,
+            key=" || '_' || ".join(f"mh{bnd * rpb + j}::VARCHAR" for j in range(rpb)),
+        )
+        for bnd in range(bands)
+    )
+    return f"""
+WITH RECURSIVE tok AS (SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS toks FROM documents),
+shl AS (SELECT doc_id,
+          list_distinct(CASE WHEN len(toks) >= 3
+            THEN list_transform(generate_series(1, len(toks) - 2), i -> array_to_string(toks[i:i+2], ' '))
+            ELSE [array_to_string(toks, ' ')] END) AS s
+        FROM tok),
+sh AS (SELECT doc_id, unnest(s) AS s FROM shl),
+hx AS (SELECT s, h FROM '{hx_path}'),
+hh AS (SELECT doc_id, ((h % {MERSENNE_P}) + {MERSENNE_P}) % {MERSENNE_P} AS h
+       FROM sh JOIN hx USING (s)),
+mh AS (SELECT doc_id,
+    {mins}
+  FROM hh GROUP BY doc_id),
+banded AS (
+  {band_sel}
+),
+cand AS (
+  SELECT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM banded l JOIN banded r ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT c.id_a, c.id_b
+  FROM cand c JOIN shl a2 ON a2.doc_id = c.id_a JOIN shl b2 ON b2.doc_id = c.id_b
+  WHERE len(list_intersect(a2.s, b2.s))::DOUBLE / len(list_distinct(list_concat(a2.s, b2.s)))::DOUBLE >= {threshold}
+),
+e AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION SELECT id_b, id_a FROM pairs),
+reach(n, m) AS (
+  SELECT src, src FROM e
+  UNION
+  SELECT e.src, reach.m FROM e JOIN reach ON e.dst = reach.n
+)
+SELECT n::BIGINT AS doc_id, min(m)::BIGINT AS group_id FROM reach GROUP BY n ORDER BY doc_id
+"""
+
+
+try:
+    _HX = _xxh_parquet()
+    ORACLES["minhash_lsh_pairs"] = _minhash_oracle_sql(_HX)
+    ORACLES["simhash64"] = _simhash_oracle_sql(_HX)
+    ORACLES["near_dup_groups"] = _near_dup_groups_oracle_sql(_HX)
+except Exception:  # pragma: no cover — fall back to rows-only entries
+    pass
+
+
 def q_bool_or_classic(spark, sf_dir):
     """Classic TF-IDF boolean OR: exercises queryNorm over multiple
     clauses AND the coord factor (search.go:467-469) — previously
@@ -1299,10 +1534,10 @@ QUERIES = {
     "language_id": q_langid,
     "doc_fingerprint": q_fingerprint,
     "ngram_jaccard_pairs": q_jaccard_pairs,
-    "minhash_lsh_pairs": q_minhash_lsh,   # rows-only (no xxhash64 in DuckDB)
-    "near_dup_groups": q_near_dup_groups,  # rows-only (iterative CC)
-    "simhash64": q_simhash,               # rows-only
-    "ann_lsh_topk": q_ann_lsh,            # rows-only (approximate path)
+    "minhash_lsh_pairs": q_minhash_lsh,   # oracle via golden XXH64 parquet
+    "near_dup_groups": q_near_dup_groups,  # oracle via recursive-CTE closure
+    "simhash64": q_simhash,               # oracle via golden XXH64 parquet
+    "ann_lsh_topk": q_ann_lsh,            # oracle via hyperplane parquet
     "parsed_phrase_bm25": q_parsed_phrase_bm25,
     "nested_bool_bm25": q_nested_bool_bm25,
     "fuzzy_bm25": q_fuzzy_bm25,

@@ -118,9 +118,18 @@ def lsh_cosine_topk(
     the query's bucket, brute-force cosine inside them.  The probe set
     is enumerated driver-side -> `lsh_bucket IN (...)` prunes files/
     partitions; never a full scan."""
-    qv = np.asarray([float(x) for x in query_vec])
+    qv = [float(x) for x in query_vec]
     H = hyperplanes(len(qv), n_bits, seed)
-    qbucket = int(sum((1 << i) for i in range(n_bits) if float(H[i] @ qv) > 0))
+    qbucket = 0
+    for i in range(n_bits):
+        # sequential left-fold dot: the exact association order of the
+        # JVM aggregate in add_lsh_bucket (and of the SQL oracle twin),
+        # so the query's bucket matches the table's bucketing bit-for-bit
+        dot = 0.0
+        for hx, vx in zip(H[i], qv):
+            dot += float(hx) * vx
+        if dot > 0:
+            qbucket |= 1 << i
     cand = emb_bucketed.filter(
         F.col("lsh_bucket").isin(probe_buckets(qbucket, n_bits, max_hamming))
     )
