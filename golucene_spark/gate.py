@@ -1452,6 +1452,48 @@ except Exception:  # pragma: no cover — fall back to rows-only entries
     pass
 
 
+def q_highlight(spark, sf_dir):
+    """Snippet highlighting over the BM25 top-k: per-term first-match
+    positions + a window around the earliest match (search-UI surface;
+    no highlighter exists in the reference core)."""
+    from .search.highlight import highlight
+
+    s = Searcher(_index(spark, sf_dir), "bm25")
+    q = parse_query("text:data OR text:query", default_field="text", analyzer="simple")
+    hits = (
+        s.score_frame(q)
+        .withColumn("score_e6", F.round(F.col("score") * 1e6, 0).cast("long"))
+        .orderBy(F.desc("score_e6"), F.asc("doc_id"))
+        .limit(10)
+        .select("doc_id", "score_e6")
+    )
+    docs = _docs(spark, sf_dir)
+    return highlight(hits, docs, ["data", "query"]).orderBy(
+        F.desc("score_e6"), F.asc("doc_id")
+    )
+
+
+_HL_SCORED = _bool_sum_sql(
+    [_bm25_contrib_sql("data", 0), _bm25_contrib_sql("query", 1)]
+).rstrip()
+
+ORACLES["highlight_topk"] = f"""
+WITH scored AS ({_HL_SCORED})
+SELECT s.doc_id, s.score_e6,
+  position('data' IN lower(d.text))::INT AS pos_0,
+  position('query' IN lower(d.text))::INT AS pos_1,
+  CASE WHEN coalesce(least(nullif(position('data' IN lower(d.text)), 0),
+                           nullif(position('query' IN lower(d.text)), 0)), 0) > 0
+       THEN substring(d.text,
+                      greatest(1, least(nullif(position('data' IN lower(d.text)), 0),
+                                        nullif(position('query' IN lower(d.text)), 0)) - 20),
+                      80)
+       ELSE '' END AS snippet
+FROM scored s JOIN documents d USING (doc_id)
+ORDER BY s.score_e6 DESC, s.doc_id ASC
+"""
+
+
 def q_bool_or_classic(spark, sf_dir):
     """Classic TF-IDF boolean OR: exercises queryNorm over multiple
     clauses AND the coord factor (search.go:467-469) — previously
@@ -1552,6 +1594,7 @@ QUERIES = {
     "bpe_token_count": q_bpe_tokens,
     "bool_or_classic": q_bool_or_classic,
     "bool_msm_bm25": q_bool_msm_bm25,
+    "highlight_topk": q_highlight,
 }
 
 if _HAS_STD_ORACLE:

@@ -13,6 +13,7 @@ from .ast import (
 from .parser import parse_query
 from .similarity import BM25Similarity, ClassicSimilarity
 from .executor import Searcher
+from .highlight import highlight
 
 __all__ = [
     "TermQuery",
@@ -29,4 +30,5 @@ __all__ = [
     "BM25Similarity",
     "ClassicSimilarity",
     "Searcher",
+    "highlight",
 ]
