@@ -46,3 +46,20 @@ def test_explain_negative_boost(ix):
     score = s.search(q, 1).collect()[0]["score"]
     exp = s.explain(q, 2)
     assert score < 0 and exp["value"] == pytest.approx(score, rel=1e-9)
+
+
+def test_highlight_snippets(spark):
+    """Per-term first-match positions + snippet window over hits."""
+    from golucene_spark.search import highlight
+
+    src = spark.createDataFrame(
+        [(0, "alpha beta gamma delta"), (1, "no match here"), (2, "xx beta yy")],
+        "doc_id long, text string",
+    )
+    hits = spark.createDataFrame([(0, 1.0), (1, 0.5), (2, 0.7)], "doc_id long, score double")
+    out = {r["doc_id"]: r for r in
+           highlight(hits, src, ["beta", "delta"], before=3, width=10).collect()}
+    assert out[0]["pos_0"] == 7 and out[0]["pos_1"] == 18
+    assert out[0]["snippet"] == "ha beta ga"   # window around earliest match
+    assert out[1]["pos_0"] == 0 and out[1]["snippet"] == ""
+    assert out[2]["pos_0"] == 4 and out[2]["snippet"] == "xx beta yy"
