@@ -1550,6 +1550,59 @@ ORACLES["bool_msm_bm25"] = _bool_sum_sql(
 )
 
 
+def q_sloppy_phrase_bm25(spark, sf_dir):
+    """Sloppy phrase "data query"~1 through the parser suffix production
+    and the sloppy scorer (search/phrase.py): every alignment pair whose
+    offset-adjusted spread is <= slop contributes 1/(1+spread).  With
+    slop=1 the weights (1, 0.5) are dyadic, so the freq sum is exact in
+    double regardless of accumulation order — the DuckDB twin is
+    bit-identical before rounding."""
+    s = Searcher(_index_pos(spark, sf_dir), "bm25")
+    q = parse_query(
+        f'text:"{PHRASE[0]} {PHRASE[1]}"~1', default_field="text", analyzer="simple"
+    )
+    frame = s.score_frame(q)
+    return (
+        frame.withColumn("score_e6", F.round(F.col("score") * 1e6, 0).cast("long"))
+        .orderBy(F.desc("score_e6"), F.asc("doc_id"))
+        .limit(10)
+        .select("doc_id", "score_e6")
+    )
+
+
+ORACLES["sloppy_phrase_bm25"] = f"""{BASE_CTE},
+otok AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS term,
+         generate_subscripts(regexp_extract_all(lower(text), '{TOKEN_PATTERN}'), 1) AS ord
+  FROM documents
+),
+kpos AS (
+  SELECT doc_id, term, row_number() OVER (PARTITION BY doc_id ORDER BY ord) - 1 AS pos
+  FROM otok WHERE term NOT IN ({STOP_SQL})
+),
+pf AS (
+  SELECT a.doc_id, sum(1.0 / (1 + abs(b.pos - a.pos - 1))) AS freq
+  FROM kpos a JOIN kpos b
+    ON a.doc_id = b.doc_id AND abs(b.pos - a.pos - 1) <= 1
+  WHERE a.term = '{PHRASE[0]}' AND b.term = '{PHRASE[1]}'
+  GROUP BY a.doc_id
+),
+ts0 AS (SELECT count(*)::BIGINT AS df FROM tf WHERE term = '{PHRASE[0]}'),
+ts1 AS (SELECT count(*)::BIGINT AS df FROM tf WHERE term = '{PHRASE[1]}'),
+idfp AS (
+  SELECT ln(1 + (stats.n_docs - ts0.df + 0.5) / (ts0.df + 0.5))
+       + ln(1 + (stats.n_docs - ts1.df + 0.5) / (ts1.df + 0.5)) AS idf
+  FROM stats, ts0, ts1
+)
+SELECT pf.doc_id AS doc_id,
+  CAST(ROUND((idfp.idf * {K1 + 1.0}
+       * pf.freq / (pf.freq + {K1} * (1 - {B} + {B} * dl.dl / (stats.sum_dl / stats.n_docs)))) * 1000000.0, 0) AS BIGINT) AS score_e6
+FROM pf JOIN dl USING (doc_id), stats, idfp
+ORDER BY score_e6 DESC, doc_id ASC LIMIT 10
+"""
+
+
 QUERIES = {
     "term_bm25_topk": q_term_bm25,
     "phrase_bm25": q_phrase_bm25,
@@ -1595,6 +1648,7 @@ QUERIES = {
     "bool_or_classic": q_bool_or_classic,
     "bool_msm_bm25": q_bool_msm_bm25,
     "highlight_topk": q_highlight,
+    "sloppy_phrase_bm25": q_sloppy_phrase_bm25,
 }
 
 if _HAS_STD_ORACLE:

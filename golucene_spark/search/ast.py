@@ -47,15 +47,23 @@ class WildcardQuery:
 
 @dataclass(frozen=True)
 class PhraseQuery:
-    """Exact-phrase query over indexed positions (Q18).  The reference
+    """Phrase query over indexed positions (Q18).  The reference
     indexes positions (termsHashConsumerPerField.go:268-282) and its
     parser grammar has the phrase production (queryParser.go:58) but
     panics on it; we implement the Lucene semantics (scorer in
-    search/phrase.py)."""
+    search/phrase.py).
+
+    ``slop`` > 0 enables sloppy matching ("a b"~N): the sloppy
+    frequency is the set-oriented analogue of Lucene's
+    SloppyPhraseScorer — every alignment tuple (one position per term)
+    whose offset-adjusted spread is <= slop contributes
+    1/(1 + spread), summed per doc (sloppyFreq, similarities.go's
+    1/(distance+1) weighting).  slop=0 is the exact-adjacency path."""
 
     field: str
     terms: tuple  # tuple[str, ...]
     boost: float = 1.0
+    slop: int = 0
 
     def rewrite(self):
         if len(self.terms) == 1:
@@ -169,7 +177,7 @@ def _boosted(q, boost: float):
     if isinstance(q, MatchAllQuery):
         return MatchAllQuery(q.boost * boost)
     if isinstance(q, PhraseQuery):
-        return PhraseQuery(q.field, q.terms, q.boost * boost)
+        return PhraseQuery(q.field, q.terms, q.boost * boost, q.slop)
     if isinstance(q, FuzzyQuery):
         return FuzzyQuery(q.field, q.term, q.max_edits, q.boost * boost)
     if isinstance(q, WildcardQuery):

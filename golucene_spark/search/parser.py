@@ -11,6 +11,7 @@ Grammar:
     conj    := 'AND' | '&&' | 'OR' | '||'
     mod     := 'NOT' | '!'
     suffix  := '^' number            (boost on groups/phrases)
+             | '~' number            (slop on phrases: "a b"~2)
     text    := term[~[edits]][^boost]   (fuzzy + boost inside the token)
 
 Semantics follow QueryParserBase with default operator OR
@@ -18,9 +19,9 @@ Semantics follow QueryParserBase with default operator OR
 after AND (and the term before it) is MUST; NOT x is MUST_NOT.  `text`
 is run through the same analyzer as the index; multi-token text expands
 to a SHOULD-of-TermQuery boolean (queryBuilder.go:23-130).  Quoted text
-becomes a PhraseQuery over the analyzed terms (slop is not supported —
-exact adjacency only).  `term~`/`term~1` becomes a FuzzyQuery
-(max_edits default 2, as Lucene).
+becomes a PhraseQuery over the analyzed terms; a trailing `~N` sets the
+phrase slop (sloppy matching, search/phrase.py).  `term~`/`term~1`
+becomes a FuzzyQuery (max_edits default 2, as Lucene).
 """
 
 from __future__ import annotations
@@ -115,8 +116,21 @@ def parse_query(
                     break
                 advance()
                 sub = _boosted(sub, b)
-            elif t and re.fullmatch(r"~\d*", t):
-                raise ValueError("phrase slop (~N) is not supported: exact adjacency only")
+            elif (
+                t
+                and (m := re.fullmatch(r"~(\d*)(?:\^([\d.]+))?", t))
+                and isinstance(sub, PhraseQuery)
+            ):
+                # phrase slop "a b"~N (queryParser.go:165-176's slop
+                # production; the reference panics before reaching it);
+                # a fused trailing boost ("a b"~2^3) rides the same token
+                advance()
+                sub = PhraseQuery(
+                    sub.field,
+                    sub.terms,
+                    sub.boost * (float(m.group(2)) if m.group(2) else 1.0),
+                    int(m.group(1)) if m.group(1) else 0,
+                )
             else:
                 break
         return sub

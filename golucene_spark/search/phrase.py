@@ -25,24 +25,64 @@ from pyspark.sql import DataFrame, functions as F, types as T
 from .ast import PhraseQuery
 
 
-def _flat_positions(col, term_offset: int, n_rows: int):
-    """Column of packed little-endian int32 position blobs -> sorted
-    int64 keys (row << 32) + (pos - term_offset), invalid (negative)
-    shifts dropped.  One frombuffer over the concatenated blobs — no
-    per-position Python work."""
+def _flat_rows_adj(col, term_offset: int, n_rows: int):
+    """Column of packed little-endian int32 position blobs ->
+    (rows, adjusted positions) int64 arrays, one frombuffer over the
+    concatenated blobs — no per-position Python work."""
     bufs = [bytes(b) if b is not None else b"" for b in col]
     lens = np.fromiter((len(b) >> 2 for b in bufs), dtype=np.int64, count=n_rows)
     flat = np.frombuffer(b"".join(bufs), dtype="<i4").astype(np.int64)
     rows = np.repeat(np.arange(n_rows, dtype=np.int64), lens)
-    adj = flat - term_offset
+    return rows, flat - term_offset
+
+
+def _flat_positions(col, term_offset: int, n_rows: int):
+    """As above but packed into sorted int64 keys (row << 32) + adj,
+    invalid (negative) shifts dropped."""
+    rows, adj = _flat_rows_adj(col, term_offset, n_rows)
     if term_offset:
         valid = adj >= 0
         rows, adj = rows[valid], adj[valid]
     return (rows << 32) + adj
 
 
-def phrase_freq_frame(index, field: str, terms: list[str]) -> DataFrame:
-    """(doc_id, freq, dlq, norm_byte) for docs matching the exact phrase."""
+def _sloppy_offset_vectors(n_terms: int, slop: int):
+    """All offset vectors d = (d_1..d_{n-1}), d_i in [-slop, slop], whose
+    spread over (0, d_1, ..) is <= slop, with their 1/(1+spread) weight.
+    Each alignment tuple of positions maps to exactly ONE vector
+    (d_i = adj_i - adj_0), so summing counts over vectors never
+    double-counts."""
+    from itertools import product
+
+    out = []
+    for d in product(range(-slop, slop + 1), repeat=n_terms - 1):
+        spread = max((0,) + d) - min((0,) + d)
+        if spread <= slop:
+            out.append((d, 1.0 / (1.0 + spread)))
+    return out
+
+
+def phrase_freq_frame(index, field: str, terms: list[str], slop: int = 0) -> DataFrame:
+    """(doc_id, freq, dlq, norm_byte) for docs matching the phrase.
+
+    slop=0: exact adjacency (Lucene ExactPhraseScorer semantics) —
+    integer freq = number of start positions where every term_i sits at
+    p+i.
+
+    slop>0: set-oriented sloppy frequency — every alignment tuple (one
+    position per term) whose offset-adjusted spread is <= slop
+    contributes sloppyFreq = 1/(1 + spread) (similarities.go's
+    1/(distance+1)); a deterministic order-independent analogue of
+    Lucene's greedy SloppyPhraseScorer (the reference has no phrase
+    scorer at all: queryParser.go:58 panics).  Vectorized as one
+    intersect1d per offset vector over the whole Arrow batch — at most
+    (2*slop+1)^(n_terms-1) intersections, no per-doc Python loop."""
+    if slop:
+        return _sloppy_freq_frame(index, field, terms, slop)
+    return _exact_freq_frame(index, field, terms)
+
+
+def _conjunction_base(index, field: str, terms: list[str]):
     base = None
     for i, t in enumerate(terms):
         p = index.postings_for_terms(field, [t], with_positions=True).select(
@@ -51,7 +91,60 @@ def phrase_freq_frame(index, field: str, terms: list[str]) -> DataFrame:
             *( [F.col("dlq"), F.col("norm_byte")] if i == 0 else [] ),
         )
         base = p if base is None else base.join(p, "doc_id")
+    return base
 
+
+def _sloppy_freq_frame(index, field: str, terms: list[str], slop: int) -> DataFrame:
+    base = _conjunction_base(index, field, terms)
+    n = len(terms)
+    combos = _sloppy_offset_vectors(n, slop)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("freq", T.DoubleType()),
+            T.StructField("dlq", T.DoubleType()),
+            T.StructField("norm_byte", T.IntegerType()),
+        ]
+    )
+
+    def compute(batches):
+        for pdf in batches:
+            m = len(pdf)
+            if m == 0:
+                continue
+            flats = [_flat_rows_adj(pdf[f"pos{i}"], i, m) for i in range(n)]
+            keys0 = (flats[0][0] << 32) + flats[0][1]
+            freqs = np.zeros(m, dtype=np.float64)
+            for d, w in combos:
+                match = keys0
+                for i in range(1, n):
+                    if match.size == 0:
+                        break
+                    rows_i, adj_i = flats[i]
+                    shifted = adj_i - d[i - 1]
+                    valid = shifted >= 0
+                    keys_i = (rows_i[valid] << 32) + shifted[valid]
+                    match = np.intersect1d(match, keys_i, assume_unique=True)
+                if match.size:
+                    freqs += w * np.bincount(
+                        (match >> 32).astype(np.int64), minlength=m
+                    ).astype(np.float64)
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "freq": freqs,
+                    "dlq": pdf["dlq"],
+                    "norm_byte": pdf["norm_byte"],
+                }
+            )
+            yield out[out["freq"] > 0]
+
+    return base.mapInPandas(compute, schema)
+
+
+def _exact_freq_frame(index, field: str, terms: list[str]) -> DataFrame:
+    """(doc_id, freq, dlq, norm_byte) for docs matching the exact phrase."""
+    base = _conjunction_base(index, field, terms)
     n = len(terms)
     schema = T.StructType(
         [

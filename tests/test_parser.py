@@ -86,9 +86,10 @@ def test_phrase_as_boolean_clause():
     assert q.clauses[1].occur is Occur.MUST
 
 
-def test_phrase_slop_rejected():
-    with pytest.raises(ValueError):
-        P('"parse tokenize"~3')
+def test_phrase_slop_parsed():
+    from golucene_spark.search.ast import PhraseQuery
+    q = P('"parse tokenize"~3')
+    assert isinstance(q, PhraseQuery) and q.slop == 3
 
 
 def test_field_scoped_group():

@@ -73,3 +73,89 @@ def test_phrase_three_terms_and_miss(pix):
     assert [x["doc_id"] for x in r] == [0, 2]
     assert phrase_search(s, "content", ["fox", "quick"], 10).count() == 0
     assert phrase_search(s, "content", ["quick", "zzzmissing"], 10).count() == 0
+
+
+def _brute_sloppy(spark_rows, terms, slop):
+    """Independent brute force of the documented sloppy semantics:
+    sum over alignment tuples with offset-adjusted spread <= slop of
+    1/(1+spread)."""
+    from itertools import product as iproduct
+
+    from golucene_spark.analysis import get_analyzer
+
+    an = get_analyzer("standard")
+    out = {}
+    for doc_id, text in spark_rows:
+        ts, _, pos = an.analyze_batch([text])
+        per_term = [
+            [int(p) - i for t2, p in zip(ts.tolist(), pos.tolist()) if t2 == t]
+            for i, t in enumerate(terms)
+        ]
+        if any(not v for v in per_term):
+            continue
+        freq = 0.0
+        for tup in iproduct(*per_term):
+            spread = max(tup) - min(tup)
+            if spread <= slop:
+                freq += 1.0 / (1.0 + spread)
+        if freq > 0:
+            out[doc_id] = freq
+    return out
+
+
+ROWS = [
+    (0, "quick brown fox jumps"),
+    (1, "brown quick fox"),
+    (2, "the quick brown dog and the quick brown fox"),
+    (3, "quick stop brown fox"),
+    (4, "quick brown quick brown"),
+]
+
+
+@pytest.mark.parametrize(
+    "terms,slop",
+    [
+        (["quick", "fox"], 1),
+        (["quick", "fox"], 2),
+        (["quick", "brown"], 1),
+        (["quick", "brown", "fox"], 2),
+        (["brown", "fox"], 3),
+    ],
+)
+def test_sloppy_phrase_matches_brute_force(pix, terms, slop):
+    from golucene_spark.search.phrase import phrase_freq_frame
+
+    got = {
+        r["doc_id"]: r["freq"]
+        for r in phrase_freq_frame(pix, "content", terms, slop).collect()
+    }
+    want = _brute_sloppy(ROWS, terms, slop)
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d] == pytest.approx(want[d], rel=1e-12), (d, terms, slop)
+
+
+def test_sloppy_slop0_equals_exact(pix):
+    from golucene_spark.search.phrase import phrase_freq_frame
+
+    exact = {
+        r["doc_id"]: float(r["freq"])
+        for r in phrase_freq_frame(pix, "content", ["quick", "brown"], 0).collect()
+    }
+    want = _brute_sloppy(ROWS, ["quick", "brown"], 0)
+    assert exact == want
+
+
+def test_parser_phrase_slop(pix):
+    from golucene_spark.search.parser import parse_query
+    from golucene_spark.search.ast import PhraseQuery
+
+    q = parse_query('"quick fox"~1', default_field="content")
+    assert isinstance(q, PhraseQuery) and q.slop == 1 and q.boost == 1.0
+    q2 = parse_query('"quick fox"~2^3', default_field="content")
+    assert isinstance(q2, PhraseQuery) and q2.slop == 2 and q2.boost == 3.0
+    # sloppy phrase scores through the normal search path
+    s = Searcher(pix, "bm25")
+    hits = {r["doc_id"] for r in s.search(q, 10).collect()}
+    assert 1 in hits  # 'brown quick fox': quick@1 fox@2 -> spread 0
+    assert 0 in hits  # 'quick brown fox': spread 1 <= slop
