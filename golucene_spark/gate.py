@@ -1603,6 +1603,35 @@ ORDER BY score_e6 DESC, doc_id ASC LIMIT 10
 """
 
 
+def q_dismax_bm25(spark, sf_dir):
+    """DisjunctionMaxQuery over two term clauses, tie_breaker=0.5
+    (dyadic, so max + tie*(sum-max) is exact in double): a doc is
+    ranked by its best clause plus half the other — Lucene's
+    DisjunctionMaxScorer, absent from the reference."""
+    from .search.ast import DisjunctionMaxQuery, TermQuery as TQ
+
+    s = Searcher(_index(spark, sf_dir), "bm25")
+    q = DisjunctionMaxQuery((TQ("text", "data"), TQ("text", "query")), 0.5)
+    frame = s.score_frame(q)
+    return (
+        frame.withColumn("score_e6", F.round(F.col("score") * 1e6, 0).cast("long"))
+        .orderBy(F.desc("score_e6"), F.asc("doc_id"))
+        .limit(10)
+        .select("doc_id", "score_e6")
+    )
+
+
+_DM0, _DM1 = _bm25_contrib_sql("data", 0), _bm25_contrib_sql("query", 1)
+ORACLES["dismax_bm25"] = f"""{BASE_CTE},{_DM0[0]},{_DM1[0]},
+contrib AS (({_DM0[1]}) UNION ALL ({_DM1[1]})),
+agg AS (SELECT doc_id, max(s) AS mx, sum(s) AS sm FROM contrib GROUP BY doc_id)
+SELECT doc_id,
+  CAST(ROUND((mx + 0.5 * (sm - mx)) * 1000000.0, 0) AS BIGINT) AS score_e6
+FROM agg
+ORDER BY score_e6 DESC, doc_id ASC LIMIT 10
+"""
+
+
 QUERIES = {
     "term_bm25_topk": q_term_bm25,
     "phrase_bm25": q_phrase_bm25,
@@ -1649,6 +1678,7 @@ QUERIES = {
     "bool_msm_bm25": q_bool_msm_bm25,
     "highlight_topk": q_highlight,
     "sloppy_phrase_bm25": q_sloppy_phrase_bm25,
+    "dismax_bm25": q_dismax_bm25,
 }
 
 if _HAS_STD_ORACLE:

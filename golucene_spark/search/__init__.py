@@ -9,8 +9,9 @@ from .ast import (
     WildcardQuery,
     RegexpQuery,
     TermRangeQuery,
+    DisjunctionMaxQuery,
 )
-from .parser import parse_query
+from .parser import parse_query, parse_multi_field
 from .similarity import BM25Similarity, ClassicSimilarity
 from .executor import Searcher
 from .highlight import highlight
@@ -26,7 +27,9 @@ __all__ = [
     "WildcardQuery",
     "RegexpQuery",
     "TermRangeQuery",
+    "DisjunctionMaxQuery",
     "parse_query",
+    "parse_multi_field",
     "BM25Similarity",
     "ClassicSimilarity",
     "Searcher",

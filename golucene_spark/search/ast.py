@@ -128,6 +128,26 @@ class MatchAllQuery:
 
 
 @dataclass(frozen=True)
+class DisjunctionMaxQuery:
+    """Lucene's DisjunctionMaxQuery (core Lucene 4.10; not ported by the
+    reference): score = max over sub-queries + tie_breaker * (sum of
+    the other matching sub-queries' scores).  The standard multi-field
+    search primitive — with tie_breaker=0 a doc is ranked by its best
+    field alone, avoiding the boolean-OR inflation when the same term
+    hits several fields."""
+
+    queries: tuple  # tuple[query, ...]
+    tie_breaker: float = 0.0
+    boost: float = 1.0
+
+    def rewrite(self):
+        qs = tuple(q.rewrite() for q in self.queries)
+        if len(qs) == 1:
+            return _boosted(qs[0], self.boost)
+        return DisjunctionMaxQuery(qs, self.tie_breaker, self.boost)
+
+
+@dataclass(frozen=True)
 class BooleanClause:
     query: "TermQuery | BooleanQuery | MatchAllQuery"
     occur: Occur = Occur.SHOULD
@@ -172,6 +192,8 @@ class BooleanQuery:
 def _boosted(q, boost: float):
     if isinstance(q, TermQuery):
         return TermQuery(q.field, q.term, q.boost * boost)
+    if isinstance(q, DisjunctionMaxQuery):
+        return DisjunctionMaxQuery(q.queries, q.tie_breaker, q.boost * boost)
     if isinstance(q, BooleanQuery):
         return BooleanQuery(q.clauses, q.minimum_should_match, q.boost * boost)
     if isinstance(q, MatchAllQuery):

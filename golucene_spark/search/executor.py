@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, functions as F, types as T
 
 from .ast import (
     BooleanQuery,
+    DisjunctionMaxQuery,
     FuzzyQuery,
     MatchAllQuery,
     Occur,
@@ -55,6 +56,9 @@ def _collect_terms(q, out):
     elif isinstance(q, BooleanQuery):
         for c in q.clauses:
             _collect_terms(c.query, out)
+    elif isinstance(q, DisjunctionMaxQuery):
+        for s in q.queries:
+            _collect_terms(s, out)
     return out
 
 
@@ -123,6 +127,10 @@ class Searcher:
                 for c in q.clauses
                 if not c.is_prohibited
             )
+        if isinstance(q, DisjunctionMaxQuery):
+            # DisjunctionMaxWeight sums child norms * boost^2 (Lucene
+            # DisjunctionMaxQuery.java getValueForNormalization)
+            return q.boost ** 2 * sum(self._sum_sq(s, stats) for s in q.queries)
         return 0.0
 
     # -- scoring frames ---------------------------------------------------
@@ -179,11 +187,31 @@ class Searcher:
         )
         return frame.select("doc_id", score.alias("score"))
 
+    def _dismax_frame(self, q: DisjunctionMaxQuery, stats, query_norm: float) -> DataFrame | None:
+        """score = max(sub scores) + tie_breaker * (sum of the other
+        matching subs) — one union + one groupBy(max, sum); the
+        per-field best-match primitive (DisjunctionMaxScorer.score)."""
+        frames = [f for s in q.queries if (f := self._frame(s, stats, query_norm)) is not None]
+        if not frames:
+            return None
+        u = frames[0]
+        for f in frames[1:]:
+            u = u.unionByName(f)
+        agg = u.groupBy("doc_id").agg(
+            F.max("score").alias("mx"), F.sum("score").alias("sm")
+        )
+        score = F.col("mx") + F.lit(float(q.tie_breaker)) * (F.col("sm") - F.col("mx"))
+        if q.boost != 1.0:
+            score = score * F.lit(float(q.boost))
+        return agg.select("doc_id", score.alias("score"))
+
     def _frame(self, q, stats, query_norm: float) -> DataFrame | None:
         if isinstance(q, TermQuery):
             return self._term_frame(q, stats, query_norm)
         if isinstance(q, BooleanQuery):
             return self._boolean_frame(q, stats, query_norm)
+        if isinstance(q, DisjunctionMaxQuery):
+            return self._dismax_frame(q, stats, query_norm)
         if isinstance(q, PhraseQuery):
             return self._phrase_frame(q, stats, query_norm)
         if isinstance(q, MatchAllQuery):
@@ -221,6 +249,10 @@ class Searcher:
                 ),
                 q.minimum_should_match,
                 q.boost,
+            )
+        if isinstance(q, DisjunctionMaxQuery):
+            return DisjunctionMaxQuery(
+                tuple(self._resolve(s) for s in q.queries), q.tie_breaker, q.boost
             )
         return q
 

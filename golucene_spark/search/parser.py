@@ -85,6 +85,51 @@ def _analyze_text(field: str, text: str, analyzer, tokenized_fields) -> object |
     )
 
 
+def parse_multi_field(
+    q: str,
+    fields,
+    analyzer: str | object = "standard",
+    tokenized_fields: tuple = ("content", "text"),
+    tie_breaker: float = 0.0,
+    default_operator: str = "OR",
+    boosts: dict | None = None,
+):
+    """MultiFieldQueryParser analogue (Lucene queryparser; not ported by
+    the reference): parse ``q`` once per field with the normal grammar,
+    then combine the per-field variants of each top-level clause into a
+    DisjunctionMaxQuery — a doc is ranked by its best field (plus
+    ``tie_breaker`` times the others), not the inflated OR-sum.
+    ``boosts`` maps field -> per-field boost (e.g. title^3)."""
+    from .ast import DisjunctionMaxQuery
+
+    boosts = boosts or {}
+
+    def _fb(query, f):
+        b = boosts.get(f, 1.0)
+        return _boosted(query, b) if b != 1.0 else query
+
+    variants = [
+        parse_query(q, f, analyzer, tuple(set(tokenized_fields) | {f}), default_operator)
+        for f in fields
+    ]
+    first = variants[0]
+    if not isinstance(first, BooleanQuery) or not all(
+        isinstance(v, BooleanQuery) and len(v.clauses) == len(first.clauses)
+        for v in variants
+    ):
+        # single-clause parses collapse to a bare query: one dismax
+        return DisjunctionMaxQuery(
+            tuple(_fb(v, f) for f, v in zip(fields, variants)), tie_breaker
+        ).rewrite()
+    clauses = []
+    for i, c in enumerate(first.clauses):
+        subs = tuple(_fb(v.clauses[i].query, f) for f, v in zip(fields, variants))
+        clauses.append(
+            BooleanClause(DisjunctionMaxQuery(subs, tie_breaker), c.occur)
+        )
+    return BooleanQuery(tuple(clauses), first.minimum_should_match).rewrite()
+
+
 def parse_query(
     q: str,
     default_field: str = "content",
