@@ -1632,6 +1632,45 @@ ORDER BY score_e6 DESC, doc_id ASC LIMIT 10
 """
 
 
+def q_sorted_topk(spark, sf_dir):
+    """Sort/TopFieldCollector (core Lucene, absent from the reference):
+    top-k of the text:data matches ordered by the stored `source` field
+    (ascending, docID tie-break) instead of relevance, score riding
+    along — the plan is TakeOrderedAndProject over match ⋈ doc_meta."""
+    import shutil
+
+    from .index import IndexBuilder, MaterializedIndex
+
+    ixdir = "/root/repo/.data/gate_sorted_ix"
+    shutil.rmtree(ixdir, ignore_errors=True)
+    IndexBuilder(
+        spark, CorpusSpec.documents(), analyzer="simple",
+        quantize_norms=False, num_segments=4,
+    ).build(_docs(spark, sf_dir), ixdir)
+    s = Searcher(MaterializedIndex(spark, ixdir), "bm25")
+    top = s.search_sorted("text:data", [("source", True)], k=10)
+    return top.select(
+        "doc_id", "source",
+        F.round(F.col("score") * 1e6, 0).cast("long").alias("score_e6"),
+    ).orderBy(F.asc("source"), F.asc("doc_id"))
+
+
+ORACLES["sorted_topk"] = f"""{BASE_CTE},
+ts AS (SELECT count(*)::BIGINT AS df FROM tf WHERE term = 'data'),
+hits AS (
+  SELECT tf.doc_id,
+    ln(1 + (stats.n_docs - ts.df + 0.5) / (ts.df + 0.5)) * {K1 + 1.0}
+    * tf.freq / (tf.freq + {K1} * (1 - {B} + {B} * dl.dl / (stats.sum_dl / stats.n_docs))) AS s
+  FROM tf JOIN dl USING (doc_id), stats, ts
+  WHERE tf.term = 'data'
+)
+SELECT h.doc_id AS doc_id, d.source AS source,
+       CAST(ROUND(h.s * 1000000.0, 0) AS BIGINT) AS score_e6
+FROM hits h JOIN documents d USING (doc_id)
+ORDER BY d.source ASC, h.doc_id ASC LIMIT 10
+"""
+
+
 QUERIES = {
     "term_bm25_topk": q_term_bm25,
     "phrase_bm25": q_phrase_bm25,
@@ -1679,6 +1718,7 @@ QUERIES = {
     "highlight_topk": q_highlight,
     "sloppy_phrase_bm25": q_sloppy_phrase_bm25,
     "dismax_bm25": q_dismax_bm25,
+    "sorted_topk": q_sorted_topk,
 }
 
 if _HAS_STD_ORACLE:

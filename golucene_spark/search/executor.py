@@ -576,3 +576,27 @@ class Searcher:
                 F.desc("score"), F.asc("doc_id")
             )
         return total, top
+
+    def search_sorted(self, query, sort, k: int = 10) -> DataFrame:
+        """Top-k ordered by stored doc_meta fields instead of relevance —
+        the Sort/TopFieldCollector API of core Lucene 4.10 (absent from
+        the reference, whose only collector is TopScoreDocCollector).
+        ``sort`` is a list of (field_name, ascending) pairs; ties break
+        by ascending docID, exactly TopFieldCollector's in-order
+        tie-break.  The plan is TakeOrderedAndProject over the
+        match-frame ⋈ doc_meta join — per-partition top-k + driver
+        merge, never a full sort.  The relevance score rides along as a
+        ``score`` column (trackScores=true)."""
+        if isinstance(query, str):
+            from .parser import parse_query
+
+            query = parse_query(query)
+        if not hasattr(self.index, "doc_meta"):
+            raise ValueError("search_sorted needs a materialized index with doc_meta")
+        frame = self.score_frame(query)
+        meta = self.index.doc_meta.drop("segment_id")
+        joined = frame.join(meta, "doc_id")
+        order = [
+            F.asc(f) if ascending else F.desc(f) for f, ascending in sort
+        ] + [F.asc("doc_id")]
+        return joined.orderBy(*order).limit(k)

@@ -1,0 +1,49 @@
+"""search_sorted: Sort/TopFieldCollector analogue over doc_meta fields."""
+
+import pytest
+
+from golucene_spark.index import CorpusSpec, IndexBuilder, LogicalIndex, MaterializedIndex
+from golucene_spark.search import Searcher
+
+
+@pytest.fixture(scope="module")
+def six(spark, tmp_path_factory):
+    rows = [
+        (0, "data engine", "en", "web"),
+        (1, "data pipeline data", "de", "book"),
+        (2, "data lake", "en", "archive"),
+        (3, "other text", "fr", "web"),
+        (4, "data store", "de", "web"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    ixdir = str(tmp_path_factory.mktemp("sorted") / "ix")
+    IndexBuilder(spark, CorpusSpec.documents(), analyzer="simple",
+                 quantize_norms=False, num_segments=2).build(df, ixdir)
+    return MaterializedIndex(spark, ixdir)
+
+
+def test_sorted_asc_desc_and_tiebreak(six):
+    s = Searcher(six, "bm25")
+    asc = s.search_sorted("text:data", [("source", True)], k=10).collect()
+    assert [r["doc_id"] for r in asc] == [2, 1, 0, 4]  # archive, book, web(0<4)
+    desc = s.search_sorted("text:data", [("source", False)], k=10).collect()
+    assert [r["doc_id"] for r in desc] == [0, 4, 1, 2]
+    # k truncates after the sort
+    assert [r["doc_id"] for r in s.search_sorted("text:data", [("source", True)], k=2).collect()] == [2, 1]
+    # scores ride along and match the relevance path
+    rel = {r["doc_id"]: r["score"] for r in s.search("text:data", 10).collect()}
+    for r in asc:
+        assert r["score"] == pytest.approx(rel[r["doc_id"]], rel=1e-12)
+
+
+def test_sorted_multi_key(six):
+    s = Searcher(six, "bm25")
+    rows = s.search_sorted("text:data", [("lang", True), ("source", False)], k=10).collect()
+    assert [r["doc_id"] for r in rows] == [4, 1, 0, 2]  # de:(web,book), en:(web,archive)
+
+
+def test_sorted_requires_doc_meta(spark):
+    df = spark.createDataFrame([(0, "x", "en", "w")], "doc_id long, text string, lang string, source string")
+    ix = LogicalIndex(df, CorpusSpec.documents(), analyzer="simple")
+    with pytest.raises(ValueError):
+        Searcher(ix).search_sorted("text:x", [("source", True)])
