@@ -71,9 +71,24 @@ TF_SCHEMA = T.StructType(
 
 @dataclass(frozen=True)
 class FieldSpec:
+    """Per-field index configuration — the per-field codec/IndexOptions
+    dispatch (C10): the reference routes each field through a
+    per-field consumer chain (defaultIndexingChain.go's PerField,
+    codec/perfield/); here each field carries its own options and the
+    inversion stage dispatches on them.
+
+    ``positions=False``: DOCS_AND_FREQS only — position blobs are
+    omitted for this field (phrase queries need positions).
+    ``omit_norms=True``: no length normalization — norms encode 1.0
+    and the field's collection sum_ttf reads as 0, so BM25 degrades to
+    idf*(k1+1)*freq/(freq+k1) and classic to norm(1), exactly the
+    omitNorms scoring of keyword fields (field.go:194-271)."""
+
     name: str              # index field name
     column: str            # source column
     tokenized: bool = True  # TextField vs StringField (field.go:194-271)
+    positions: bool = True  # index positions (DOCS_AND_FREQS_AND_POSITIONS)
+    omit_norms: bool = False
 
 
 @dataclass
@@ -156,7 +171,10 @@ def _tf_arrow_fn(spec: CorpusSpec, analyzer_name: str, quantize: bool, index_pos
     """
     import pyarrow as pa
 
-    text_fields = [(f.name, f.column) for f in spec.text_fields]
+    text_fields = [
+        (f.name, f.column, getattr(f, "positions", True), getattr(f, "omit_norms", False))
+        for f in spec.text_fields
+    ]
     kw_fields = [(f.name, f.column) for f in spec.keyword_fields]
     pa_schema = pa.schema(
         [
@@ -222,7 +240,7 @@ def _tf_arrow_fn(spec: CorpusSpec, analyzer_name: str, quantize: bool, index_pos
             cols = {name: rb.column(i) for i, name in enumerate(rb.schema.names)}
             doc_ids = cols["doc_id"].to_numpy(zero_copy_only=False)
             seg_ids = cols["segment_id"].to_numpy(zero_copy_only=False)
-            for fname, col in text_fields:
+            for fname, col, f_positions, f_omit_norms in text_fields:
                 texts = cols[col].to_pylist()
                 terms, rows, pos = analyzer.analyze_batch(texts)
                 if len(terms):
@@ -238,7 +256,7 @@ def _tf_arrow_fn(spec: CorpusSpec, analyzer_name: str, quantize: bool, index_pos
                     g_term = pa.array(uniq, type=pa.string()).take(
                         pa.array(codes[order][b0].astype(np.int64))
                     )
-                    if index_positions:
+                    if index_positions and f_positions:
                         # packed little-endian int32 per posting (the
                         # delta-varint byte-slice idea of W4, zero-copy
                         # via Arrow binary offsets); decode with
@@ -258,11 +276,17 @@ def _tf_arrow_fn(spec: CorpusSpec, analyzer_name: str, quantize: bool, index_pos
                     freq = np.array([], dtype=np.int32)
                     positions = _null_positions(0)
                     dl = np.zeros(n, dtype=np.int64)
-                nb = smallfloat.encode_norm_from_length(dl)
-                if quantize:
-                    dlq_doc = smallfloat.quantized_doc_length(nb).astype(np.float64)
+                if f_omit_norms:
+                    # omitNorms: every doc's norm encodes 1.0; scoring
+                    # sees dlq=1 (keyword-field degradation)
+                    nb = np.full(n, 124, dtype=np.int64)  # encode(1.0)
+                    dlq_doc = np.ones(n, dtype=np.float64)
                 else:
-                    dlq_doc = dl.astype(np.float64)
+                    nb = smallfloat.encode_norm_from_length(dl)
+                    if quantize:
+                        dlq_doc = smallfloat.quantized_doc_length(nb).astype(np.float64)
+                    else:
+                        dlq_doc = dl.astype(np.float64)
                 if len(g_row):
                     yield _mk(
                         seg_ids[g_row], doc_ids[g_row], _const_str(fname, len(g_row)),
@@ -689,6 +713,16 @@ class IndexBuilder:
             )
             .withColumn("max_doc", F.lit(metrics["docs"]).cast("long"))
         )
+        omit = [f.name for f in self.spec.text_fields if getattr(f, "omit_norms", False)]
+        if omit:
+            # omitNorms fields read as sum_ttf=0, so the scorer degrades
+            # to the no-norms denominator (same path as keyword fields)
+            fs = fs.withColumn(
+                "sum_ttf",
+                F.when(F.col("field").isin(omit), F.lit(0).cast("long")).otherwise(
+                    F.col("sum_ttf")
+                ),
+            )
         fs.coalesce(1).write.mode("overwrite").parquet(os.path.join(index_dir, "field_stats"))
         return metrics
 
@@ -746,10 +780,14 @@ class LogicalIndex:
                     F.sum(F.when(F.col("field") == field, F.col("length"))).alias("sum_ttf"),
                 ).collect()
             )[0]
+            omit = any(
+                f.name == field and getattr(f, "omit_norms", False)
+                for f in self.spec.text_fields
+            )
             self._cstats[field] = {
                 "max_doc": int(r["max_doc"]),
                 "doc_count": int(r["doc_count"] or 0),
-                "sum_ttf": int(r["sum_ttf"] or 0),
+                "sum_ttf": 0 if omit else int(r["sum_ttf"] or 0),
             }
         return self._cstats[field]
 
