@@ -1671,6 +1671,70 @@ ORDER BY d.source ASC, h.doc_id ASC LIMIT 10
 """
 
 
+def q_facet_lang(spark, sf_dir):
+    """Facet counts (Lucene facet module role): per-lang match counts of
+    the text:data result set, counted from the keyword-field postings
+    (which already are the SortedSet docvalues this needs)."""
+    from .search.facets import facet_counts
+
+    s = Searcher(_index(spark, sf_dir), "bm25")
+    q = parse_query("text:data", default_field="text", analyzer="simple")
+    return facet_counts(s, q, "lang", k=10)
+
+
+ORACLES["facet_lang"] = f"""{BASE_CTE}
+SELECT d.lang AS value, count(*)::BIGINT AS count
+FROM (SELECT DISTINCT doc_id FROM tf WHERE term = 'data') m
+JOIN documents d USING (doc_id)
+GROUP BY d.lang
+ORDER BY count DESC, value ASC LIMIT 10
+"""
+
+
+def q_mlt_terms(spark, sf_dir):
+    """MoreLikeThis term selection (Lucene queries module): analyze doc
+    7's text as the probe, rank candidate terms by tf * classic idf
+    (ln(N/(df+1))+1), df >= 2, cap 15 — the data-dependent half of MLT
+    (the scoring half is the already-oracle-paired boolean OR)."""
+    from .search.mlt import interesting_terms
+
+    docs = _docs(spark, sf_dir)
+    text = docs.filter(F.col("doc_id") == 7).select("text").collect()[0][0]
+    s = Searcher(_index(spark, sf_dir), "bm25")
+    rows = interesting_terms(
+        s, "text", text, max_query_terms=15, min_term_freq=1,
+        min_doc_freq=2, analyzer="simple",
+    )
+    out = spark.createDataFrame(
+        [(r["term"], r["tf"], r["df"], r["score"]) for r in rows],
+        "term string, tf long, df long, score double",
+    )
+    return out.select(
+        "term", "tf", "df",
+        F.round(F.col("score") * 1e6, 0).cast("long").alias("score_e6"),
+    )
+
+
+ORACLES["mlt_terms"] = f"""{BASE_CTE},
+probe AS (
+  SELECT unnest(regexp_extract_all(lower((SELECT text FROM documents WHERE doc_id = 7)), '{TOKEN_PATTERN}')) AS term
+),
+ptf AS (
+  SELECT term, count(*)::BIGINT AS tf FROM probe
+  WHERE term NOT IN ({STOP_SQL}) GROUP BY term
+),
+cdf AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+sel AS (
+  SELECT p.term, p.tf, c.df,
+         p.tf * (ln(stats.n_docs / (c.df + 1.0)) + 1.0) AS score
+  FROM ptf p JOIN cdf c USING (term), stats
+  WHERE c.df >= 2
+)
+SELECT term, tf, df, CAST(ROUND(score * 1000000.0, 0) AS BIGINT) AS score_e6
+FROM sel ORDER BY score DESC, term ASC LIMIT 15
+"""
+
+
 QUERIES = {
     "term_bm25_topk": q_term_bm25,
     "phrase_bm25": q_phrase_bm25,
@@ -1719,6 +1783,8 @@ QUERIES = {
     "sloppy_phrase_bm25": q_sloppy_phrase_bm25,
     "dismax_bm25": q_dismax_bm25,
     "sorted_topk": q_sorted_topk,
+    "facet_lang": q_facet_lang,
+    "mlt_terms": q_mlt_terms,
 }
 
 if _HAS_STD_ORACLE:

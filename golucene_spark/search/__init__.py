@@ -15,6 +15,8 @@ from .parser import parse_query, parse_multi_field
 from .similarity import BM25Similarity, ClassicSimilarity
 from .executor import Searcher
 from .highlight import highlight
+from .facets import facet_counts
+from .mlt import more_like_this, interesting_terms
 
 __all__ = [
     "TermQuery",
@@ -34,4 +36,7 @@ __all__ = [
     "ClassicSimilarity",
     "Searcher",
     "highlight",
+    "facet_counts",
+    "more_like_this",
+    "interesting_terms",
 ]

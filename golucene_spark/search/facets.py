@@ -1,0 +1,51 @@
+"""Faceting: per-value match counts over a keyword field (the Lucene
+facet module's SortedSetDocValues counting, not ported by the
+reference — its keyword postings already ARE the docvalues we need).
+
+Execution shape: the (small) matching-doc frame joins the facet
+field's postings (term = facet value, one row per (value, doc)) and a
+groupBy(value).count() ranks the values.  At scale the match frame is
+the broadcast side; the postings scan prunes to the single facet field
+via partition/predicate pushdown."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def field_postings(index, field: str) -> DataFrame:
+    """(term, doc_id) pairs for every posting of ``field`` — keyword
+    docvalues view of the index (live docs only)."""
+    if hasattr(index, "tf"):  # LogicalIndex
+        return index.tf.filter(F.col("field") == field).select("term", "doc_id")
+    p = index.postings.filter(F.col("field") == field)
+    out = p.select("term", F.explode("doc_ids").alias("doc_id"))
+    if getattr(index, "_tombstones", None) is not None:
+        out = out.join(index._tombstones, "doc_id", "left_anti")
+    return out
+
+
+def facet_counts(searcher, query, facet_field: str, k: int = 10,
+                 broadcast_matches: bool = False) -> DataFrame:
+    """Top-k facet values (value, count) over the docs matching
+    ``query``; ties rank by value ascending (deterministic).
+
+    ``broadcast_matches=True`` hints the match set as the broadcast
+    side — right for selective queries; leave False for hot queries
+    whose match set can be billions of docs (AQE then picks the join
+    strategy from the measured sizes)."""
+    if isinstance(query, str):
+        from .parser import parse_query
+
+        query = parse_query(query)
+    docs = searcher.score_frame(query).select("doc_id")
+    if broadcast_matches:
+        docs = F.broadcast(docs)
+    p = field_postings(searcher.index, facet_field)
+    return (
+        p.join(docs, "doc_id")
+        .groupBy(F.col("term").alias("value"))
+        .agg(F.count("*").cast("long").alias("count"))
+        .orderBy(F.desc("count"), F.asc("value"))
+        .limit(k)
+    )
