@@ -1735,6 +1735,29 @@ FROM sel ORDER BY score DESC, term ASC LIMIT 15
 """
 
 
+def q_suggest_terms(spark, sf_dir):
+    """Did-you-mean term suggestions (suggest/spellchecker role): terms
+    within edit distance 2 of the misspelling 'sart', ranked
+    (dist asc, df desc, term asc)."""
+    from .search.multiterm import suggest_terms
+
+    ix = _index(spark, sf_dir)
+    return suggest_terms(ix, "text", "sart", k=5, max_edits=2).select(
+        "term", F.col("dist").cast("long").alias("dist"), "df"
+    )
+
+
+ORACLES["suggest_terms"] = f"""{BASE_CTE},
+cdf AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+cand AS (
+  SELECT term, levenshtein(term, 'sart')::BIGINT AS dist, df
+  FROM cdf WHERE levenshtein(term, 'sart') <= 2
+)
+SELECT term, dist, df FROM cand
+ORDER BY dist ASC, df DESC, term ASC LIMIT 5
+"""
+
+
 QUERIES = {
     "term_bm25_topk": q_term_bm25,
     "phrase_bm25": q_phrase_bm25,
@@ -1785,6 +1808,7 @@ QUERIES = {
     "sorted_topk": q_sorted_topk,
     "facet_lang": q_facet_lang,
     "mlt_terms": q_mlt_terms,
+    "suggest_terms": q_suggest_terms,
 }
 
 if _HAS_STD_ORACLE:

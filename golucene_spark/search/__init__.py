@@ -17,6 +17,7 @@ from .executor import Searcher
 from .highlight import highlight
 from .facets import facet_counts
 from .mlt import more_like_this, interesting_terms
+from .multiterm import suggest_terms
 
 __all__ = [
     "TermQuery",
@@ -39,4 +40,5 @@ __all__ = [
     "facet_counts",
     "more_like_this",
     "interesting_terms",
+    "suggest_terms",
 ]

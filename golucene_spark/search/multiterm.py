@@ -121,3 +121,36 @@ def expand_term_range(index, field: str, lower: str | None, upper: str | None,
             for r in rows
         )
     ).rewrite()
+
+
+def suggest_terms(index, field: str, term: str, k: int = 5, max_edits: int = 2):
+    """Did-you-mean suggestions (the Lucene suggest/spellchecker module
+    role, absent from the reference): dictionary terms within
+    ``max_edits`` Levenshtein distance, ranked by (distance asc,
+    df desc, term asc) — closer corrections first, popular terms
+    breaking ties.  Returns a DataFrame (term, dist, df).
+
+    Scale shape: same JVM-side candidate scan as expand_fuzzy — the
+    length-window prefilter is pushed to the sorted term_dict parquet,
+    levenshtein runs in whole-stage codegen, top-k is
+    TakeOrderedAndProject."""
+    if hasattr(index, "term_dict"):
+        src = (
+            index.term_dict.filter(F.col("field") == field)
+            .groupBy("term")
+            .agg(F.sum("df").cast("long").alias("df"))
+        )
+    else:
+        src = (
+            index.tf.filter(F.col("field") == field)
+            .groupBy("term")
+            .agg(F.count("*").cast("long").alias("df"))
+        )
+    n = len(term)
+    return (
+        src.filter(F.length("term").between(n - max_edits, n + max_edits))
+        .withColumn("dist", F.levenshtein(F.col("term"), F.lit(term)).cast("int"))
+        .filter(F.col("dist") <= max_edits)
+        .orderBy(F.asc("dist"), F.desc("df"), F.asc("term"))
+        .limit(k)
+    )

@@ -111,3 +111,18 @@ def test_term_range_and_regexp_search(wix):
     # unanchored substring must NOT match (Lucene whole-term semantics):
     # /arse/ matches no whole term
     assert s.search(parse_query("content:/arse/"), 10).count() == 0
+
+
+def test_suggest_terms_ranking(wix):
+    from golucene_spark.search.multiterm import suggest_terms
+
+    # 'parse' df=2, 'parser' df=1, 'parsing' df=1
+    got = [(r["term"], r["dist"], r["df"]) for r in
+           suggest_terms(wix, "content", "parsee", k=5, max_edits=2).collect()]
+    # dist: parse=1, parser=1, parsing=3(out); df breaks the dist-1 tie
+    assert got == [("parse", 1, 2), ("parser", 1, 1)]
+    # k truncates; exact hit ranks first at dist 0
+    got2 = [r["term"] for r in suggest_terms(wix, "content", "parse", k=2).collect()]
+    assert got2[0] == "parse" and len(got2) == 2
+    # nothing within distance
+    assert suggest_terms(wix, "content", "qqqqqqqq", k=5).count() == 0
