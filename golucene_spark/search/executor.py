@@ -508,6 +508,22 @@ class Searcher:
                     "boost": q.boost,
                 },
             }
+        if isinstance(q, DisjunctionMaxQuery):
+            children = [self._explain(s, doc_id, stats, query_norm) for s in q.queries]
+            vals = [ch["value"] for ch in children if ch["match"]]
+            if not vals:
+                return {"match": False, "value": 0.0,
+                        "description": "no dismax sub-query matched",
+                        "details": children}
+            mx = max(vals)
+            value = (mx + q.tie_breaker * (sum(vals) - mx)) * q.boost
+            return {
+                "match": True,
+                "value": value,
+                "description": f"max plus {q.tie_breaker} times others of "
+                               f"{len(vals)} matching sub-queries",
+                "details": children,
+            }
         if isinstance(q, BooleanQuery):
             scoring = [c for c in q.clauses if not c.is_prohibited]
             prohibited = [c for c in q.clauses if c.is_prohibited]

@@ -94,3 +94,15 @@ def test_multi_field_search_end_to_end(dix):
             b_en.get(d, 0.0), t_en.get(d, 0.0)
         )
         assert got[d] == pytest.approx(want, rel=1e-12), d
+
+
+def test_dismax_explain_matches_score(dix):
+    s = Searcher(dix, "bm25")
+    q = DisjunctionMaxQuery(
+        (TermQuery("body", "spark"), TermQuery("title", "spark")), 0.5, 2.0)
+    scores = _scores(s, q)
+    for d in scores:
+        ex = s.explain(q, d)
+        assert ex["match"] and ex["value"] == scores[d], d
+    missing = s.explain(q, 3)
+    assert not missing["match"] and missing["value"] == 0.0
