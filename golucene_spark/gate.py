@@ -1758,6 +1758,54 @@ ORDER BY dist ASC, df DESC, term ASC LIMIT 5
 """
 
 
+def q_group_search(spark, sf_dir):
+    """Result grouping (Lucene grouping module role): top-3 lang groups
+    of the text:data matches ranked by best-doc score, top-2 docs per
+    group — one window over the group key + a tiny group ranking."""
+    from .search.grouping import group_search
+
+    s = Searcher(_index(spark, sf_dir), "bm25")
+    q = parse_query("text:data", default_field="text", analyzer="simple")
+    out = group_search(s, q, "lang", k_groups=3, k_per_group=2)
+    return out.select(
+        "group",
+        F.round(F.col("group_max_score") * 1e6, 0).cast("long").alias("gmax_e6"),
+        "doc_id",
+        F.round(F.col("score") * 1e6, 0).cast("long").alias("score_e6"),
+        "rnk",
+    )
+
+
+ORACLES["group_search"] = f"""{BASE_CTE},
+ts AS (SELECT count(*)::BIGINT AS df FROM tf WHERE term = 'data'),
+hits AS (
+  SELECT tf.doc_id,
+    ln(1 + (stats.n_docs - ts.df + 0.5) / (ts.df + 0.5)) * {K1 + 1.0}
+    * tf.freq / (tf.freq + {K1} * (1 - {B} + {B} * dl.dl / (stats.sum_dl / stats.n_docs))) AS s
+  FROM tf JOIN dl USING (doc_id), stats, ts
+  WHERE tf.term = 'data'
+),
+gd AS (
+  SELECT d.lang AS grp, h.doc_id, h.s,
+         row_number() OVER (PARTITION BY d.lang ORDER BY h.s DESC, h.doc_id ASC) AS rnk,
+         max(h.s) OVER (PARTITION BY d.lang) AS gmax
+  FROM hits h JOIN documents d USING (doc_id)
+),
+tg AS (
+  SELECT grp, gmax FROM (SELECT DISTINCT grp, gmax FROM gd)
+  ORDER BY gmax DESC, grp ASC LIMIT 3
+)
+SELECT gd.grp AS "group",
+       CAST(ROUND(gd.gmax * 1000000.0, 0) AS BIGINT) AS gmax_e6,
+       gd.doc_id,
+       CAST(ROUND(gd.s * 1000000.0, 0) AS BIGINT) AS score_e6,
+       gd.rnk::BIGINT AS rnk
+FROM gd JOIN tg USING (grp)
+WHERE gd.rnk <= 2
+ORDER BY gmax_e6 DESC, "group" ASC, rnk ASC
+"""
+
+
 QUERIES = {
     "term_bm25_topk": q_term_bm25,
     "phrase_bm25": q_phrase_bm25,
@@ -1809,6 +1857,7 @@ QUERIES = {
     "facet_lang": q_facet_lang,
     "mlt_terms": q_mlt_terms,
     "suggest_terms": q_suggest_terms,
+    "group_search": q_group_search,
 }
 
 if _HAS_STD_ORACLE:

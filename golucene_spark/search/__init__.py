@@ -18,6 +18,7 @@ from .highlight import highlight
 from .facets import facet_counts
 from .mlt import more_like_this, interesting_terms
 from .multiterm import suggest_terms
+from .grouping import group_search
 
 __all__ = [
     "TermQuery",
@@ -41,4 +42,5 @@ __all__ = [
     "more_like_this",
     "interesting_terms",
     "suggest_terms",
+    "group_search",
 ]

@@ -73,3 +73,19 @@ def test_more_like_this_end_to_end(fix):
     assert got == want
     # empty probe -> empty frame
     assert more_like_this(s, "text", "qqqq zzzz", analyzer="simple").count() == 0
+
+
+def test_group_search(fix):
+    from golucene_spark.search import group_search
+
+    s = Searcher(fix, "bm25")
+    rows = group_search(s, TermQuery("text", "spark"), "lang",
+                        k_groups=2, k_per_group=1).collect()
+    # doc2 ('spark spark streams', de) has the top score -> de group first
+    assert [(r["group"], r["doc_id"], r["rnk"]) for r in rows] == [("de", 2, 1), ("en", 1, 1)]
+    # k_per_group widens within groups; en has 3 matching docs
+    rows2 = group_search(s, TermQuery("text", "spark"), "lang",
+                         k_groups=2, k_per_group=5).collect()
+    en = [r for r in rows2 if r["group"] == "en"]
+    assert len(en) == 3 and [r["rnk"] for r in en] == [1, 2, 3]
+    assert all(en[i]["score"] >= en[i + 1]["score"] for i in range(len(en) - 1))
