@@ -88,21 +88,47 @@ def minhash_signatures(
     return g.select(F.col(id_col), F.array(*[f"mh{i}" for i in range(num_perm)]).alias("minhash"))
 
 
-def minhash_lsh_pairs(
+def minhash_signatures_stateless(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     num_perm: int = 64,
-    bands: int = 16,
     shingle: int = 3,
-    threshold: float = 0.5,
     seed: int = 42,
 ) -> DataFrame:
-    """Near-duplicate pairs: minhash -> band buckets -> bucket self-join
-    -> exact Jaccard >= threshold.  Returns (id_a, id_b, jaccard)."""
+    """(id, minhash) with NO shuffle: the per-doc min over permuted
+    shingle hashes runs as higher-order array functions inside one
+    projection.  Identical output to minhash_signatures (tested), but
+    streaming-safe (stateless) and shuffle-free — prefer it when the
+    signature feeds a downstream repartition anyway."""
+    a, b = _perm_params(num_perm, seed)
+    hs = F.transform(
+        F.array_distinct(_shingles(_tokens(text_col), shingle)),
+        lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE_P)),
+    )
+    tmp = df.withColumn("_hs", hs)
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    "_hs",
+                    lambda h: (h * F.lit(int(ai)) + F.lit(int(bi))) % F.lit(MERSENNE_P),
+                )
+            )
+            for ai, bi in zip(a, b)
+        ]
+    )
+    return tmp.select(F.col(id_col), sig.alias("minhash"))
+
+
+def band_buckets(
+    sig: DataFrame, id_col: str = "doc_id", num_perm: int = 64, bands: int = 16
+) -> DataFrame:
+    """(id, band, bucket): xxhash64 of each band's signature slice —
+    the LSH banding step shared by the batch pair join and the
+    streaming candidate emitter."""
     rows_per_band = num_perm // bands
-    sig = minhash_signatures(df, text_col, id_col, num_perm, shingle, seed)
-    banded = sig.select(
+    return sig.select(
         F.col(id_col),
         F.explode(
             F.transform(
@@ -122,6 +148,22 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle: int = 3,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate pairs: minhash -> band buckets -> bucket self-join
+    -> exact Jaccard >= threshold.  Returns (id_a, id_b, jaccard)."""
+    sig = minhash_signatures(df, text_col, id_col, num_perm, shingle, seed)
+    banded = band_buckets(sig, id_col, num_perm, bands)
     l = banded.alias("l")
     r = banded.alias("r")
     cand = (

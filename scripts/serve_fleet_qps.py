@@ -1,0 +1,198 @@
+"""Multi-session serve-fleet throughput scaling (north-rule evidence,
+query path).
+
+A single Spark session's tiny-query QPS is capped by the driver's
+DAGScheduler event loop (BENCH/BASELINE.md experiment #1), so query
+THROUGHPUT on a real cluster scales by adding serving sessions, not by
+adding cores to one driver.  This experiment measures exactly that,
+in-sandbox, with genuinely disjoint compute:
+
+  level N : 1 serving process pinned to cores 0-7      (8 cores)
+  level 4N: 4 serving processes pinned to cores 0-7 /
+            8-15 / 16-23 / 24-31                       (32 cores)
+
+All processes serve the SAME on-disk index (built once), run the SAME
+per-process query mix, and are start-synchronized through a file
+barrier; aggregate QPS = total queries / wall of the overlapped
+window.  Efficiency = (qps_4N / qps_N) / 4.
+
+Usage:
+  python3 scripts/serve_fleet_qps.py --all [--rows 1000000]
+  python3 scripts/serve_fleet_qps.py --child I --cores A-B --ixdir D --sync S
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(ROOT))
+
+from scaling_bench import QUERIES, ensure_corpus  # noqa: E402
+
+CORPUS = ROOT / ".data" / "scaling_corpus.parquet"
+IXDIR = ROOT / ".data" / "serve_fleet_index"
+REPS = 8  # query-mix repetitions per process
+
+
+def build_index(rows: int):
+    from golucene_spark.session import get_spark, warm_workers
+    from golucene_spark.index import CorpusSpec, IndexBuilder
+
+    ensure_corpus(rows)
+    if (IXDIR / "field_stats").exists():
+        return
+    spark = get_spark(
+        app_name="fleet-build", master="local[32]", shuffle_partitions=128,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    warm_workers(spark)
+    shutil.rmtree(IXDIR, ignore_errors=True)
+    docs = spark.read.parquet(str(CORPUS))
+    IndexBuilder(spark, CorpusSpec.source_code(), analyzer="standard",
+                 num_segments=64).build(docs, str(IXDIR))
+    spark.stop()
+
+
+def child(idx: int, cores: int, ixdir: str, sync_dir: str) -> None:
+    from concurrent.futures import ThreadPoolExecutor
+
+    from golucene_spark.session import get_spark, warm_workers
+    from golucene_spark.index import MaterializedIndex
+    from golucene_spark.search import Searcher, parse_query
+
+    spark = get_spark(
+        app_name=f"fleet-serve-{idx}", master=f"local[{cores}]",
+        shuffle_partitions=8,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    warm_workers(spark)
+    s = Searcher(MaterializedIndex(spark, ixdir), "bm25")
+    parsed = {
+        n: parse_query(q, default_field="content", analyzer="standard")
+        for n, q in QUERIES.items()
+    }
+
+    def run_q(q):
+        s.search(q, 10).collect()
+
+    qlist = list(parsed.values()) * REPS
+    with ThreadPoolExecutor(max_workers=cores) as pool:  # warm plans+pool
+        list(pool.map(run_q, parsed.values()))
+
+    # barrier: announce ready, wait for the parent's go file
+    Path(sync_dir, f"ready-{idx}").touch()
+    go = Path(sync_dir, "go")
+    while not go.exists():
+        time.sleep(0.05)
+
+    t0 = time.time()
+    with ThreadPoolExecutor(max_workers=cores) as pool:
+        list(pool.map(run_q, qlist))
+    wall = time.time() - t0
+    print(json.dumps({
+        "idx": idx, "n_queries": len(qlist), "wall_sec": round(wall, 3),
+        "qps": round(len(qlist) / wall, 3),
+        "t_start": round(t0, 3), "t_end": round(t0 + wall, 3),
+    }))
+
+
+def run_level(n_procs: int, cores_per_proc: int) -> dict:
+    sync = ROOT / ".data" / f"fleet_sync_{n_procs}"
+    shutil.rmtree(sync, ignore_errors=True)
+    sync.mkdir(parents=True)
+    procs = []
+    for i in range(n_procs):
+        lo = i * cores_per_proc
+        hi = lo + cores_per_proc - 1
+        cmd = [
+            "taskset", "-c", f"{lo}-{hi}", sys.executable, __file__,
+            "--child", str(i), "--cores", str(cores_per_proc),
+            "--ixdir", str(IXDIR), "--sync", str(sync),
+        ]
+        env = dict(os.environ)
+        # keep the fleet's combined JVM footprint under the host's ~14GB
+        # fast-page window: a serve session needs little heap (tiny
+        # reduce sides), and 4x10g heaps would cross into the serialized
+        # page-supply regime and fake a scaling loss
+        env["SPARK_GRAFT_DRIVER_MEM"] = "3g"
+        procs.append(
+            subprocess.Popen(cmd, stdout=subprocess.PIPE, text=True, env=env)
+        )
+    deadline = time.time() + 600
+    while time.time() < deadline:
+        if all((sync / f"ready-{i}").exists() for i in range(n_procs)):
+            break
+        time.sleep(0.2)
+    else:
+        raise TimeoutError("children never became ready")
+    (sync / "go").touch()
+    results = []
+    for p in procs:
+        out, _ = p.communicate(timeout=900)
+        line = [l for l in out.splitlines() if l.startswith("{")][-1]
+        results.append(json.loads(line))
+    total_q = sum(r["n_queries"] for r in results)
+    # overlapped window: first start to last end (children are
+    # barrier-released together, so this is the honest aggregate wall)
+    wall = max(r["t_end"] for r in results) - min(r["t_start"] for r in results)
+    return {
+        "n_procs": n_procs,
+        "cores_per_proc": cores_per_proc,
+        "total_cores": n_procs * cores_per_proc,
+        "total_queries": total_q,
+        "window_sec": round(wall, 3),
+        "aggregate_qps": round(total_q / wall, 3),
+        "per_proc": results,
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--all", action="store_true")
+    ap.add_argument("--rows", type=int, default=1_000_000)
+    ap.add_argument("--child", type=int)
+    ap.add_argument("--cores", type=int)
+    ap.add_argument("--ixdir")
+    ap.add_argument("--sync")
+    args = ap.parse_args()
+    if args.child is not None:
+        child(args.child, args.cores, args.ixdir, args.sync)
+        return
+    build_index(args.rows)
+    # best-of-2 per level, interleaved: this host's page-supply/bus
+    # throughput drifts +-50% between runs (same discipline as the
+    # build bench's best-of-N)
+    lo_runs, hi_runs = [], []
+    for _ in range(2):
+        lo_runs.append(run_level(1, 8))
+        hi_runs.append(run_level(4, 8))
+    lo = max(lo_runs, key=lambda r: r["aggregate_qps"])
+    hi = max(hi_runs, key=lambda r: r["aggregate_qps"])
+    eff = (hi["aggregate_qps"] / lo["aggregate_qps"]) / 4
+    summary = {
+        "rows": args.rows,
+        "levels": {"N": lo, "4N": hi},
+        "all_qps": {
+            "N": [r["aggregate_qps"] for r in lo_runs],
+            "4N": [r["aggregate_qps"] for r in hi_runs],
+        },
+        "serve_fleet_qps_scaling_efficiency_N_to_4N": round(eff, 3),
+        "note": "disjoint taskset core sets; one shared on-disk index; "
+                "file-barrier synchronized start; same per-process mix; "
+                "best-of-2 per level (noisy host)",
+    }
+    (ROOT / "BENCH").mkdir(exist_ok=True)
+    (ROOT / "BENCH" / "serve_fleet.json").write_text(json.dumps(summary, indent=2))
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()
