@@ -27,12 +27,19 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--input", help="source parquet (repo,path,commit,lang,content)")
+    ap.add_argument("--input", help="corpus source: iceberg:<cat.db.table> | "
+                                    "parquet:<path> | table:<name> | <path> "
+                                    "(columns repo,path,commit,lang,content)")
+    ap.add_argument("--snapshot-id", type=int, default=None,
+                    help="pin an Iceberg snapshot for the whole (resumable) build")
     ap.add_argument("--index", required=True, help="index directory")
     ap.add_argument("--segments", type=int, default=None)
     ap.add_argument("--chunks", type=int, default=1, help="commit/resume chunks")
     ap.add_argument("--salt-range", type=int, default=None, help="hot-term skew salting")
     ap.add_argument("--analyzer", default="standard")
+    ap.add_argument("--spec", default="source_code",
+                    choices=["source_code", "documents"],
+                    help="input-table shape (column mapping)")
     ap.add_argument("--no-positions", action="store_true")
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument("--verify", action="store_true", help="run CheckIndex after build")
@@ -55,11 +62,13 @@ def main():
     if a.input:
         from golucene_spark.index import CorpusSpec, IndexBuilder
 
-        df = spark.read.parquet(a.input)
+        from golucene_spark.sources import load_corpus
+
+        df = load_corpus(spark, a.input, snapshot_id=a.snapshot_id)
         t0 = time.time()
         b = IndexBuilder(
             spark,
-            CorpusSpec.source_code(),
+            getattr(CorpusSpec, a.spec)(),
             analyzer=a.analyzer,
             num_segments=a.segments,
             index_positions=not a.no_positions,

@@ -196,3 +196,15 @@ def test_clause_limit_enforced():
             BooleanClause(TermQuery("content", f"t{i}"), Occur.SHOULD)
             for i in range(1025)
         ))
+
+
+def test_load_corpus_schemes(spark, sf_dir):
+    from golucene_spark.sources import load_corpus
+
+    p = f"{sf_dir}/documents.parquet"
+    assert load_corpus(spark, p).count() == load_corpus(spark, f"parquet:{p}").count()
+    spark.read.parquet(p).createOrReplaceTempView("src_docs_view")
+    assert load_corpus(spark, "table:src_docs_view").count() > 0
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="Iceberg"):
+        load_corpus(spark, "iceberg:cat.db.tbl")
