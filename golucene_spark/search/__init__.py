@@ -19,6 +19,7 @@ from .facets import facet_counts
 from .mlt import more_like_this, interesting_terms
 from .multiterm import suggest_terms
 from .grouping import group_search
+from .cache import CachingSearcher
 
 __all__ = [
     "TermQuery",
@@ -43,4 +44,5 @@ __all__ = [
     "interesting_terms",
     "suggest_terms",
     "group_search",
+    "CachingSearcher",
 ]
