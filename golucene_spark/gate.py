@@ -1806,6 +1806,93 @@ ORDER BY gmax_e6 DESC, "group" ASC, rnk ASC
 """
 
 
+def _ivf_centroid_parquet(n_cells: int = 8) -> str:
+    """Golden IVF centroids: deterministic spherical k-means trained
+    (pure NumPy, seed 42) on the sf0.01 embeddings — the engine loads
+    them, the DuckDB twin replays assignment/probe/cosine from the
+    same parquet (the hyperplane-replay pattern)."""
+    out = os.path.join("/root/repo/.data", f"ivf_centroids_{n_cells}x64.parquet")
+    if os.path.exists(out):
+        return out
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from .text.ann import train_ivf
+
+    t = pq.read_table("/root/testdata/sf0.01/embeddings.parquet")
+    X = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    C = train_ivf(X, n_cells=n_cells, iters=10, seed=42)
+    os.makedirs("/root/repo/.data", exist_ok=True)
+    pq.write_table(
+        pa.table({
+            "cell": pa.array(list(range(n_cells)), pa.int32()),
+            "centroid": pa.array([[float(x) for x in C[i]] for i in range(n_cells)],
+                                 pa.list_(pa.float64())),
+        }),
+        out,
+    )
+    return out
+
+
+def q_ann_ivf(spark, sf_dir):
+    """IVF ANN (coarse spherical-k-means quantizer, the prompt's second
+    scale path): assign every vector to its max-cosine cell, probe the
+    query's top-2 cells, brute-force cosine inside them only."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from .text.ann import add_ivf_cell, ivf_cosine_topk
+
+    cen = np.array(
+        pq.read_table(_ivf_centroid_parquet()).column("centroid").to_pylist(),
+        dtype=np.float64,
+    )
+    emb = _emb(spark, sf_dir)
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    celled = add_ivf_cell(emb, cen)
+    out = ivf_cosine_topk(celled, cen, qv, 10, nprobe=2, exclude_id=0)
+    return (
+        out.withColumn("cos_e6", F.round(F.col("cosine") * 1e6, 0).cast("long"))
+        .select("vec_id", "cos_e6")
+        .orderBy(F.desc("cos_e6"), F.asc("vec_id"))
+    )
+
+
+try:
+    _IVFQ = _ivf_centroid_parquet()
+    ORACLES["ann_ivf_topk"] = f"""
+WITH cen AS (SELECT cell, centroid FROM '{_IVFQ}'),
+eb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sims AS (
+  SELECT eb.vec_id, cen.cell,
+         list_dot_product(v, centroid) / sqrt(list_dot_product(v, v)) AS d
+  FROM eb, cen
+),
+asg AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cell ASC) AS rn
+    FROM sims
+  ) WHERE rn = 1
+),
+qc AS (SELECT cell FROM sims WHERE vec_id = 0 ORDER BY d DESC, cell ASC LIMIT 2),
+q AS (SELECT v AS qv FROM eb WHERE vec_id = 0),
+cand AS (
+  SELECT eb.vec_id, eb.v FROM eb JOIN asg USING (vec_id)
+  WHERE asg.cell IN (SELECT cell FROM qc) AND eb.vec_id != 0
+)
+SELECT vec_id::BIGINT AS vec_id,
+  CAST(ROUND(list_dot_product(cand.v, q.qv)
+       / (sqrt(list_dot_product(cand.v, cand.v)) * sqrt(list_dot_product(q.qv, q.qv)))
+       * 1000000.0, 0) AS BIGINT) AS cos_e6
+FROM cand, q
+ORDER BY cos_e6 DESC, vec_id ASC LIMIT 10
+"""
+except Exception:  # pragma: no cover
+    pass
+
+
 QUERIES = {
     "term_bm25_topk": q_term_bm25,
     "phrase_bm25": q_phrase_bm25,
@@ -1858,6 +1945,7 @@ QUERIES = {
     "mlt_terms": q_mlt_terms,
     "suggest_terms": q_suggest_terms,
     "group_search": q_group_search,
+    "ann_ivf_topk": q_ann_ivf,
 }
 
 if _HAS_STD_ORACLE:

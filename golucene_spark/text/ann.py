@@ -224,3 +224,81 @@ def cosine_pairs_lsh(
         F.sqrt(_dot(F.col("va"), F.col("va"))) * F.sqrt(_dot(F.col("vb"), F.col("vb")))
     )
     return j.select("id_a", "id_b", cos.alias("cosine")).filter(F.col("cosine") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: coarse spherical k-means quantizer -> cell
+# assignment -> probe top-nprobe cells.  The second scale path beside
+# LSH: cells adapt to the data distribution, so recall at equal probe
+# cost is typically higher than data-oblivious hyperplanes.
+# ---------------------------------------------------------------------------
+
+def train_ivf(vectors: np.ndarray, n_cells: int = 8, iters: int = 10,
+              seed: int = 42) -> np.ndarray:
+    """Deterministic spherical k-means (Lloyd, fixed iterations, seeded
+    init): returns L2-NORMALIZED centroids (n_cells, dim).  Train on a
+    driver-side sample — the coarse quantizer needs thousands of
+    vectors, not the corpus."""
+    rng = np.random.default_rng(seed)
+    X = np.asarray(vectors, dtype=np.float64)
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    C = Xn[rng.choice(len(Xn), size=n_cells, replace=False)]
+    for _ in range(iters):
+        sims = Xn @ C.T                       # (n, k) cosine to each centroid
+        # argmax with smallest-cell tie-break (argmax returns first max)
+        assign = np.argmax(sims, axis=1)
+        for c in range(n_cells):
+            m = assign == c
+            if m.any():
+                v = Xn[m].sum(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    C[c] = v / n
+    return C
+
+
+def add_ivf_cell(emb: DataFrame, centroids: np.ndarray,
+                 vec_col: str = "embedding") -> DataFrame:
+    """`ivf_cell` column: index of the max-cosine centroid (ties ->
+    smallest cell).  Pure JVM expressions (one dot fold per cell); at
+    scale, write the table partitioned by ivf_cell."""
+    v = F.col(vec_col).cast("array<double>")
+    vnorm = F.sqrt(_dot(v, v))
+    scored = []
+    for cell, c in enumerate(np.asarray(centroids, dtype=np.float64)):
+        carr = F.array(*[F.lit(float(x)) for x in c])
+        # centroids are unit-norm; cosine = dot / ||v||
+        scored.append(F.struct(
+            (_dot(v, carr) / vnorm).alias("d"),
+            F.lit(-cell).cast("int").alias("nc"),
+        ))
+    best = F.array_max(F.array(*scored))
+    return emb.withColumn("ivf_cell", (-best["nc"]).cast("int"))
+
+
+def ivf_probe_cells(query_vec, centroids: np.ndarray, nprobe: int) -> list[int]:
+    """Top-nprobe cells by query-to-centroid cosine (ties -> smaller
+    cell), enumerated driver-side -> pushed-down IN-list."""
+    q = np.asarray([float(x) for x in query_vec], dtype=np.float64)
+    q = q / max(np.linalg.norm(q), 1e-12)
+    sims = np.asarray(centroids, dtype=np.float64) @ q
+    order = sorted(range(len(sims)), key=lambda c: (-sims[c], c))
+    return [int(c) for c in order[:nprobe]]
+
+
+def ivf_cosine_topk(
+    emb_celled: DataFrame,
+    centroids: np.ndarray,
+    query_vec,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_id=None,
+) -> DataFrame:
+    """Approximate top-k: brute-force cosine inside the top-nprobe
+    cells only.  With the table partitioned by ivf_cell the IN-list is
+    partition pruning — scan cost is nprobe/n_cells of the corpus."""
+    cells = ivf_probe_cells(query_vec, centroids, nprobe)
+    pruned = emb_celled.filter(F.col("ivf_cell").isin(cells))
+    return cosine_topk(pruned, query_vec, k, id_col, vec_col, exclude_id)

@@ -212,3 +212,35 @@ def test_cosine_pairs_lsh_matches_brute_on_clusters(spark):
     lsh = {(r["id_a"], r["id_b"], round(r["cosine"], 9))
            for r in cosine_pairs_lsh(emb, 0.9, dim=32, n_bands=16, band_bits=3).collect()}
     assert brute == lsh and len(brute) == 5 * (8 * 7 // 2)
+
+
+def test_ivf_ann(spark, sf_dir):
+    import numpy as np
+    from golucene_spark.text.ann import (
+        add_ivf_cell, cosine_topk, ivf_cosine_topk, ivf_probe_cells, train_ivf,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    X = np.array([r["embedding"] for r in emb.orderBy("vec_id").collect()], dtype=np.float64)
+    C = train_ivf(X, n_cells=4, iters=5)
+    assert C.shape[1] == X.shape[1]
+    assert np.allclose(np.linalg.norm(C, axis=1), 1.0)
+
+    qv = [float(x) for x in X[0]]
+    celled = add_ivf_cell(emb, C)
+    # every vector gets a cell in range; assignment matches NumPy argmax
+    cells = {r["vec_id"]: r["ivf_cell"] for r in celled.select("vec_id", "ivf_cell").collect()}
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    want = np.argmax(Xn @ C.T, axis=1)
+    got = np.array([cells[i] for i in range(len(X))])
+    assert (got == want).mean() > 0.99  # ulp ties only
+
+    # probing ALL cells == exact brute force
+    exact = [r["vec_id"] for r in cosine_topk(emb, qv, 5, exclude_id=0).collect()]
+    full = [r["vec_id"] for r in
+            ivf_cosine_topk(celled, C, qv, 5, nprobe=4, exclude_id=0).collect()]
+    assert full == exact
+    # nprobe=1 returns a subset of vectors from the probed cell, ranked
+    probe1 = ivf_cosine_topk(celled, C, qv, 5, nprobe=1, exclude_id=0).collect()
+    top_cell = ivf_probe_cells(qv, C, 1)[0]
+    assert all(cells[r["vec_id"]] == top_cell for r in probe1)
