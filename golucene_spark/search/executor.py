@@ -593,6 +593,16 @@ class Searcher:
             )
         return total, top
 
+    def count(self, query) -> int:
+        """Total hit count without materializing scores — the
+        TotalHitCountCollector (collect.go:53-57's totalHits alone);
+        Catalyst prunes the score expression under the count."""
+        if isinstance(query, str):
+            from .parser import parse_query
+
+            query = parse_query(query)
+        return self.score_frame(query).select("doc_id").count()
+
     def search_sorted(self, query, sort, k: int = 10) -> DataFrame:
         """Top-k ordered by stored doc_meta fields instead of relevance —
         the Sort/TopFieldCollector API of core Lucene 4.10 (absent from

@@ -154,3 +154,28 @@ def suggest_terms(index, field: str, term: str, k: int = 5, max_edits: int = 2):
         .orderBy(F.asc("dist"), F.desc("df"), F.asc("term"))
         .limit(k)
     )
+
+
+def term_dictionary(index, field: str, prefix: str | None = None,
+                    limit: int = 1000):
+    """Browse the term dictionary (the TermsEnum.next/seekCeil API,
+    core/index/terms.go:60-120): (term, df, ttf) ordered by term, with
+    an optional prefix seek.  The prefix predicate is pushed to the
+    sorted term_dict parquet (row-group pruning via min/max stats)."""
+    if hasattr(index, "term_dict"):
+        src = (
+            index.term_dict.filter(F.col("field") == field)
+            .groupBy("term")
+            .agg(F.sum("df").cast("long").alias("df"),
+                 F.sum("ttf").cast("long").alias("ttf"))
+        )
+    else:
+        src = (
+            index.tf.filter(F.col("field") == field)
+            .groupBy("term")
+            .agg(F.count("*").cast("long").alias("df"),
+                 F.sum("freq").cast("long").alias("ttf"))
+        )
+    if prefix:
+        src = src.filter(F.col("term").startswith(prefix))
+    return src.orderBy("term").limit(limit)

@@ -126,3 +126,18 @@ def test_suggest_terms_ranking(wix):
     assert got2[0] == "parse" and len(got2) == 2
     # nothing within distance
     assert suggest_terms(wix, "content", "qqqqqqqq", k=5).count() == 0
+
+
+def test_count_and_term_dictionary(wix):
+    from golucene_spark.search import Searcher
+    from golucene_spark.search.multiterm import term_dictionary
+
+    s = Searcher(wix, "bm25")
+    assert s.count("content:parse") == 2
+    assert s.count("content:parse OR content:buffer") == 2
+    assert s.count("content:zzzz") == 0
+    rows = [(r["term"], r["df"], r["ttf"]) for r in
+            term_dictionary(wix, "content", prefix="par").collect()]
+    assert rows == [("parse", 2, 2), ("parser", 1, 1), ("parsing", 1, 1),
+                    ("partial", 1, 1), ("partition", 1, 1)]
+    assert term_dictionary(wix, "content", limit=2).count() == 2
