@@ -508,6 +508,15 @@ class Searcher:
                     "boost": q.boost,
                 },
             }
+        if isinstance(q, MatchAllQuery):
+            exists = (
+                self.index.doc_stats.filter(F.col("doc_id") == doc_id).limit(1).count() > 0
+            )
+            return {
+                "match": exists,
+                "value": float(q.boost) if exists else 0.0,
+                "description": "MatchAllDocsQuery" if exists else "unknown doc",
+            }
         if isinstance(q, DisjunctionMaxQuery):
             children = [self._explain(s, doc_id, stats, query_norm) for s in q.queries]
             vals = [ch["value"] for ch in children if ch["match"]]

@@ -63,3 +63,15 @@ def test_highlight_snippets(spark):
     assert out[0]["snippet"] == "ha beta ga"   # window around earliest match
     assert out[1]["pos_0"] == 0 and out[1]["snippet"] == ""
     assert out[2]["pos_0"] == 4 and out[2]["snippet"] == "xx beta yy"
+
+
+def test_explain_matchall_and_resolved_multiterm(ix):
+    from golucene_spark.search import MatchAllQuery, Searcher, WildcardQuery
+
+    s = Searcher(ix, "bm25")
+    ex = s.explain(MatchAllQuery(2.0), 0)
+    assert ex["match"] and ex["value"] == 2.0
+    assert not s.explain(MatchAllQuery(), 10**9)["match"]
+    # wildcard resolves to a boolean before explanation
+    exw = s.explain(WildcardQuery("content", "ba*"), 1)
+    assert exw["match"] and exw["value"] > 0
