@@ -212,3 +212,37 @@ def reconstruct_token_streams(index_dir: str, field: str,
     return {
         doc: [slot[p] for p in sorted(slot)] for doc, slot in per_doc.items()
     }
+
+
+def read_norms(index_dir: str, segment: str = "_0") -> dict[str, list[int]]:
+    """field name -> per-doc norm bytes, from the Lucene41Norms
+    (Lucene42DocValues UNCOMPRESSED) .nvm/.nvd pair
+    (core/codec/lucene42/docValuesProducer.go:136-239)."""
+    d = Path(index_dir)
+    infos = read_field_infos(str(d / f"{segment}.fnm"))
+    meta = _In((d / f"{segment}.nvm").read_bytes())
+    _check_header(meta, "Lucene41NormsMetadata")
+    entries: dict[int, tuple[int, int]] = {}  # field -> (offset, format)
+    while True:
+        fnum = meta.vint()
+        if fnum == 0x0FFFFFFFF or meta.eof():  # -1 terminator as vint
+            break
+        ftype = meta.u8()
+        assert ftype == 0, f"only NUMERIC norms supported, got {ftype}"
+        offset = struct.unpack(">q", meta.read(8))[0]
+        fmt_ = meta.u8()
+        if fmt_ != 2:  # UNCOMPRESSED
+            raise NotImplementedError(f"norms format {fmt_}")
+        entries[fnum] = (offset, fmt_)
+        if meta.p + 1 >= len(meta.b):
+            break
+    data = (d / f"{segment}.nvd").read_bytes()
+    # maxDoc: infer from consecutive offsets (uncompressed = maxDoc
+    # bytes per field) or file remainder for the last field
+    offs = sorted(o for o, _ in entries.values())
+    sizes = {o: (offs[i + 1] - o if i + 1 < len(offs) else len(data) - o)
+             for i, o in enumerate(offs)}
+    return {
+        infos[f]["name"]: list(data[o:o + sizes[o]])
+        for f, (o, _) in entries.items()
+    }

@@ -129,3 +129,23 @@ def test_phrase_on_fixture_positions(spark):
     s = Searcher(ix, "bm25")
     hits = {r["doc_id"] for r in phrase_search(s, "content", list(pair), 20).collect()}
     assert 0 in hits
+
+
+@pytest.mark.parametrize("index_dir", [BELFRY, WORLDTIME])
+def test_norms_byte_parity(spark, index_dir):
+    """Our SmallFloat 3.15 norm encoding reproduces the fixture's own
+    .nvd norm bytes byte-for-byte from the reconstructed field lengths
+    (dl = sum of freqs) — scoring-parity proof at the encoding level."""
+    from ref_index import read_norms
+
+    want = read_norms(index_dir)["content"]
+    inverted = read_postings(index_dir, "content")
+    dl: dict[int, int] = {}
+    for postings in inverted.values():
+        for doc, freq, _ in postings:
+            dl[doc] = dl.get(doc, 0) + freq
+    got = [
+        int(smallfloat.encode_norm_from_length(np.array([dl[d]]))[0])
+        for d in range(len(dl))
+    ]
+    assert got == want
