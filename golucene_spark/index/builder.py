@@ -905,7 +905,8 @@ class MaterializedIndex:
             ["positions"] if with_positions else []
         )
         z = F.arrays_zip(*zcols)
-        out = p.select("term", F.explode(z).alias("e")).select(
+        out = p.select("segment_id", "term", F.explode(z).alias("e")).select(
+            "segment_id",
             "term",
             F.col("e.doc_ids").alias("doc_id"),
             F.col("e.freqs").alias("freq"),
@@ -914,8 +915,10 @@ class MaterializedIndex:
             *( [F.col("e.positions").alias("positions")] if with_positions else [] ),
         )
         if self._tombstones is not None:
-            out = out.join(self._tombstones, "doc_id", "left_anti")
-        return out
+            from .deletes import filter_live
+
+            out = filter_live(out, self._tombstones)
+        return out.drop("segment_id")
 
     def term_stats(self, field: str, terms: list[str]) -> DataFrame:
         return (
@@ -927,11 +930,18 @@ class MaterializedIndex:
     def document(self, doc_id: int) -> dict | None:
         """Stored-field retrieval by docID (IndexReader.Document,
         core/document/document.go:75): the doc_meta row as a dict, or
-        None for an unknown/deleted doc."""
+        None for an unknown/deleted doc.  For updated docs the NEWEST
+        version (highest segment) is returned."""
         if self._tombstones is not None:
-            if self._tombstones.filter(F.col("doc_id") == int(doc_id)).count():
+            full = self._tombstones.filter(
+                (F.col("doc_id") == int(doc_id)) & F.col("before_segment").isNull()
+            )
+            if full.count():
                 return None
-        rows = self.doc_meta.filter(F.col("doc_id") == int(doc_id)).limit(1).collect()
+        rows = (
+            self.doc_meta.filter(F.col("doc_id") == int(doc_id))
+            .orderBy(F.desc("segment_id")).limit(1).collect()
+        )
         return rows[0].asDict() if rows else None
 
     def collection_stats_row(self, field: str) -> dict:

@@ -44,10 +44,14 @@ def delete_by_query(spark: SparkSession, index_dir: str, query, searcher=None) -
     return _append_tombstones(spark, index_dir, matches, {"kind": "query", "n": n})
 
 
-def _append_tombstones(spark, index_dir, df: DataFrame, info: dict) -> dict:
+def _append_tombstones(spark, index_dir, df: DataFrame, info: dict,
+                       before_segment: int | None = None) -> dict:
     gen = int(time.time() * 1000)
     out = os.path.join(_tombstone_dir(index_dir), f"gen={gen}")
-    df.select(F.col("doc_id").cast("long")).distinct().write.mode("overwrite").parquet(out)
+    (df.select(F.col("doc_id").cast("long")).distinct()
+       .withColumn("before_segment",
+                   F.lit(before_segment).cast("long"))
+       .write.mode("overwrite").parquet(out))
     mdir = os.path.join(index_dir, "manifest")
     os.makedirs(mdir, exist_ok=True)
     rec = {"chunk": f"tombstones-{gen}", "status": "committed", "kind": "delete", **info}
@@ -57,7 +61,68 @@ def _append_tombstones(spark, index_dir, df: DataFrame, info: dict) -> dict:
 
 
 def tombstones(spark: SparkSession, index_dir: str) -> DataFrame | None:
+    """(doc_id, before_segment): before_segment NULL kills every
+    version of the doc (plain delete); a value V kills only versions
+    in segments < V (updateDocument supersede)."""
     d = _tombstone_dir(index_dir)
     if not os.path.isdir(d):
         return None
-    return spark.read.parquet(d).select("doc_id").distinct()
+    t = spark.read.option("mergeSchema", "true").parquet(d)
+    if "before_segment" not in t.columns:  # pre-update-era tombstones
+        t = t.withColumn("before_segment", F.lit(None).cast("long"))
+    return t.select("doc_id", "before_segment").distinct()
+
+
+def filter_live(frame: DataFrame, tomb: DataFrame | None,
+                seg_col: str = "segment_id") -> DataFrame:
+    """Drop tombstoned rows from ``frame`` (the liveDocs filter).
+    With a ``seg_col`` present, update tombstones (before_segment = V)
+    drop only rows whose segment < V; without one, only full-delete
+    tombstones (before_segment NULL) apply — updated docs' live
+    versions always survive."""
+    if tomb is None:
+        return frame
+    if seg_col not in frame.columns:
+        full = tomb.filter(F.col("before_segment").isNull()).select("doc_id")
+        return frame.join(full, "doc_id", "left_anti")
+    t = tomb.select(
+        F.col("doc_id").alias("_t_doc"), F.col("before_segment").alias("_t_seg")
+    )
+    cond = (frame["doc_id"] == t["_t_doc"]) & (
+        t["_t_seg"].isNull() | (frame[seg_col] < t["_t_seg"])
+    )
+    return frame.join(t, cond, "left_anti")
+
+
+def update_documents(spark: SparkSession, index_dir: str, df: DataFrame,
+                     spec, analyzer: str = "standard",
+                     quantize_norms: bool = True) -> dict:
+    """IndexWriter.UpdateDocuments (writer.go's delete-then-add): flush
+    ``df`` (keyed by spec.id_col) as a NEW segment, then tombstone
+    every PRIOR version of those ids (before_segment = the new
+    segment), so readers see exactly the new versions — Lucene's
+    update visibility, without rewriting any old segment."""
+    import json as _json
+
+    from ..streaming.nrt import incremental_index_batch
+
+    assert spec.id_col, "update_documents requires a stable id column"
+    mdir = os.path.join(index_dir, "manifest")
+    epoch = 0
+    if os.path.isdir(mdir):
+        for fn in os.listdir(mdir):
+            if fn.endswith(".json"):
+                with open(os.path.join(mdir, fn)) as f:
+                    rec = _json.load(f)
+                if rec.get("kind") in ("stream", "update"):
+                    epoch = max(epoch, int(rec.get("epoch", 0)) + 1)
+    rec = incremental_index_batch(
+        df, epoch, index_dir, spec, analyzer, quantize_norms, kind="update"
+    )
+    ids = df.select(F.col(spec.id_col).cast("long").alias("doc_id"))
+    _append_tombstones(
+        spark, index_dir, ids,
+        {"kind": "delete", "reason": "update", "n": ids.count()},
+        before_segment=rec["segment_id"],
+    )
+    return rec

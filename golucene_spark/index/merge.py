@@ -194,9 +194,9 @@ def _merge_expunge(spark, index_dir, segment_ids, new_segment_id, out_chunk) -> 
     if "positions" in post.columns:
         zcols.append("positions")
     flat = post.select(
-        "field", "term", F.explode(F.arrays_zip(*zcols)).alias("e")
+        "segment_id", "field", "term", F.explode(F.arrays_zip(*zcols)).alias("e")
     ).select(
-        F.lit(new_id).cast("int").alias("segment_id"),
+        "segment_id",
         F.col("e.doc_ids").alias("doc_id"),
         "field",
         "term",
@@ -207,7 +207,12 @@ def _merge_expunge(spark, index_dir, segment_ids, new_segment_id, out_chunk) -> 
     )
     tomb = tombstones(spark, index_dir)
     if tomb is not None:
-        flat = flat.join(tomb, "doc_id", "left_anti")
+        # liveDocs applied against the ORIGINAL segment ids (update
+        # tombstones only kill versions in segments < before_segment)
+        from .deletes import filter_live
+
+        flat = filter_live(flat, tomb)
+    flat = flat.withColumn("segment_id", F.lit(new_id).cast("int"))
     merged = blocked_postings(flat, include_sentinels=True)
     merged.write.mode("overwrite").partitionBy("kind").parquet(
         os.path.join(index_dir, "postings", f"chunk={out_chunk}")
@@ -226,9 +231,12 @@ def _merge_expunge(spark, index_dir, segment_ids, new_segment_id, out_chunk) -> 
     td.write.mode("overwrite").parquet(os.path.join(index_dir, "term_dict", f"chunk={out_chunk}"))
     ds = spark.read.parquet(os.path.join(index_dir, "doc_stats")).filter(
         F.col("segment_id").isin(segment_ids)
-    ).withColumn("segment_id", F.lit(new_id).cast("int"))
+    )
     if tomb is not None:
-        ds = ds.join(tomb, "doc_id", "left_anti")
+        from .deletes import filter_live
+
+        ds = filter_live(ds, tomb)
+    ds = ds.withColumn("segment_id", F.lit(new_id).cast("int"))
     ds.write.mode("overwrite").parquet(os.path.join(index_dir, "doc_stats", f"chunk={out_chunk}"))
     rec = {
         "chunk": out_chunk,

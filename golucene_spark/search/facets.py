@@ -19,10 +19,12 @@ def field_postings(index, field: str) -> DataFrame:
     if hasattr(index, "tf"):  # LogicalIndex
         return index.tf.filter(F.col("field") == field).select("term", "doc_id")
     p = index.postings.filter(F.col("field") == field)
-    out = p.select("term", F.explode("doc_ids").alias("doc_id"))
+    out = p.select("segment_id", "term", F.explode("doc_ids").alias("doc_id"))
     if getattr(index, "_tombstones", None) is not None:
-        out = out.join(index._tombstones, "doc_id", "left_anti")
-    return out
+        from ..index.deletes import filter_live
+
+        out = filter_live(out, index._tombstones)
+    return out.drop("segment_id")
 
 
 def facet_counts(searcher, query, facet_field: str, k: int = 10,

@@ -97,8 +97,10 @@ def _rescore_candidates(
         stats_out[stats_key] = needed.count()
     p = term_blocks.join(needed, ["term", "segment_id", "block_id"], "left_semi")
     flat = p.select(
-        "term", F.explode(F.arrays_zip("doc_ids", "freqs", "dlqs", "norm_bytes")).alias("e")
+        "segment_id", "term",
+        F.explode(F.arrays_zip("doc_ids", "freqs", "dlqs", "norm_bytes")).alias("e"),
     ).select(
+        "segment_id",
         "term",
         F.col("e.doc_ids").alias("doc_id"),
         F.col("e.freqs").alias("freq"),
@@ -106,7 +108,10 @@ def _rescore_candidates(
         F.col("e.norm_bytes").alias("norm_byte"),
     )
     if getattr(index, "_tombstones", None) is not None:
-        flat = flat.join(index._tombstones, "doc_id", "left_anti")
+        from ..index.deletes import filter_live
+
+        flat = filter_live(flat, index._tombstones)
+    flat = flat.drop("segment_id")
     # plain semi-join: AQE broadcasts when the candidate set is small;
     # at scale a huge candidate set must not be forced driver-side
     flat = flat.join(cand_docs, "doc_id", "left_semi")

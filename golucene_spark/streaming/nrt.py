@@ -35,6 +35,7 @@ def incremental_index_batch(
     analyzer: str = "standard",
     quantize_norms: bool = True,
     segment_offset: int = 1_000_000,
+    kind: str = "stream",
 ) -> dict | None:
     """Flush one micro-batch as a new segment (chunk ``stream-<epoch>``).
 
@@ -115,7 +116,7 @@ def incremental_index_batch(
     rec = {
         "chunk": chunk,
         "status": "committed",
-        "kind": "stream",
+        "kind": kind,
         "epoch": int(epoch_id),
         "segment_id": seg_id,
         "n_docs": n,

@@ -1,0 +1,78 @@
+"""IndexWriter.updateDocument semantics: new segment + supersede
+tombstones (before_segment), readers see exactly the newest version."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from golucene_spark.index import CorpusSpec, IndexBuilder, MaterializedIndex
+from golucene_spark.index.deletes import delete_docs, update_documents
+from golucene_spark.search import Searcher, TermQuery
+
+
+@pytest.fixture()
+def uix(spark, tmp_path):
+    rows = [
+        (0, "alpha original text", "en", "web"),
+        (1, "beta original text", "en", "web"),
+        (2, "gamma other text", "de", "book"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    ixdir = str(tmp_path / "ix")
+    IndexBuilder(spark, CorpusSpec.documents(), analyzer="simple",
+                 quantize_norms=False, num_segments=2).build(df, ixdir)
+    return ixdir
+
+
+def test_update_replaces_version(spark, uix):
+    new = spark.createDataFrame(
+        [(1, "beta replaced contents", "en", "web")],
+        "doc_id long, text string, lang string, source string",
+    )
+    rec = update_documents(spark, uix, new, CorpusSpec.documents(), analyzer="simple",
+                           quantize_norms=False)
+    assert rec["kind"] == "update" and rec["n_docs"] == 1
+    s = Searcher(MaterializedIndex(spark, uix), "bm25")
+    # old content no longer matches doc 1; new content does
+    assert {r["doc_id"] for r in s.search(TermQuery("text", "original"), 10).collect()} == {0}
+    assert {r["doc_id"] for r in s.search(TermQuery("text", "replaced"), 10).collect()} == {1}
+    # other docs untouched
+    assert s.count(TermQuery("text", "gamma")) == 1
+    # document() returns the newest stored version
+    ix = MaterializedIndex(spark, uix)
+    assert ix.document(1) is not None
+
+
+def test_update_then_delete_and_second_update(spark, uix):
+    spec = CorpusSpec.documents()
+    v2 = spark.createDataFrame([(0, "alpha v2", "en", "web")],
+                               "doc_id long, text string, lang string, source string")
+    update_documents(spark, uix, v2, spec, analyzer="simple", quantize_norms=False)
+    v3 = spark.createDataFrame([(0, "alpha v3 final", "en", "web")],
+                               "doc_id long, text string, lang string, source string")
+    update_documents(spark, uix, v3, spec, analyzer="simple", quantize_norms=False)
+    s = Searcher(MaterializedIndex(spark, uix), "bm25")
+    assert s.count(TermQuery("text", "v2")) == 0
+    assert s.count(TermQuery("text", "final")) == 1
+    # a plain delete kills every version incl. the newest
+    delete_docs(spark, uix, [0])
+    s2 = Searcher(MaterializedIndex(spark, uix), "bm25")
+    assert s2.count(TermQuery("text", "final")) == 0
+    assert MaterializedIndex(spark, uix).document(0) is None
+
+
+def test_update_facets_and_wand_see_new_version(spark, uix):
+    from golucene_spark.search import facet_counts
+    from golucene_spark.search.wand import wand_topk
+
+    spec = CorpusSpec.documents()
+    new = spark.createDataFrame([(2, "gamma moved", "fr", "web")],
+                                "doc_id long, text string, lang string, source string")
+    update_documents(spark, uix, new, spec, analyzer="simple", quantize_norms=False)
+    s = Searcher(MaterializedIndex(spark, uix), "bm25")
+    counts = {r["value"]: r["count"] for r in
+              facet_counts(s, TermQuery("text", "text"), "lang").collect()}
+    # doc2's old (de) keyword version is superseded; its new version
+    # doesn't match 'text' anymore
+    assert counts == {"en": 2}
+    hits = {r["doc_id"] for r in wand_topk(s, TermQuery("text", "gamma"), 10).collect()}
+    assert hits == {2}
