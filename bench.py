@@ -46,6 +46,8 @@ QUERIES = {
     "q12_phrase": 'text:"data query"',
     "q13_fuzzy": "text:part~2",
     "q14_nested": "text:data AND (text:query OR text:window)",
+    # sloppy/dismax/range/facet paths are covered by the oracle gates;
+    # the bench mix stays fixed across rounds for comparability
 }
 
 REPS = 3
