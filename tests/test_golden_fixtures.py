@@ -25,6 +25,7 @@ from ref_stored import read_stored_documents
 
 BELFRY = "/root/reference/core/search/testdata/belfrysample"
 WORLDTIME = "/root/reference/core/search/testdata/usingworldtimepro"
+BELFRY_ZH = "/root/reference/core/search/testdata/belfrysample/nl/zh/CN"
 
 
 def _build_index_from_fixture(spark, index_dir, field="content"):
@@ -131,7 +132,7 @@ def test_phrase_on_fixture_positions(spark):
     assert 0 in hits
 
 
-@pytest.mark.parametrize("index_dir", [BELFRY, WORLDTIME])
+@pytest.mark.parametrize("index_dir", [BELFRY, WORLDTIME, BELFRY_ZH])
 def test_norms_byte_parity(spark, index_dir):
     """Our SmallFloat 3.15 norm encoding reproduces the fixture's own
     .nvd norm bytes byte-for-byte from the reconstructed field lengths
