@@ -927,6 +927,23 @@ class MaterializedIndex:
             .agg(F.sum("df").alias("df"), F.sum("ttf").alias("ttf"))
         )
 
+    def live_doc_meta(self) -> DataFrame:
+        """doc_meta with ONE row per doc — the newest version (highest
+        segment) when updates created several.  Without tombstones the
+        frame is returned as-is (no window shuffle on the common
+        path)."""
+        dm = self.doc_meta
+        if self._tombstones is None:
+            return dm
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("doc_id").orderBy(F.desc("segment_id"))
+        return (
+            dm.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
     def document(self, doc_id: int) -> dict | None:
         """Stored-field retrieval by docID (IndexReader.Document,
         core/document/document.go:75): the doc_meta row as a dict, or

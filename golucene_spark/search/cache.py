@@ -76,7 +76,7 @@ class CachingSearcher:
         total = frame.count()
         top = frame.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
         if hydrate and hasattr(self.searcher.index, "doc_meta"):
-            meta = self.searcher.index.doc_meta.drop("segment_id")
+            meta = self.searcher._live_meta().drop("segment_id")
             top = top.join(meta, "doc_id", "left").orderBy(
                 F.desc("score"), F.asc("doc_id")
             )

@@ -596,11 +596,16 @@ class Searcher:
         total = frame.count()
         top = frame.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
         if hydrate and hasattr(self.index, "doc_meta"):
-            meta = self.index.doc_meta.drop("segment_id")
+            meta = self._live_meta().drop("segment_id")
             top = top.join(meta, "doc_id", "left").orderBy(
                 F.desc("score"), F.asc("doc_id")
             )
         return total, top
+
+    def _live_meta(self):
+        """Newest-version doc_meta (updated docs carry several rows)."""
+        ix = self.index
+        return ix.live_doc_meta() if hasattr(ix, "live_doc_meta") else ix.doc_meta
 
     def count(self, query) -> int:
         """Total hit count without materializing scores — the
@@ -629,7 +634,7 @@ class Searcher:
         if not hasattr(self.index, "doc_meta"):
             raise ValueError("search_sorted needs a materialized index with doc_meta")
         frame = self.score_frame(query)
-        meta = self.index.doc_meta.drop("segment_id")
+        meta = self._live_meta().drop("segment_id")
         joined = frame.join(meta, "doc_id")
         order = [
             F.asc(f) if ascending else F.desc(f) for f, ascending in sort

@@ -30,7 +30,9 @@ def group_search(searcher, query, group_field: str, k_groups: int = 10,
             "term", group_field
         )
     else:
-        meta = searcher.index.doc_meta.select("doc_id", group_field)
+        ix = searcher.index
+        meta = (ix.live_doc_meta() if hasattr(ix, "live_doc_meta") else ix.doc_meta
+                ).select("doc_id", group_field)
     scored = searcher.score_frame(query).join(meta, "doc_id")
     g = F.col(group_field)
     w_doc = Window.partitionBy(g).orderBy(F.desc("score"), F.asc("doc_id"))

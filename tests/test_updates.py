@@ -76,3 +76,24 @@ def test_update_facets_and_wand_see_new_version(spark, uix):
     assert counts == {"en": 2}
     hits = {r["doc_id"] for r in wand_topk(s, TermQuery("text", "gamma"), 10).collect()}
     assert hits == {2}
+
+
+def test_update_hydration_no_duplicates(spark, uix):
+    spec = CorpusSpec.documents()
+    new = spark.createDataFrame([(1, "beta replaced text", "fr", "book")],
+                                "doc_id long, text string, lang string, source string")
+    update_documents(spark, uix, new, spec, analyzer="simple", quantize_norms=False)
+    s = Searcher(MaterializedIndex(spark, uix), "bm25")
+    total, top = s.search_with_total(TermQuery("text", "text"), 10, hydrate=True)
+    rows = top.collect()
+    ids = [r["doc_id"] for r in rows]
+    assert len(ids) == len(set(ids)) == total  # one row per hit
+    # doc 1's hydrated meta is the NEW version
+    meta1 = [r for r in rows if r["doc_id"] == 1][0]
+    assert (meta1["lang"], meta1["source"]) == ("fr", "book")
+    # sorted + grouped paths dedupe too
+    srt = s.search_sorted(TermQuery("text", "text"), [("source", True)], k=10).collect()
+    assert len([r["doc_id"] for r in srt]) == len({r["doc_id"] for r in srt})
+    from golucene_spark.search import group_search
+    grp = group_search(s, TermQuery("text", "text"), "lang").collect()
+    assert len({(r["group"], r["doc_id"]) for r in grp}) == len(grp)
