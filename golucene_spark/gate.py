@@ -1893,6 +1893,79 @@ except Exception:  # pragma: no cover
     pass
 
 
+UPD_TEXT = "data updated data pipeline"
+
+
+def q_update_bm25(spark, sf_dir):
+    """updateDocument (writer.go UpdateDocuments) oracle-paired: docs
+    0-9 are replaced via update_documents (new segment + supersede
+    tombstones), then text:data is scored.  The DuckDB twin mirrors
+    Lucene's maxDoc-until-expunge semantics exactly: collection stats
+    (n_docs, sum_dl) and df count BOTH versions of updated docs; the
+    match set and per-doc dl use only the LIVE (newest) versions."""
+    import shutil
+
+    from .index import IndexBuilder, MaterializedIndex
+    from .index.deletes import update_documents
+
+    ixdir = "/root/repo/.data/gate_upd_ix"
+    shutil.rmtree(ixdir, ignore_errors=True)
+    spec = CorpusSpec.documents()
+    IndexBuilder(spark, spec, analyzer="simple", quantize_norms=False,
+                 num_segments=4).build(_docs(spark, sf_dir), ixdir)
+    docs = _docs(spark, sf_dir)
+    new = docs.filter(F.col("doc_id") < 10).withColumn("text", F.lit(UPD_TEXT))
+    update_documents(spark, ixdir, new, spec, analyzer="simple", quantize_norms=False)
+    s = Searcher(MaterializedIndex(spark, ixdir), "bm25")
+    q = parse_query("text:data", default_field="text", analyzer="simple")
+    frame = s.score_frame(q)
+    return (
+        frame.withColumn("score_e6", F.round(F.col("score") * 1e6, 0).cast("long"))
+        .orderBy(F.desc("score_e6"), F.asc("doc_id"))
+        .limit(10)
+        .select("doc_id", "score_e6")
+    )
+
+
+ORACLES["update_bm25"] = f"""
+WITH newdocs AS (
+  SELECT doc_id, '{UPD_TEXT}' AS text FROM documents WHERE doc_id < 10
+),
+alldocs AS (
+  SELECT doc_id, 0 AS v, text FROM documents
+  UNION ALL SELECT doc_id, 1 AS v, text FROM newdocs
+),
+livedocs AS (
+  SELECT doc_id, text FROM documents WHERE doc_id >= 10
+  UNION ALL SELECT doc_id, text FROM newdocs
+),
+tok_all AS (
+  SELECT doc_id, v, unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS term
+  FROM alldocs
+),
+kept_all AS (SELECT doc_id, v, term FROM tok_all WHERE term NOT IN ({STOP_SQL})),
+dl_all AS (SELECT doc_id, v, count(*)::BIGINT AS dl FROM kept_all GROUP BY doc_id, v),
+stats AS (SELECT (SELECT count(*) FROM alldocs)::BIGINT AS n_docs,
+                 (SELECT sum(dl) FROM dl_all)::BIGINT AS sum_dl),
+df_all AS (
+  SELECT count(*)::BIGINT AS df
+  FROM (SELECT DISTINCT doc_id, v FROM kept_all WHERE term = 'data')
+),
+tok_live AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS term
+  FROM livedocs
+),
+kept_live AS (SELECT doc_id, term FROM tok_live WHERE term NOT IN ({STOP_SQL})),
+tf_live AS (SELECT doc_id, count(*)::BIGINT AS freq FROM kept_live WHERE term = 'data' GROUP BY doc_id),
+dl_live AS (SELECT doc_id, count(*)::BIGINT AS dl FROM kept_live GROUP BY doc_id)
+SELECT tf_live.doc_id AS doc_id,
+  CAST(ROUND((ln(1 + (stats.n_docs - df_all.df + 0.5) / (df_all.df + 0.5)) * {K1 + 1.0}
+       * tf_live.freq / (tf_live.freq + {K1} * (1 - {B} + {B} * dl_live.dl / (stats.sum_dl / stats.n_docs)))) * 1000000.0, 0) AS BIGINT) AS score_e6
+FROM tf_live JOIN dl_live USING (doc_id), stats, df_all
+ORDER BY score_e6 DESC, doc_id ASC LIMIT 10
+"""
+
+
 QUERIES = {
     "term_bm25_topk": q_term_bm25,
     "phrase_bm25": q_phrase_bm25,
@@ -1946,6 +2019,7 @@ QUERIES = {
     "suggest_terms": q_suggest_terms,
     "group_search": q_group_search,
     "ann_ivf_topk": q_ann_ivf,
+    "update_bm25": q_update_bm25,
 }
 
 if _HAS_STD_ORACLE:
