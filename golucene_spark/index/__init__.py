@@ -1,4 +1,5 @@
 from .merge import merge_segments, select_merges, verify_index
+from .multi import MultiIndex
 from .builder import (
     IndexBuilder,
     LogicalIndex,
@@ -22,4 +23,5 @@ __all__ = [
     "merge_segments",
     "select_merges",
     "verify_index",
+    "MultiIndex",
 ]

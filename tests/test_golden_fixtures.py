@@ -150,3 +150,26 @@ def test_norms_byte_parity(spark, index_dir):
         for d in range(len(dl))
     ]
     assert got == want
+
+
+def test_federated_search_golden(spark):
+    """TestFederatedSearch (search_test.go:72-77): 'time' over
+    belfrysample + usingworldtimepro federated -> 17 total hits (16 +
+    1), via MultiIndex (the CompositeReader docBase composition,
+    compositeReader.go:126-161)."""
+    from golucene_spark.index import MultiIndex
+
+    a = _build_index_from_fixture(spark, BELFRY)
+    b = _build_index_from_fixture(spark, WORLDTIME)
+    multi = MultiIndex([a, b])
+    s = Searcher(multi, "classic")
+    assert s.count(TermQuery("content", "time")) == 17
+    # per-index sanity (the same sub-indexes answer alone)
+    assert Searcher(a, "classic").count(TermQuery("content", "time")) == 1
+    # composite stats aggregate across sub-readers
+    cs = multi.collection_stats_row("content")
+    assert cs["max_doc"] == 24  # 8 + 16 docs
+    # top-k works with shifted docBases: ids stay unique
+    top = s.search(TermQuery("content", "time"), 20).collect()
+    ids = [r["doc_id"] for r in top]
+    assert len(ids) == len(set(ids)) == 17
