@@ -75,7 +75,7 @@ def _topk_e6(searcher: Searcher, query_str: str, k: int = 10) -> DataFrame:
     )
 
 
-def _bm25_term_sql(term: str) -> str:
+def _bm25_term_sql(term: str, limit: int = 10, offset: int = 0) -> str:
     # mirrors BM25Similarity.score_col: ((idf*2.2) * freq) / (freq +
     # 1.2*((1-0.75) + ((0.75*dl)/avgdl))), avgdl = sum_dl/n_docs
     return f"""{BASE_CTE},
@@ -85,7 +85,7 @@ SELECT tf.doc_id AS doc_id,
        * tf.freq / (tf.freq + {K1} * (1 - {B} + {B} * dl.dl / (stats.sum_dl / stats.n_docs)))) * 1000000.0, 0) AS BIGINT) AS score_e6
 FROM tf JOIN dl USING (doc_id), stats, ts
 WHERE tf.term = '{term}'
-ORDER BY score_e6 DESC, doc_id ASC LIMIT 10
+ORDER BY score_e6 DESC, doc_id ASC LIMIT {limit} OFFSET {offset}
 """
 
 
@@ -1966,6 +1966,61 @@ ORDER BY score_e6 DESC, doc_id ASC LIMIT 10
 """
 
 
+def q_federated_term_bm25(spark, sf_dir):
+    """MultiIndex federated search (the CompositeReader / MultiReader
+    role, compositeReader.go:126-161): the corpus split into two
+    sub-indexes by doc_id parity, searched through one Searcher.
+    Composite term/collection statistics aggregate across sub-readers,
+    so the ranking is IDENTICAL to the single-index run — the oracle is
+    the plain single-index BM25 twin.  docBase-shifted global ids are
+    mapped back to source ids with mod(stride)."""
+    from .index import MultiIndex
+
+    docs = _docs(spark, sf_dir)
+
+    def sub(pred):
+        return LogicalIndex(
+            docs.filter(pred), CorpusSpec.documents(),
+            analyzer="simple", quantize_norms=False,
+        )
+
+    multi = MultiIndex([sub("doc_id % 2 = 0"), sub("doc_id % 2 = 1")])
+    s = Searcher(multi, "bm25")
+    q = parse_query("text:data", default_field="text", analyzer="simple")
+    frame = s.score_frame(q).withColumn(
+        "doc_id", F.pmod(F.col("doc_id"), F.lit(multi.stride))
+    )
+    return (
+        frame.withColumn("score_e6", F.round(F.col("score") * 1e6, 0).cast("long"))
+        .orderBy(F.desc("score_e6"), F.asc("doc_id"))
+        .limit(10)
+        .select("doc_id", "score_e6")
+    )
+
+
+ORACLES["federated_term_bm25"] = _bm25_term_sql("data")
+
+
+def q_search_after(spark, sf_dir):
+    """Page 2 of text:data via Searcher.search_after — the
+    IndexSearcher.searchAfter keyset cursor (core Lucene 4.10; the
+    reference's collect.go:282-303 only collects from rank 0).  The
+    ``after`` ScoreDoc is page 1's last hit taken from the engine
+    itself; the oracle is the same ranking OFFSET 10."""
+    s = Searcher(_index(spark, sf_dir), "bm25")
+    q = parse_query("text:data", default_field="text", analyzer="simple")
+    last = s.search(q, 10).collect()[-1]
+    page2 = s.search_after(q, (last["score"], last["doc_id"]), 10)
+    return (
+        page2.withColumn("score_e6", F.round(F.col("score") * 1e6, 0).cast("long"))
+        .orderBy(F.desc("score_e6"), F.asc("doc_id"))
+        .select("doc_id", "score_e6")
+    )
+
+
+ORACLES["search_after_page2"] = _bm25_term_sql("data", limit=10, offset=10)
+
+
 QUERIES = {
     "term_bm25_topk": q_term_bm25,
     "phrase_bm25": q_phrase_bm25,
@@ -2020,6 +2075,8 @@ QUERIES = {
     "group_search": q_group_search,
     "ann_ivf_topk": q_ann_ivf,
     "update_bm25": q_update_bm25,
+    "federated_term_bm25": q_federated_term_bm25,
+    "search_after_page2": q_search_after,
 }
 
 if _HAS_STD_ORACLE:

@@ -617,6 +617,31 @@ class Searcher:
             query = parse_query(query)
         return self.score_frame(query).select("doc_id").count()
 
+    def search_after(self, query, after: tuple[float, int], k: int = 10) -> DataFrame:
+        """Keyset pagination — IndexSearcher.searchAfter /
+        TopScoreDocCollector.create(after) of core Lucene 4.10 (absent
+        from the reference, whose collect.go:282-303 only collects from
+        rank 0).  ``after`` is the previous page's last ScoreDoc as
+        ``(score, doc_id)``; a hit qualifies iff it sorts strictly
+        after it under the (score desc, doc_id asc) collector order.
+        The keyset predicate ``score < s OR (score = s AND doc_id >
+        d)`` is filtered before the top-k, so deep pages never re-sort
+        or re-ship the already-returned prefix the way OFFSET does."""
+        if isinstance(query, str):
+            from .parser import parse_query
+
+            query = parse_query(query)
+        s, d = float(after[0]), int(after[1])
+        return (
+            self.score_frame(query)
+            .filter(
+                (F.col("score") < F.lit(s))
+                | ((F.col("score") == F.lit(s)) & (F.col("doc_id") > F.lit(d)))
+            )
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
     def search_sorted(self, query, sort, k: int = 10) -> DataFrame:
         """Top-k ordered by stored doc_meta fields instead of relevance —
         the Sort/TopFieldCollector API of core Lucene 4.10 (absent from

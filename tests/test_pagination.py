@@ -1,0 +1,52 @@
+"""searchAfter keyset pagination (IndexSearcher.searchAfter /
+TopScoreDocCollector.create(after) of core Lucene 4.10; the reference's
+collect.go:282-303 collects from rank 0 only)."""
+
+import pytest
+
+from golucene_spark.index import CorpusSpec, LogicalIndex
+from golucene_spark.search import Searcher, TermQuery
+
+
+@pytest.fixture(scope="module")
+def searcher(spark):
+    rows = [
+        (i, f"spark {'spark ' * (i % 4)}pad{i} filler", "en", "web")
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    ix = LogicalIndex(df, CorpusSpec.documents(), analyzer="simple",
+                      quantize_norms=False).cache()
+    return Searcher(ix, "bm25")
+
+
+def test_pages_tile_the_full_ranking(searcher):
+    q = TermQuery("text", "spark")
+    full = [(r["doc_id"], r["score"]) for r in searcher.search(q, 30).collect()]
+    assert len(full) == 30
+    pages, after = [], None
+    for _ in range(3):
+        page = (searcher.search(q, 10) if after is None
+                else searcher.search_after(q, after, 10)).collect()
+        pages.extend((r["doc_id"], r["score"]) for r in page)
+        after = (page[-1]["score"], page[-1]["doc_id"])
+    assert pages == full
+
+
+def test_after_cursor_respects_docid_tiebreak(searcher):
+    # many docs share a score (same freq/dl); cutting mid-tie must
+    # resume at doc_id > cursor within the tied score, exactly the
+    # (score desc, doc_id asc) collector order
+    q = TermQuery("text", "spark")
+    full = searcher.search(q, 30).collect()
+    mid = full[4]  # inside the corpus's tied-score runs
+    rest = searcher.search_after(q, (mid["score"], mid["doc_id"]), 30).collect()
+    assert [(r["doc_id"], r["score"]) for r in rest] == [
+        (r["doc_id"], r["score"]) for r in full[5:]
+    ]
+
+
+def test_past_end_returns_empty(searcher):
+    q = TermQuery("text", "spark")
+    tail = searcher.search(q, 30).collect()[-1]
+    assert searcher.search_after(q, (tail["score"], tail["doc_id"]), 10).count() == 0
