@@ -2021,6 +2021,64 @@ def q_search_after(spark, sf_dir):
 ORACLES["search_after_page2"] = _bm25_term_sql("data", limit=10, offset=10)
 
 
+TV_DOC_IDS = (3, 7, 11, 19)
+
+
+def q_term_vectors(spark, sf_dir):
+    """getTermVector (the .tvd/.tvx term-vectors store — the
+    reference's codec/lucene42/termVectors.go reader panics): doc-major
+    relayout written by IndexBuilder(store_term_vectors=True), point-
+    read by doc_id with row-group pruning.  Positions (token ordinals
+    after stop removal under the simple chain) surface as a csv string
+    in both twins."""
+    import shutil
+
+    from .index import IndexBuilder, MaterializedIndex
+
+    ixdir = "/root/repo/.data/gate_tv_ix"
+    shutil.rmtree(ixdir, ignore_errors=True)
+    IndexBuilder(
+        spark, CorpusSpec.documents(), analyzer="simple",
+        quantize_norms=False, num_segments=4, store_term_vectors=True,
+    ).build(_docs(spark, sf_dir), ixdir)
+    ix = MaterializedIndex(spark, ixdir)
+    tv = ix.term_vectors_frame(field="text", doc_ids=list(TV_DOC_IDS))
+    decode = F.expr(
+        "transform(sequence(1, int(length(positions) / 4)), i -> "
+        "cast(conv(concat(hex(substring(positions, i*4, 1)), "
+        "hex(substring(positions, i*4-1, 1)), "
+        "hex(substring(positions, i*4-2, 1)), "
+        "hex(substring(positions, i*4-3, 1))), 16, 10) as string))"
+    )
+    return (
+        tv.select(
+            "doc_id",
+            "term",
+            F.col("freq").cast("long").alias("freq"),
+            F.array_join(decode, ",").alias("positions_csv"),
+        )
+        .orderBy("doc_id", "term")
+    )
+
+
+ORACLES["term_vectors"] = f"""{BASE_CTE},
+otok AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS term,
+         generate_subscripts(regexp_extract_all(lower(text), '{TOKEN_PATTERN}'), 1) AS ord
+  FROM documents WHERE doc_id IN {TV_DOC_IDS}
+),
+kpos AS (
+  SELECT doc_id, term, row_number() OVER (PARTITION BY doc_id ORDER BY ord) - 1 AS pos
+  FROM otok WHERE term NOT IN ({STOP_SQL})
+)
+SELECT doc_id, term, count(*)::BIGINT AS freq,
+       string_agg(CAST(pos AS VARCHAR), ',' ORDER BY pos) AS positions_csv
+FROM kpos GROUP BY doc_id, term
+ORDER BY doc_id, term
+"""
+
+
 QUERIES = {
     "term_bm25_topk": q_term_bm25,
     "phrase_bm25": q_phrase_bm25,
@@ -2077,6 +2135,7 @@ QUERIES = {
     "update_bm25": q_update_bm25,
     "federated_term_bm25": q_federated_term_bm25,
     "search_after_page2": q_search_after,
+    "term_vectors": q_term_vectors,
 }
 
 if _HAS_STD_ORACLE:

@@ -518,6 +518,7 @@ class IndexBuilder:
         salt_range: int | None = None,
         range_layout: bool = False,
         range_partitions: int | None = None,
+        store_term_vectors: bool = False,
     ):
         self.spark = spark
         self.spec = spec or CorpusSpec.source_code()
@@ -534,6 +535,14 @@ class IndexBuilder:
         # by many point queries.
         self.range_layout = range_layout
         self.range_partitions = range_partitions
+        # store_term_vectors: also write a DOC-major copy of the inverted
+        # rows (term_vectors/ table) — the .tvd/.tvx term-vectors store
+        # (codec/lucene42/termVectors.go; its reader panics in the
+        # reference).  Term-major postings can't answer getTermVector
+        # without a full scan, exactly why Lucene keeps a second layout;
+        # here the per-doc seek (.tvx) is Parquet row-group min/max stats
+        # on doc_id after repartitionByRange(doc_id).
+        self.store_term_vectors = store_term_vectors
 
     # -- manifest helpers (the segments_N generation protocol analogue) --
     @staticmethod
@@ -660,6 +669,33 @@ class IndexBuilder:
             dm = mpart.select("segment_id", "doc_id", *meta_cols, "content_sha256")
             dm.write.mode("overwrite").parquet(os.path.join(index_dir, "doc_meta", f"chunk={chunk}"))
             _mark("doc_meta_write")
+
+            if self.store_term_vectors:
+                # doc-major relayout derived from the written postings
+                # (cheap re-read, no second tokenize): explode the
+                # 128-doc blocks back to per-posting rows, then range-
+                # partition + sort by doc_id so every getTermVector is
+                # one row-group-pruned point read
+                tv = (
+                    written.filter(F.col("kind") == "post")
+                    .select(
+                        "segment_id", "field", "term",
+                        F.explode(F.arrays_zip("doc_ids", "freqs", "positions")).alias("e"),
+                    )
+                    .select(
+                        "segment_id",
+                        F.col("e.doc_ids").alias("doc_id"),
+                        "field",
+                        "term",
+                        F.col("e.freqs").cast("int").alias("freq"),
+                        F.col("e.positions").alias("positions"),
+                    )
+                )
+                (tv.repartitionByRange("doc_id")
+                   .sortWithinPartitions("doc_id", "field", "term")
+                   .write.mode("overwrite")
+                   .parquet(os.path.join(index_dir, "term_vectors", f"chunk={chunk}")))
+                _mark("term_vectors_write")
 
             # lineage metrics from the (small) derived doc_stats table
             seg_counts = {
@@ -960,6 +996,54 @@ class MaterializedIndex:
             .orderBy(F.desc("segment_id")).limit(1).collect()
         )
         return rows[0].asDict() if rows else None
+
+    def term_vectors_frame(self, field: str | None = None,
+                           doc_ids: list[int] | None = None) -> DataFrame:
+        """Doc-major term-vector rows (doc_id, field, term, freq,
+        positions) — the term-vectors store written by
+        ``IndexBuilder(store_term_vectors=True)`` (the .tvd/.tvx role,
+        codec/lucene42/termVectors.go; the reference's reader panics).
+        doc_id predicates push into the range-partitioned parquet so a
+        point read touches one row group.  Rows are NOT dropped when
+        their segment is merged away (doc_ids are stable across merges;
+        this table is doc-addressed), but liveDocs/update tombstones DO
+        apply — a superseded version's rows vanish exactly like its
+        postings."""
+        path = os.path.join(self.index_dir, "term_vectors")
+        if not os.path.isdir(path):
+            raise ValueError(
+                "index was built without store_term_vectors=True"
+            )
+        tv = self.spark.read.parquet(path)
+        if field is not None:
+            tv = tv.filter(F.col("field") == field)
+        if doc_ids is not None:
+            tv = tv.filter(F.col("doc_id").isin([int(d) for d in doc_ids]))
+        if self._tombstones is not None:
+            from .deletes import filter_live
+
+            tv = filter_live(tv, self._tombstones)
+        return tv.drop("chunk")
+
+    def term_vector(self, doc_id: int, field: str | None = None) -> list[dict]:
+        """getTermVector(docID[, field]) (IndexReader role): the doc's
+        terms with freq and decoded positions, sorted by (field, term)
+        — TermsEnum order.  Deleted docs return []."""
+        import numpy as np
+
+        rows = self.term_vectors_frame(field=field, doc_ids=[doc_id]).collect()
+        out = [
+            {
+                "field": r["field"],
+                "term": r["term"],
+                "freq": int(r["freq"]),
+                "positions": []
+                if r["positions"] is None
+                else np.frombuffer(r["positions"], "<i4").tolist(),
+            }
+            for r in rows
+        ]
+        return sorted(out, key=lambda d: (d["field"], d["term"]))
 
     def collection_stats_row(self, field: str) -> dict:
         if field in self._field_stats:
