@@ -255,13 +255,16 @@ def q_ann_cosine(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 def _bool_sum_sql(contribs: list[tuple[str, str]],
-                  not_terms: list[str] | None = None, n_must: int = 0) -> str:
+                  not_terms: list[str] | None = None, n_must: int = 0,
+                  must_terms: list[str] | None = None) -> str:
     extra_ctes = ",".join(c for c, _ in contribs if c.strip())
     parts = " UNION ALL ".join(f"({s})" for _, s in contribs)
     must_filter = f"HAVING count(*) >= {n_must}" if n_must else ""
     not_clause = ""
     for t in not_terms or []:
         not_clause += f" AND doc_id NOT IN (SELECT doc_id FROM tf WHERE term = '{t}')"
+    for t in must_terms or []:
+        not_clause += f" AND doc_id IN (SELECT doc_id FROM tf WHERE term = '{t}')"
     return f"""{BASE_CTE},{extra_ctes},
 contrib AS ({parts}),
 summed AS (
@@ -2021,6 +2024,23 @@ def q_search_after(spark, sf_dir):
 ORACLES["search_after_page2"] = _bm25_term_sql("data", limit=10, offset=10)
 
 
+def q_req_prohib_bm25(spark, sf_dir):
+    """+/- modifiers (queryParser.go:65-71 PLUS/MINUS): `data +query
+    -model` = SHOULD(data) MUST(query) MUST_NOT(model) — docs must
+    contain `query`, must not contain `model`, and score the sum of
+    matched contributions."""
+    return _topk_e6(
+        Searcher(_index(spark, sf_dir), "bm25"), "text:data +text:query -text:model"
+    )
+
+
+ORACLES["req_prohib_bm25"] = _bool_sum_sql(
+    [_bm25_contrib_sql("data", 0), _bm25_contrib_sql("query", 1)],
+    not_terms=["model"],
+    must_terms=["query"],
+)
+
+
 TV_DOC_IDS = (3, 7, 11, 19)
 
 
@@ -2136,6 +2156,7 @@ QUERIES = {
     "federated_term_bm25": q_federated_term_bm25,
     "search_after_page2": q_search_after,
     "term_vectors": q_term_vectors,
+    "req_prohib_bm25": q_req_prohib_bm25,
 }
 
 if _HAS_STD_ORACLE:

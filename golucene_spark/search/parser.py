@@ -9,7 +9,9 @@ Grammar:
                            | '"' phrase '"' suffix*
                            | text )
     conj    := 'AND' | '&&' | 'OR' | '||'
-    mod     := 'NOT' | '!'
+    mod     := 'NOT' | '!' | '+' | '-'    (PLUS/MINUS: required/prohibited,
+                                           queryParserBase.go:85-86; fused
+                                           +term/-term or detached)
     suffix  := '^' number            (boost on groups/phrases)
              | '~' number            (slop on phrases: "a b"~2)
     text    := term[~[edits]][^boost]   (fuzzy + boost inside the token)
@@ -259,6 +261,15 @@ def parse_query(
             if t in ("NOT", "!"):
                 pending = Occur.MUST_NOT
                 continue
+            # +/- modifiers (queryParser.go:65-71 PLUS/MINUS ->
+            # queryParserBase.go:85-86 required/prohibited); fused form
+            # (+term, -term) and detached form (- before a group) both
+            if t in ("+", "-"):
+                pending = Occur.MUST if t == "+" else Occur.MUST_NOT
+                continue
+            if len(t) > 1 and t[0] in "+-":
+                pending = Occur.MUST if t[0] == "+" else Occur.MUST_NOT
+                t = t[1:]
             sub = parse_atom(t, field_ctx)
             if sub is not None:
                 occur = pending

@@ -166,3 +166,25 @@ def test_range_inside_boolean():
     q = P("buffer AND content:[a TO c]")
     assert isinstance(q.clauses[1].query, TermRangeQuery)
     assert q.clauses[1].occur is Occur.MUST
+
+
+def test_plus_minus_modifiers_fused():
+    # queryParser.go:65-71 PLUS/MINUS -> required/prohibited
+    # (queryParserBase.go:85-86)
+    q = P("parse +tokenize -buffer")
+    assert [c.occur for c in q.clauses] == [Occur.SHOULD, Occur.MUST, Occur.MUST_NOT]
+    assert q.clauses[1].query == TermQuery("content", "tokenize")
+    assert q.clauses[2].query == TermQuery("content", "buffer")
+
+
+def test_minus_detached_before_group():
+    q = P("parse - (tokenize buffer)")
+    assert q.clauses[0].occur is Occur.SHOULD
+    assert q.clauses[1].occur is Occur.MUST_NOT
+    assert isinstance(q.clauses[1].query, BooleanQuery)
+
+
+def test_minus_with_field_scope():
+    q = P("-lang:go parse")
+    assert q.clauses[0].occur is Occur.MUST_NOT
+    assert q.clauses[0].query == TermQuery("lang", "go")
