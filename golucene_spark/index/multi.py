@@ -103,3 +103,14 @@ class MultiIndex:
         if i >= len(self.indexes) or not hasattr(self.indexes[i], "document"):
             return None
         return self.indexes[i].document(local)
+
+    def term_vector(self, doc_id: int, field: str | None = None) -> list[dict]:
+        """getTermVector routed by docBase (composite readers delegate
+        per-doc reads to the owning leaf, compositeReader.go:126-161)."""
+        i, local = divmod(int(doc_id), self.stride)
+        if i >= len(self.indexes) or not hasattr(self.indexes[i], "term_vector"):
+            return []
+        try:
+            return self.indexes[i].term_vector(local, field=field)
+        except ValueError:  # leaf built without store_term_vectors
+            return []

@@ -52,3 +52,24 @@ def test_multi_document_routing_and_hydration(mix):
 
     grp = group_search(s, TermQuery("text", "spark"), "lang").collect()
     assert {r["group"] for r in grp} == {"en", "fr"}
+
+
+def test_multi_term_vector_routing(spark, tmp_path):
+    from golucene_spark.index import IndexBuilder
+
+    base = tmp_path
+    dirs = []
+    for i, text in enumerate(["alpha beta alpha", "gamma delta"]):
+        df = spark.createDataFrame([(0, text, "en", "web")],
+                                   "doc_id long, text string, lang string, source string")
+        d = str(base / f"tvix{i}")
+        IndexBuilder(spark, CorpusSpec.documents(), analyzer="simple",
+                     quantize_norms=False, num_segments=1,
+                     store_term_vectors=True).build(df, d)
+        dirs.append(d)
+    multi = MultiIndex([MaterializedIndex(spark, d) for d in dirs])
+    tv0 = {e["term"]: e["freq"] for e in multi.term_vector(0, field="text")}
+    assert tv0 == {"alpha": 2, "beta": 1}
+    tv1 = {e["term"]: e["freq"] for e in multi.term_vector(multi.doc_base(1), field="text")}
+    assert tv1 == {"gamma": 1, "delta": 1}
+    assert multi.term_vector(multi.doc_base(5)) == []
