@@ -799,6 +799,8 @@ SELECT (floor(epoch(ts))::BIGINT // 900) * 900 AS win_start, event_type,
 FROM events GROUP BY 1, 2 ORDER BY win_start, event_type
 """
 
+ORACLES["stream_windowed_agg"] = ORACLES["events_windowed_agg"]
+
 ORACLES["events_sessionize"] = """
 WITH g AS (
   SELECT user_id, ts,
@@ -2024,6 +2026,54 @@ def q_search_after(spark, sf_dir):
 ORACLES["search_after_page2"] = _bm25_term_sql("data", limit=10, offset=10)
 
 
+def q_stream_windowed_agg(spark, sf_dir):
+    """Structured Streaming twin of events_windowed_agg: the events
+    parquet replayed as a bounded stream (trigger availableNow),
+    watermarked tumbling windows through
+    streaming.events.windowed_counts_stream, collected from a memory
+    sink in complete mode (append would hold back the windows still
+    inside the watermark at end-of-replay).  Stream-batch parity: the
+    oracle is the SAME DuckDB twin as the batch gate."""
+    from .streaming.events import windowed_counts_stream
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    p = os.path.join(sf_dir, "events.parquet")
+    sch = spark.read.parquet(p).schema
+    # the file stream source wants a DIRECTORY to watch; stage the
+    # bounded input as one file in a scratch dir
+    import shutil
+
+    stage = "/root/repo/.data/gate_stream_events"
+    shutil.rmtree(stage, ignore_errors=True)
+    os.makedirs(stage)
+    shutil.copy(p, os.path.join(stage, "events.parquet"))
+    stream = spark.readStream.schema(sch).parquet(stage)
+    # watermarks need TIMESTAMP (tz-aware); the table stores NTZ —
+    # value-preserving under the UTC session tz set above
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    out = windowed_counts_stream(stream, window="15 minutes", watermark="30 minutes")
+    qname = "gate_stream_win"
+    try:
+        spark.catalog.dropTempView(qname)
+    except Exception:
+        pass
+    q = (
+        out.writeStream.format("memory").queryName(qname)
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(qname)
+        .select(
+            F.unix_timestamp("win_start").cast("long").alias("win_start"),
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            F.round(F.col("sum_value") * 1e6, 0).cast("long").alias("sum_value_e6"),
+        )
+        .orderBy("win_start", "event_type")
+    )
+
+
 def q_req_prohib_bm25(spark, sf_dir):
     """+/- modifiers (queryParser.go:65-71 PLUS/MINUS): `data +query
     -model` = SHOULD(data) MUST(query) MUST_NOT(model) — docs must
@@ -2157,6 +2207,7 @@ QUERIES = {
     "search_after_page2": q_search_after,
     "term_vectors": q_term_vectors,
     "req_prohib_bm25": q_req_prohib_bm25,
+    "stream_windowed_agg": q_stream_windowed_agg,
 }
 
 if _HAS_STD_ORACLE:
