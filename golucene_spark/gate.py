@@ -822,6 +822,8 @@ SELECT user_id, count(*)::BIGINT AS n_sessions,
 FROM per GROUP BY user_id ORDER BY user_id
 """
 
+ORACLES["stream_sessionize"] = ORACLES["events_sessionize"]
+
 ORACLES["wildcard_bm25"] = f"""{BASE_CTE},
 cand AS (SELECT term, count(*)::BIGINT AS df FROM tf WHERE term LIKE 'qu%' GROUP BY term),
 contrib AS (
@@ -2074,6 +2076,63 @@ def q_stream_windowed_agg(spark, sf_dir):
     )
 
 
+def q_stream_sessionize(spark, sf_dir):
+    """Custom stateful streaming operator (applyInPandasWithState) —
+    gap-sessionization replayed over a bounded stream.  A per-user
+    flush sentinel far past every real ts closes the last real session
+    (the sentinel's own 1-event session stays in state, never emitted),
+    so the closed-session stream rolls up to EXACTLY the batch
+    lag+cumsum result — same DuckDB twin as events_sessionize."""
+    import glob as _glob
+    import shutil
+
+    from .streaming.events import sessionize_stream
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    p = os.path.join(sf_dir, "events.parquet")
+    ev = spark.read.parquet(p)
+    stage = "/root/repo/.data/gate_stream_sess"
+    shutil.rmtree(stage, ignore_errors=True)
+    os.makedirs(stage)
+    shutil.copy(p, os.path.join(stage, "events.parquet"))
+    sentinels = ev.groupBy("user_id").agg(
+        (F.max("ts") + F.expr("INTERVAL 10 DAYS")).alias("ts")
+    ).select(
+        F.lit(-1).cast("long").alias("event_id"),
+        "ts",
+        "user_id",
+        F.lit("__flush__").alias("event_type"),
+        F.lit(0.0).alias("value"),
+        F.lit(None).cast("string").alias("props"),
+    )
+    tmp = stage + "_sentinel"
+    sentinels.coalesce(1).write.mode("overwrite").parquet(tmp)
+    for f in _glob.glob(os.path.join(tmp, "part-*.parquet")):
+        shutil.copy(f, os.path.join(stage, "zz_" + os.path.basename(f)))
+    stream = spark.readStream.schema(ev.schema).parquet(stage)
+    out = sessionize_stream(stream, gap_seconds=1800)
+    qname = "gate_stream_sess"
+    try:
+        spark.catalog.dropTempView(qname)
+    except Exception:
+        pass
+    q = (
+        out.writeStream.format("memory").queryName(qname)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(qname)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_sessions"),
+            F.max("n_events").cast("long").alias("max_session_events"),
+            F.sum("n_events").cast("long").alias("total_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
 def q_req_prohib_bm25(spark, sf_dir):
     """+/- modifiers (queryParser.go:65-71 PLUS/MINUS): `data +query
     -model` = SHOULD(data) MUST(query) MUST_NOT(model) — docs must
@@ -2208,6 +2267,7 @@ QUERIES = {
     "term_vectors": q_term_vectors,
     "req_prohib_bm25": q_req_prohib_bm25,
     "stream_windowed_agg": q_stream_windowed_agg,
+    "stream_sessionize": q_stream_sessionize,
 }
 
 if _HAS_STD_ORACLE:
