@@ -2133,6 +2133,47 @@ def q_stream_sessionize(spark, sf_dir):
     )
 
 
+def q_nrt_term_bm25(spark, sf_dir):
+    """NRT incremental indexing end-to-end (store/nrt.go reopen-after-
+    flush, as Structured Streaming foreachBatch): the corpus replayed
+    as 3 micro-batches (maxFilesPerTrigger=1), each flushed as its own
+    segment through the same build pipeline; a reader opened AFTER the
+    replay sees all segments and ranks identically to the batch index —
+    the oracle is the plain single-index BM25 twin."""
+    import shutil
+
+    from .index import MaterializedIndex
+    from .streaming.nrt import start_incremental_index
+
+    docs = _docs(spark, sf_dir)
+    stage = "/root/repo/.data/gate_nrt_stage"
+    ixdir = "/root/repo/.data/gate_nrt_ix"
+    shutil.rmtree(stage, ignore_errors=True)
+    shutil.rmtree(ixdir, ignore_errors=True)
+    for i in range(3):
+        part = docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) == i)
+        part.coalesce(1).write.mode("overwrite").parquet(f"{stage}_w{i}")
+        import glob as _glob
+
+        os.makedirs(stage, exist_ok=True)
+        for f in _glob.glob(f"{stage}_w{i}/part-*.parquet"):
+            shutil.copy(f, os.path.join(stage, f"b{i}.parquet"))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    q = start_incremental_index(
+        stream, ixdir, CorpusSpec.documents(), analyzer="simple",
+        quantize_norms=False, available_now=True,
+    )
+    q.awaitTermination()
+    return _topk_e6(Searcher(MaterializedIndex(spark, ixdir), "bm25"), "text:data")
+
+
+ORACLES["nrt_term_bm25"] = _bm25_term_sql("data")
+
+
 def q_req_prohib_bm25(spark, sf_dir):
     """+/- modifiers (queryParser.go:65-71 PLUS/MINUS): `data +query
     -model` = SHOULD(data) MUST(query) MUST_NOT(model) — docs must
@@ -2268,6 +2309,7 @@ QUERIES = {
     "req_prohib_bm25": q_req_prohib_bm25,
     "stream_windowed_agg": q_stream_windowed_agg,
     "stream_sessionize": q_stream_sessionize,
+    "nrt_term_bm25": q_nrt_term_bm25,
 }
 
 if _HAS_STD_ORACLE:

@@ -175,18 +175,25 @@ def start_incremental_index(
     index_dir: str,
     spec: CorpusSpec,
     analyzer: str = "standard",
+    quantize_norms: bool = True,
     checkpoint_dir: str | None = None,
     trigger_seconds: int | None = None,
+    available_now: bool = False,
 ):
     """Attach the incremental indexer to a streaming DataFrame.
 
     Returns the StreamingQuery; callers drive it with
-    ``processAllAvailable()`` (tests) or leave it running."""
+    ``processAllAvailable()`` (tests), ``awaitTermination()`` with
+    ``available_now=True`` (bounded replay), or leave it running."""
     writer = stream_df.writeStream.foreachBatch(
-        lambda bdf, eid: incremental_index_batch(bdf, eid, index_dir, spec, analyzer)
+        lambda bdf, eid: incremental_index_batch(
+            bdf, eid, index_dir, spec, analyzer, quantize_norms
+        )
     ).outputMode("append")
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     if trigger_seconds:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    if available_now:
+        writer = writer.trigger(availableNow=True)
     return writer.start()
