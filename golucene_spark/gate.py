@@ -2174,6 +2174,72 @@ def q_nrt_term_bm25(spark, sf_dir):
 ORACLES["nrt_term_bm25"] = _bm25_term_sql("data")
 
 
+def q_stream_dedup_exact(spark, sf_dir):
+    """Streaming exact dedup (dropDuplicatesWithinWatermark keyed on
+    sha256(text)) over a bounded replay of the seeded corpus (docs 0-7
+    duplicated at +100000, originals first in the staged file, so the
+    first-arrival survivor is the original doc — mirrored as
+    min(doc_id) in the oracle)."""
+    import shutil
+
+    from .streaming.dedup import dedup_exact_stream
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    docs = _docs(spark, sf_dir)
+    cols = docs.columns
+    dups = docs.filter(F.col("doc_id") < 8).withColumn(
+        "doc_id", F.col("doc_id") + 100000
+    ).select(*cols)
+    seeded = (
+        docs.select(*cols).unionByName(dups)
+        .withColumn(
+            "ts",
+            F.timestamp_seconds(F.lit(1735689600) + F.pmod(F.col("doc_id"), F.lit(100000))),
+        )
+        .orderBy("doc_id")
+    )
+    stage = "/root/repo/.data/gate_stream_dedup"
+    shutil.rmtree(stage, ignore_errors=True)
+    shutil.rmtree(stage + "_w", ignore_errors=True)
+    seeded.coalesce(1).write.mode("overwrite").parquet(stage + "_w")
+    import glob as _glob
+
+    os.makedirs(stage)
+    for f in _glob.glob(stage + "_w/part-*.parquet"):
+        shutil.copy(f, os.path.join(stage, "seeded.parquet"))
+    stream = spark.readStream.schema(
+        spark.read.parquet(stage).schema
+    ).parquet(stage)
+    out = dedup_exact_stream(stream, text_col="text", ts_col="ts", watermark="1 hour")
+    qname = "gate_stream_dedup"
+    try:
+        spark.catalog.dropTempView(qname)
+    except Exception:
+        pass
+    q = (
+        out.writeStream.format("memory").queryName(qname)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(qname)
+        .select(F.md5("text").alias("text_md5"), F.col("doc_id").cast("long").alias("keep_doc"))
+        .orderBy("text_md5")
+    )
+
+
+ORACLES["stream_dedup_exact"] = """
+WITH seeded AS (
+  SELECT * FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text, lang, source, n_chars
+  FROM documents WHERE doc_id < 8
+)
+SELECT md5(text) AS text_md5, min(doc_id)::BIGINT AS keep_doc
+FROM seeded GROUP BY 1 ORDER BY text_md5
+"""
+
+
 def q_req_prohib_bm25(spark, sf_dir):
     """+/- modifiers (queryParser.go:65-71 PLUS/MINUS): `data +query
     -model` = SHOULD(data) MUST(query) MUST_NOT(model) — docs must
@@ -2310,6 +2376,7 @@ QUERIES = {
     "stream_windowed_agg": q_stream_windowed_agg,
     "stream_sessionize": q_stream_sessionize,
     "nrt_term_bm25": q_nrt_term_bm25,
+    "stream_dedup_exact": q_stream_dedup_exact,
 }
 
 if _HAS_STD_ORACLE:
