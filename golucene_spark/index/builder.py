@@ -497,6 +497,34 @@ def _explode_doc_sentinels(written: DataFrame) -> DataFrame:
     )
 
 
+def write_term_vectors_chunk(written: DataFrame, index_dir: str, chunk: str) -> None:
+    """Doc-major relayout of one chunk's written postings into the
+    term-vectors store (the .tvd/.tvx role) — derived by re-reading the
+    written parquet, never a second tokenize: explode the 128-doc
+    blocks back to per-posting rows, then range-partition + sort by
+    doc_id so every getTermVector is one row-group-pruned point read.
+    Shared by the batch builder and the NRT/update flush path."""
+    tv = (
+        written.filter(F.col("kind") == "post")
+        .select(
+            "segment_id", "field", "term",
+            F.explode(F.arrays_zip("doc_ids", "freqs", "positions")).alias("e"),
+        )
+        .select(
+            "segment_id",
+            F.col("e.doc_ids").alias("doc_id"),
+            "field",
+            "term",
+            F.col("e.freqs").cast("int").alias("freq"),
+            F.col("e.positions").alias("positions"),
+        )
+    )
+    (tv.repartitionByRange("doc_id")
+       .sortWithinPartitions("doc_id", "field", "term")
+       .write.mode("overwrite")
+       .parquet(os.path.join(index_dir, "term_vectors", f"chunk={chunk}")))
+
+
 class IndexBuilder:
     """Materialized index build with chunked commit + resume.
 
@@ -671,30 +699,7 @@ class IndexBuilder:
             _mark("doc_meta_write")
 
             if self.store_term_vectors:
-                # doc-major relayout derived from the written postings
-                # (cheap re-read, no second tokenize): explode the
-                # 128-doc blocks back to per-posting rows, then range-
-                # partition + sort by doc_id so every getTermVector is
-                # one row-group-pruned point read
-                tv = (
-                    written.filter(F.col("kind") == "post")
-                    .select(
-                        "segment_id", "field", "term",
-                        F.explode(F.arrays_zip("doc_ids", "freqs", "positions")).alias("e"),
-                    )
-                    .select(
-                        "segment_id",
-                        F.col("e.doc_ids").alias("doc_id"),
-                        "field",
-                        "term",
-                        F.col("e.freqs").cast("int").alias("freq"),
-                        F.col("e.positions").alias("positions"),
-                    )
-                )
-                (tv.repartitionByRange("doc_id")
-                   .sortWithinPartitions("doc_id", "field", "term")
-                   .write.mode("overwrite")
-                   .parquet(os.path.join(index_dir, "term_vectors", f"chunk={chunk}")))
+                write_term_vectors_chunk(written, index_dir, str(chunk))
                 _mark("term_vectors_write")
 
             # lineage metrics from the (small) derived doc_stats table

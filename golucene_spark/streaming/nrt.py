@@ -36,6 +36,7 @@ def incremental_index_batch(
     quantize_norms: bool = True,
     segment_offset: int = 1_000_000,
     kind: str = "stream",
+    store_term_vectors: bool | None = None,
 ) -> dict | None:
     """Flush one micro-batch as a new segment (chunk ``stream-<epoch>``).
 
@@ -79,6 +80,17 @@ def incremental_index_batch(
 
     ds = _explode_doc_sentinels(written)
     ds.write.mode("overwrite").parquet(os.path.join(index_dir, "doc_stats", f"chunk={chunk}"))
+    # keep the term-vectors store consistent for tv-enabled indexes:
+    # None = auto (write the chunk iff the index already has the store),
+    # so updateDocument'd docs keep answering getTermVector with the
+    # NEW version (old rows die via the before_segment tombstone)
+    if store_term_vectors is None:
+        store_term_vectors = os.path.isdir(os.path.join(index_dir, "term_vectors"))
+    if store_term_vectors:
+        from ..index.builder import write_term_vectors_chunk
+
+        write_term_vectors_chunk(written, index_dir, chunk)
+
     meta_cols = [c for c in spec.meta_cols if c in docs.columns]
     docs.select(
         "segment_id", "doc_id", *meta_cols,

@@ -55,3 +55,19 @@ def test_unbuilt_store_raises(spark, tmp_path):
     IndexBuilder(spark, CorpusSpec.documents(), num_segments=1).build(df, d)
     with pytest.raises(ValueError, match="store_term_vectors"):
         MaterializedIndex(spark, d).term_vectors_frame()
+
+
+def test_update_refreshes_term_vector(spark, tmp_path):
+    from golucene_spark.index.deletes import update_documents
+    from golucene_spark.index import CorpusSpec as CS
+
+    d = str(tmp_path / "ix")
+    df = spark.createDataFrame([(0, "old words here", "en", "web")],
+                               "doc_id long, text string, lang string, source string")
+    IndexBuilder(spark, CS.documents(), analyzer="simple", num_segments=1,
+                 store_term_vectors=True).build(df, d)
+    new = spark.createDataFrame([(0, "fresh fresh tokens", "en", "web")],
+                                "doc_id long, text string, lang string, source string")
+    update_documents(spark, d, new, CS.documents(), analyzer="simple")
+    tv = {e["term"]: e["freq"] for e in MaterializedIndex(spark, d).term_vector(0, field="text")}
+    assert tv == {"fresh": 2, "tokens": 1}
