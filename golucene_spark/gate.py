@@ -2240,6 +2240,37 @@ FROM seeded GROUP BY 1 ORDER BY text_md5
 """
 
 
+def q_range_layout_term_bm25(spark, sf_dir):
+    """C5 (FST terms-index .tip role) end-to-end: build with
+    range_layout=True so parquet FILES cover disjoint term ranges
+    (manifest carries per-file [min_term, max_term]); the search reads
+    through the file-pruned postings_frame.  The gate HARD-FAILS unless
+    pruning actually skipped files, so the green row proves both the
+    ranking AND the prune — oracle = plain BM25 twin."""
+    import shutil
+
+    from .index import IndexBuilder, MaterializedIndex
+
+    ixdir = "/root/repo/.data/gate_fst_ix"
+    shutil.rmtree(ixdir, ignore_errors=True)
+    IndexBuilder(
+        spark, CorpusSpec.documents(), analyzer="simple",
+        quantize_norms=False, num_segments=4,
+        range_layout=True, range_partitions=8,
+    ).build(_docs(spark, sf_dir), ixdir)
+    ix = MaterializedIndex(spark, ixdir)
+    out = _topk_e6(Searcher(ix, "bm25"), "text:data")
+    total, read = ix.last_prune_stats or (0, 0)
+    if not (0 < read < total):
+        raise AssertionError(
+            f"file pruning not realized: read {read} of {total} files"
+        )
+    return out
+
+
+ORACLES["range_layout_term_bm25"] = _bm25_term_sql("data")
+
+
 def q_req_prohib_bm25(spark, sf_dir):
     """+/- modifiers (queryParser.go:65-71 PLUS/MINUS): `data +query
     -model` = SHOULD(data) MUST(query) MUST_NOT(model) — docs must
@@ -2377,6 +2408,7 @@ QUERIES = {
     "stream_sessionize": q_stream_sessionize,
     "nrt_term_bm25": q_nrt_term_bm25,
     "stream_dedup_exact": q_stream_dedup_exact,
+    "range_layout_term_bm25": q_range_layout_term_bm25,
 }
 
 if _HAS_STD_ORACLE:
