@@ -16,6 +16,14 @@ from pyspark.sql import DataFrame, functions as F
 def field_postings(index, field: str) -> DataFrame:
     """(term, doc_id) pairs for every posting of ``field`` — keyword
     docvalues view of the index (live docs only)."""
+    if hasattr(index, "indexes"):  # MultiIndex: docBase-shifted union
+        out = None
+        for i, ix in enumerate(index.indexes):
+            f = field_postings(ix, field).withColumn(
+                "doc_id", F.col("doc_id") + F.lit(index.doc_base(i))
+            )
+            out = f if out is None else out.unionByName(f)
+        return out
     if hasattr(index, "tf"):  # LogicalIndex
         return index.tf.filter(F.col("field") == field).select("term", "doc_id")
     p = index.postings.filter(F.col("field") == field)

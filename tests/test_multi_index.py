@@ -47,11 +47,13 @@ def test_multi_document_routing_and_hydration(mix):
     assert total == 3
     langs = {r["doc_id"]: r["lang"] for r in top.collect()}
     assert langs[multi.doc_base(1) + 0] == "fr"
-    # facets would need a postings union — grouping via doc_meta works
     from golucene_spark.search import group_search
 
     grp = group_search(s, TermQuery("text", "spark"), "lang").collect()
     assert {r["group"] for r in grp} == {"en", "fr"}
+    # facets compose too: per-leaf keyword postings union, docBase-shifted
+    fc = {r["value"]: r["count"] for r in facet_counts(s, TermQuery("text", "spark"), "lang").collect()}
+    assert fc == {"en": 2, "fr": 1}
 
 
 def test_multi_term_vector_routing(spark, tmp_path):
