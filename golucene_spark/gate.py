@@ -2271,6 +2271,50 @@ def q_range_layout_term_bm25(spark, sf_dir):
 ORACLES["range_layout_term_bm25"] = _bm25_term_sql("data")
 
 
+def q_numeric_filter_bm25(spark, sf_dir):
+    """FilteredQuery / NumericRangeFilter role (numeric indexing panics
+    in the reference, field.go:118-119): text:data scored by BM25, hits
+    restricted to n_chars in [300, 900] via a predicate over stored
+    doc_meta (semi-join; parquet row-group stats do the trie's range
+    pruning)."""
+    import shutil
+
+    from .index import FieldSpec as FS, IndexBuilder, MaterializedIndex
+
+    spec = CorpusSpec(
+        text_fields=[FS("text", "text", True)],
+        keyword_fields=[FS("lang", "lang", False), FS("source", "source", False)],
+        key_cols=["doc_id"],
+        id_col="doc_id",
+        meta_cols=["lang", "source", "n_chars"],
+    )
+    ixdir = "/root/repo/.data/gate_numfilter_ix"
+    shutil.rmtree(ixdir, ignore_errors=True)
+    IndexBuilder(
+        spark, spec, analyzer="simple", quantize_norms=False, num_segments=4,
+    ).build(_docs(spark, sf_dir), ixdir)
+    s = Searcher(MaterializedIndex(spark, ixdir), "bm25")
+    q = parse_query("text:data", default_field="text", analyzer="simple")
+    frame = s.search_filtered(q, "n_chars BETWEEN 300 AND 900", k=10)
+    return (
+        frame.withColumn("score_e6", F.round(F.col("score") * 1e6, 0).cast("long"))
+        .orderBy(F.desc("score_e6"), F.asc("doc_id"))
+        .select("doc_id", "score_e6")
+    )
+
+
+ORACLES["numeric_filter_bm25"] = f"""{BASE_CTE},
+ts AS (SELECT count(*)::BIGINT AS df FROM tf WHERE term = 'data')
+SELECT tf.doc_id AS doc_id,
+  CAST(ROUND((ln(1 + (stats.n_docs - ts.df + 0.5) / (ts.df + 0.5)) * {K1 + 1.0}
+       * tf.freq / (tf.freq + {K1} * (1 - {B} + {B} * dl.dl / (stats.sum_dl / stats.n_docs)))) * 1000000.0, 0) AS BIGINT) AS score_e6
+FROM tf JOIN dl USING (doc_id), stats, ts
+WHERE tf.term = 'data'
+  AND tf.doc_id IN (SELECT doc_id FROM documents WHERE n_chars BETWEEN 300 AND 900)
+ORDER BY score_e6 DESC, doc_id ASC LIMIT 10
+"""
+
+
 def q_req_prohib_bm25(spark, sf_dir):
     """+/- modifiers (queryParser.go:65-71 PLUS/MINUS): `data +query
     -model` = SHOULD(data) MUST(query) MUST_NOT(model) — docs must
@@ -2409,6 +2453,7 @@ QUERIES = {
     "nrt_term_bm25": q_nrt_term_bm25,
     "stream_dedup_exact": q_stream_dedup_exact,
     "range_layout_term_bm25": q_range_layout_term_bm25,
+    "numeric_filter_bm25": q_numeric_filter_bm25,
 }
 
 if _HAS_STD_ORACLE:

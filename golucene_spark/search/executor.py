@@ -642,6 +642,29 @@ class Searcher:
             .limit(k)
         )
 
+    def search_filtered(self, query, predicate: str, k: int = 10) -> DataFrame:
+        """FilteredQuery / NumericRangeFilter role (core Lucene 4.10;
+        the reference's numeric indexing panics at field.go:118-119):
+        relevance comes from ``query`` alone, matches are restricted by
+        a SQL ``predicate`` over the stored doc_meta columns — the
+        random-access filter as a left-semi join.  Numeric trie terms
+        are unnecessary Spark-side: the predicate pushes into the
+        columnar meta table's row-group stats, which IS the trie's
+        range-pruning role."""
+        if isinstance(query, str):
+            from .parser import parse_query
+
+            query = parse_query(query)
+        if not hasattr(self.index, "doc_meta"):
+            raise ValueError("search_filtered needs a materialized index with doc_meta")
+        keep = self._live_meta().filter(predicate).select("doc_id")
+        return (
+            self.score_frame(query)
+            .join(keep, "doc_id", "left_semi")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
     def search_sorted(self, query, sort, k: int = 10) -> DataFrame:
         """Top-k ordered by stored doc_meta fields instead of relevance —
         the Sort/TopFieldCollector API of core Lucene 4.10 (absent from

@@ -47,3 +47,15 @@ def test_sorted_requires_doc_meta(spark):
     ix = LogicalIndex(df, CorpusSpec.documents(), analyzer="simple")
     with pytest.raises(ValueError):
         Searcher(ix).search_sorted("text:x", [("source", True)])
+
+
+def test_search_filtered_predicate(six):
+    # FilteredQuery role: relevance from the query, matches restricted
+    # by a stored-field predicate that never touches the score
+    s = Searcher(six, "bm25")
+    hits = s.search_filtered("text:data", "lang = 'de'", k=10).collect()
+    assert {r["doc_id"] for r in hits} == {1, 4}
+    rel = {r["doc_id"]: r["score"] for r in s.search("text:data", 10).collect()}
+    for r in hits:
+        assert r["score"] == rel[r["doc_id"]]
+    assert s.search_filtered("text:data", "source = 'nope'", 10).count() == 0
