@@ -2315,6 +2315,40 @@ ORDER BY score_e6 DESC, doc_id ASC LIMIT 10
 """
 
 
+def q_constant_score_bm25(spark, sf_dir):
+    """ConstantScoreQuery inside a boolean: text:query scored by BM25
+    OR a constant 0.25 for every doc containing `data` (the wrapped
+    query is a pure filter).  0.25 is dyadic so the float sum is exact
+    in any association order."""
+    from .search import BooleanClause, BooleanQuery, Occur, TermQuery
+    from .search.ast import ConstantScoreQuery
+
+    q = BooleanQuery(
+        (
+            BooleanClause(TermQuery("text", "query"), Occur.SHOULD),
+            BooleanClause(
+                ConstantScoreQuery(TermQuery("text", "data"), 0.25), Occur.SHOULD
+            ),
+        )
+    )
+    s = Searcher(_index(spark, sf_dir), "bm25")
+    frame = s.score_frame(q)
+    return (
+        frame.withColumn("score_e6", F.round(F.col("score") * 1e6, 0).cast("long"))
+        .orderBy(F.desc("score_e6"), F.asc("doc_id"))
+        .limit(10)
+        .select("doc_id", "score_e6")
+    )
+
+
+ORACLES["constant_score_bm25"] = _bool_sum_sql(
+    [
+        _bm25_contrib_sql("query", 0),
+        ("", "SELECT DISTINCT doc_id, 0.25 AS s FROM tf WHERE term = 'data'"),
+    ]
+)
+
+
 def q_req_prohib_bm25(spark, sf_dir):
     """+/- modifiers (queryParser.go:65-71 PLUS/MINUS): `data +query
     -model` = SHOULD(data) MUST(query) MUST_NOT(model) — docs must
@@ -2454,6 +2488,7 @@ QUERIES = {
     "stream_dedup_exact": q_stream_dedup_exact,
     "range_layout_term_bm25": q_range_layout_term_bm25,
     "numeric_filter_bm25": q_numeric_filter_bm25,
+    "constant_score_bm25": q_constant_score_bm25,
 }
 
 if _HAS_STD_ORACLE:

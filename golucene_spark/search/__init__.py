@@ -1,5 +1,6 @@
 from .ast import (
     TermQuery,
+    ConstantScoreQuery,
     BooleanQuery,
     BooleanClause,
     Occur,
@@ -23,6 +24,7 @@ from .cache import CachingSearcher
 
 __all__ = [
     "TermQuery",
+    "ConstantScoreQuery",
     "BooleanQuery",
     "BooleanClause",
     "Occur",

@@ -148,6 +148,23 @@ class DisjunctionMaxQuery:
 
 
 @dataclass(frozen=True)
+class ConstantScoreQuery:
+    """Lucene's ConstantScoreQuery (core Lucene 4.10; not ported by the
+    reference): every doc matching the wrapped query scores the same
+    constant — the wrapped query is a pure filter.  Classic similarity
+    folds queryNorm exactly as ConstantWeight does (sumOfSquaredWeights
+    = boost^2, score = boost * queryNorm), so a standalone classic CSQ
+    scores 1.0 regardless of boost, and BM25 (queryNorm 1) scores
+    ``boost``."""
+
+    query: object
+    boost: float = 1.0
+
+    def rewrite(self):
+        return ConstantScoreQuery(self.query.rewrite(), self.boost)
+
+
+@dataclass(frozen=True)
 class BooleanClause:
     query: "TermQuery | BooleanQuery | MatchAllQuery"
     occur: Occur = Occur.SHOULD
@@ -209,4 +226,6 @@ def _boosted(q, boost: float):
     if isinstance(q, TermRangeQuery):
         return TermRangeQuery(q.field, q.lower, q.upper, q.include_lower,
                               q.include_upper, q.boost * boost)
+    if isinstance(q, ConstantScoreQuery):
+        return ConstantScoreQuery(q.query, q.boost * boost)
     return q

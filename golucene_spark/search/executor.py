@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, functions as F, types as T
 
 from .ast import (
     BooleanQuery,
+    ConstantScoreQuery,
     DisjunctionMaxQuery,
     FuzzyQuery,
     MatchAllQuery,
@@ -59,6 +60,8 @@ def _collect_terms(q, out):
     elif isinstance(q, DisjunctionMaxQuery):
         for s in q.queries:
             _collect_terms(s, out)
+    elif isinstance(q, ConstantScoreQuery):
+        _collect_terms(q.query, out)
     return out
 
 
@@ -131,6 +134,10 @@ class Searcher:
             # DisjunctionMaxWeight sums child norms * boost^2 (Lucene
             # DisjunctionMaxQuery.java getValueForNormalization)
             return q.boost ** 2 * sum(self._sum_sq(s, stats) for s in q.queries)
+        if isinstance(q, ConstantScoreQuery):
+            # ConstantWeight: sumOfSquaredWeights = (boost*queryNorm)^2
+            # pre-norm -> boost^2
+            return q.boost ** 2
         return 0.0
 
     # -- scoring frames ---------------------------------------------------
@@ -218,6 +225,14 @@ class Searcher:
             return self.index.doc_stats.select("doc_id").distinct().select(
                 "doc_id", F.lit(float(q.boost)).alias("score")
             )
+        if isinstance(q, ConstantScoreQuery):
+            inner = self._doc_id_frame(self._resolve(q.query), stats)
+            if inner is None:
+                return None
+            const = float(q.boost) * (query_norm if self.sim.uses_coord else 1.0)
+            return inner.distinct().select(
+                "doc_id", F.lit(const).alias("score")
+            )
         raise TypeError(f"unsupported query {type(q)}")
 
     def _resolve(self, q):
@@ -254,6 +269,8 @@ class Searcher:
             return DisjunctionMaxQuery(
                 tuple(self._resolve(s) for s in q.queries), q.tie_breaker, q.boost
             )
+        if isinstance(q, ConstantScoreQuery):
+            return ConstantScoreQuery(self._resolve(q.query), q.boost)
         return q
 
     def _flat_terms_frame(self, clauses, stats, query_norm: float) -> DataFrame | None:
@@ -516,6 +533,19 @@ class Searcher:
                 "match": exists,
                 "value": float(q.boost) if exists else 0.0,
                 "description": "MatchAllDocsQuery" if exists else "unknown doc",
+            }
+        if isinstance(q, ConstantScoreQuery):
+            inner = self._doc_id_frame(self._resolve(q.query), stats)
+            hit = (
+                inner is not None
+                and inner.filter(F.col("doc_id") == doc_id).limit(1).count() > 0
+            )
+            const = float(q.boost) * (query_norm if self.sim.uses_coord else 1.0)
+            return {
+                "match": hit,
+                "value": const if hit else 0.0,
+                "description": f"ConstantScore(boost={q.boost})"
+                               if hit else "filter did not match",
             }
         if isinstance(q, DisjunctionMaxQuery):
             children = [self._explain(s, doc_id, stats, query_norm) for s in q.queries]
