@@ -2349,6 +2349,97 @@ ORACLES["constant_score_bm25"] = _bool_sum_sql(
 )
 
 
+def _dec(c: str, p: int = 18, s: int = 2):
+    return F.col(c).cast(f"decimal({p},{s})")
+
+
+def q_tpch_q1(spark, sf_dir):
+    """TPC-H Q1 pricing summary over lineitem — the relational
+    aggregation workhorse (SURVEY §2.5 mapping).  All money math in
+    DECIMAL so Spark's parallel sum and DuckDB's sequential sum agree
+    bit-for-bit; results surface as exact integer cents/e4/e6."""
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    one = F.lit(1).cast("decimal(4,2)")
+    base = _dec("l_extendedprice")
+    disc = one - _dec("l_discount", 4, 2)
+    charge = base * disc * (one + _dec("l_tax", 4, 2))
+    return (
+        li.filter(F.col("l_shipdate") <= F.expr("CAST('1998-09-02' AS TIMESTAMP_NTZ)"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            (F.sum(_dec("l_quantity")) * 100).cast("long").alias("sum_qty_c"),
+            (F.sum(base) * 100).cast("long").alias("sum_base_c"),
+            (F.sum(base * disc) * 10000).cast("long").alias("sum_disc_e4"),
+            (F.sum(charge) * 1000000).cast("long").alias("sum_charge_e6"),
+            F.count("*").cast("long").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+ORACLES["tpch_q1_pricing"] = """
+SELECT l_returnflag, l_linestatus,
+  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_qty_c,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_base_c,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+           * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) * 10000 AS BIGINT) AS sum_disc_e4,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+           * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+           * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) * 1000000 AS BIGINT) AS sum_charge_e6,
+  count(*)::BIGINT AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_tpch_q3(spark, sf_dir):
+    """TPC-H Q3 shipping-priority top-k: customer (broadcast — the
+    small dim side) ⋈ orders ⋈ lineitem, revenue per order in exact
+    DECIMAL, TakeOrdered top 10."""
+    cust = (
+        spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = (
+        spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+        .filter(F.col("o_orderdate") < F.expr("CAST('1995-03-15' AS TIMESTAMP_NTZ)"))
+        .select("o_orderkey", "o_custkey")
+    )
+    li = (
+        spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+        .filter(F.col("l_shipdate") > F.expr("CAST('1995-03-15' AS TIMESTAMP_NTZ)"))
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    one = F.lit(1).cast("decimal(4,2)")
+    rev = _dec("l_extendedprice") * (one - _dec("l_discount", 4, 2))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey")
+        .agg((F.sum(rev) * 10000).cast("long").alias("revenue_e4"))
+        .orderBy(F.desc("revenue_e4"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+ORACLES["tpch_q3_topk"] = """
+SELECT o_orderkey,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+           * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) * 10000 AS BIGINT) AS revenue_e4
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15'
+  AND l_shipdate > TIMESTAMP '1995-03-15'
+GROUP BY o_orderkey
+ORDER BY revenue_e4 DESC, o_orderkey ASC LIMIT 10
+"""
+
+
 def q_req_prohib_bm25(spark, sf_dir):
     """+/- modifiers (queryParser.go:65-71 PLUS/MINUS): `data +query
     -model` = SHOULD(data) MUST(query) MUST_NOT(model) — docs must
@@ -2489,6 +2580,8 @@ QUERIES = {
     "range_layout_term_bm25": q_range_layout_term_bm25,
     "numeric_filter_bm25": q_numeric_filter_bm25,
     "constant_score_bm25": q_constant_score_bm25,
+    "tpch_q1_pricing": q_tpch_q1,
+    "tpch_q3_topk": q_tpch_q3,
 }
 
 if _HAS_STD_ORACLE:
