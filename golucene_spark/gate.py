@@ -2349,6 +2349,39 @@ ORACLES["constant_score_bm25"] = _bool_sum_sql(
 )
 
 
+def q_join_field_values(spark, sf_dir):
+    """JoinUtil.createJoinQuery (Lucene join module, ScoreMode.None):
+    sources of the zh docs matching text:batch become a filter on every
+    doc's source keyword — set-oriented two-index join, no driver-side
+    value collect."""
+    from .search.join import join_search
+
+    s = Searcher(_index(spark, sf_dir), "bm25")
+    frame = join_search(s, "text:batch AND lang:zh", "source", s, "source", k=10)
+    return (
+        frame.withColumn("score_e6", F.round(F.col("score") * 1e6, 0).cast("long"))
+        .orderBy("doc_id")
+        .select("doc_id", "score_e6")
+    )
+
+
+ORACLES["join_field_values"] = """
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+  FROM documents
+),
+from_docs AS (
+  SELECT d.doc_id FROM documents d
+  WHERE d.lang = 'zh'
+    AND d.doc_id IN (SELECT doc_id FROM tok WHERE term = 'batch')
+),
+vals AS (SELECT DISTINCT source FROM documents WHERE doc_id IN (SELECT doc_id FROM from_docs))
+SELECT doc_id, 1000000::BIGINT AS score_e6
+FROM documents WHERE source IN (SELECT source FROM vals)
+ORDER BY doc_id LIMIT 10
+"""
+
+
 def _dec(c: str, p: int = 18, s: int = 2):
     return F.col(c).cast(f"decimal({p},{s})")
 
@@ -2582,6 +2615,7 @@ QUERIES = {
     "constant_score_bm25": q_constant_score_bm25,
     "tpch_q1_pricing": q_tpch_q1,
     "tpch_q3_topk": q_tpch_q3,
+    "join_field_values": q_join_field_values,
 }
 
 if _HAS_STD_ORACLE:

@@ -20,6 +20,7 @@ from .facets import facet_counts
 from .mlt import more_like_this, interesting_terms
 from .multiterm import suggest_terms
 from .grouping import group_search
+from .join import join_search
 from .cache import CachingSearcher
 
 __all__ = [
@@ -46,5 +47,6 @@ __all__ = [
     "interesting_terms",
     "suggest_terms",
     "group_search",
+    "join_search",
     "CachingSearcher",
 ]

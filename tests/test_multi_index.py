@@ -75,3 +75,17 @@ def test_multi_term_vector_routing(spark, tmp_path):
     tv1 = {e["term"]: e["freq"] for e in multi.term_vector(multi.doc_base(1), field="text")}
     assert tv1 == {"gamma": 1, "delta": 1}
     assert multi.term_vector(multi.doc_base(5)) == []
+
+
+def test_join_search_across_indexes(spark, mix):
+    # JoinUtil role across two DIFFERENT indexes: langs of index-0 docs
+    # matching 'spark' filter index-1 docs by lang
+    from golucene_spark.search import join_search
+
+    multi, subs = mix
+    s0 = Searcher(subs[0], "bm25")  # docs: en(spark), de
+    s1 = Searcher(subs[1], "bm25")  # docs: fr(spark), en(spark)
+    # from s0: 'spark' matches only the en doc -> join value {'en'}
+    hits = join_search(s0, TermQuery("text", "spark"), "lang", s1, "lang", k=10).collect()
+    assert [r["doc_id"] for r in hits] == [1]  # only s1's en doc
+    assert hits[0]["score"] == 1.0
