@@ -102,7 +102,41 @@ class SimpleAnalyzer:
         )
 
 
-_ANALYZERS = {"standard": StandardAnalyzer, "simple": SimpleAnalyzer}
+class WhitespaceAnalyzer:
+    """WhitespaceTokenizer alone (core Lucene's WhitespaceAnalyzer; not
+    ported by the reference): split on whitespace, NO lowercasing, NO
+    stop removal, positions = token ordinals.  SQL twin:
+    ``unnest(regexp_extract_all(text, '\\S+'))``."""
+
+    name = "whitespace"
+    TOKEN_RE = re.compile(r"\S+")
+    SQL_PATTERN = r"\S+"
+    stop_words = frozenset()
+
+    def analyze_batch(self, texts) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        terms: list[str] = []
+        rows: list[int] = []
+        pos: list[int] = []
+        findall = self.TOKEN_RE.findall
+        for i, t in enumerate(texts):
+            if not t:
+                continue
+            for p, tok in enumerate(findall(t)):
+                terms.append(tok)
+                rows.append(i)
+                pos.append(p)
+        return (
+            np.array(terms, dtype=object),
+            np.array(rows, dtype=np.int64),
+            np.array(pos, dtype=np.int64),
+        )
+
+
+_ANALYZERS = {
+    "standard": StandardAnalyzer,
+    "simple": SimpleAnalyzer,
+    "whitespace": WhitespaceAnalyzer,
+}
 
 
 def get_analyzer(name: str):

@@ -2382,6 +2382,58 @@ ORDER BY doc_id LIMIT 10
 """
 
 
+def q_perfield_whitespace_bm25(spark, sf_dir):
+    """PerFieldAnalyzerWrapper role: the same text column indexed twice
+    — field `text` under the index analyzer (simple: lower+stop) and
+    field `raw` under a per-field whitespace override (no lower, no
+    stop).  Querying raw:the ranks by the stop word's raw frequency
+    with dl = total whitespace token count — unreachable through the
+    simple chain, so the green row proves the per-field dispatch."""
+    spec = CorpusSpec(
+        text_fields=[
+            FieldSpec("text", "text", True),
+            FieldSpec("raw", "text", True, analyzer="whitespace"),
+        ],
+        keyword_fields=[FieldSpec("lang", "lang", False), FieldSpec("source", "source", False)],
+        key_cols=["doc_id"],
+        id_col="doc_id",
+        meta_cols=["lang", "source"],
+    )
+    ix = LogicalIndex(
+        _docs(spark, sf_dir), spec, analyzer="simple", quantize_norms=False
+    )
+    s = Searcher(ix, "bm25")
+    q = parse_query(
+        "raw:the", default_field="raw", analyzer="simple",
+        tokenized_fields=("text", "raw"), field_analyzers={"raw": "whitespace"},
+    )
+    frame = s.score_frame(q)
+    return (
+        frame.withColumn("score_e6", F.round(F.col("score") * 1e6, 0).cast("long"))
+        .orderBy(F.desc("score_e6"), F.asc("doc_id"))
+        .limit(10)
+        .select("doc_id", "score_e6")
+    )
+
+
+ORACLES["perfield_whitespace_bm25"] = f"""
+WITH rtok AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS term FROM documents
+),
+rtf AS (SELECT doc_id, term, count(*)::BIGINT AS freq FROM rtok GROUP BY 1, 2),
+rdl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM rtok GROUP BY 1),
+rstats AS (SELECT (SELECT count(*) FROM documents)::BIGINT AS n_docs,
+                  (SELECT sum(dl) FROM rdl)::BIGINT AS sum_dl),
+ts AS (SELECT count(*)::BIGINT AS df FROM rtf WHERE term = 'the')
+SELECT rtf.doc_id AS doc_id,
+  CAST(ROUND((ln(1 + (rstats.n_docs - ts.df + 0.5) / (ts.df + 0.5)) * {K1 + 1.0}
+       * rtf.freq / (rtf.freq + {K1} * (1 - {B} + {B} * rdl.dl / (rstats.sum_dl / rstats.n_docs)))) * 1000000.0, 0) AS BIGINT) AS score_e6
+FROM rtf JOIN rdl USING (doc_id), rstats, ts
+WHERE rtf.term = 'the'
+ORDER BY score_e6 DESC, doc_id ASC LIMIT 10
+"""
+
+
 def _dec(c: str, p: int = 18, s: int = 2):
     return F.col(c).cast(f"decimal({p},{s})")
 
@@ -2616,6 +2668,7 @@ QUERIES = {
     "tpch_q1_pricing": q_tpch_q1,
     "tpch_q3_topk": q_tpch_q3,
     "join_field_values": q_join_field_values,
+    "perfield_whitespace_bm25": q_perfield_whitespace_bm25,
 }
 
 if _HAS_STD_ORACLE:

@@ -89,6 +89,9 @@ class FieldSpec:
     tokenized: bool = True  # TextField vs StringField (field.go:194-271)
     positions: bool = True  # index positions (DOCS_AND_FREQS_AND_POSITIONS)
     omit_norms: bool = False
+    # per-field analyzer override (the PerFieldAnalyzerWrapper role of
+    # core Lucene's analysis/miscellaneous); None = the index analyzer
+    analyzer: str | None = None
 
 
 @dataclass
@@ -172,7 +175,8 @@ def _tf_arrow_fn(spec: CorpusSpec, analyzer_name: str, quantize: bool, index_pos
     import pyarrow as pa
 
     text_fields = [
-        (f.name, f.column, getattr(f, "positions", True), getattr(f, "omit_norms", False))
+        (f.name, f.column, getattr(f, "positions", True), getattr(f, "omit_norms", False),
+         getattr(f, "analyzer", None))
         for f in spec.text_fields
     ]
     kw_fields = [(f.name, f.column) for f in spec.keyword_fields]
@@ -227,22 +231,25 @@ def _tf_arrow_fn(spec: CorpusSpec, analyzer_name: str, quantize: bool, index_pos
         if not globals().get("_GC_FROZEN"):
             gc.freeze()
             globals()["_GC_FROZEN"] = True
-        analyzer = get_analyzer(analyzer_name)
+        analyzers = {
+            fname: get_analyzer(f_ana or analyzer_name)
+            for fname, _c, _p, _o, f_ana in text_fields
+        }
         for rb0 in batches:
             for off in range(0, rb0.num_rows, slice_rows) or [0]:
                 rb = rb0.slice(off, slice_rows)
                 n = rb.num_rows
                 if n == 0:
                     continue
-                yield from _one(rb, n, analyzer)
+                yield from _one(rb, n, analyzers)
 
-    def _one(rb, n, analyzer):
+    def _one(rb, n, analyzers):
             cols = {name: rb.column(i) for i, name in enumerate(rb.schema.names)}
             doc_ids = cols["doc_id"].to_numpy(zero_copy_only=False)
             seg_ids = cols["segment_id"].to_numpy(zero_copy_only=False)
-            for fname, col, f_positions, f_omit_norms in text_fields:
+            for fname, col, f_positions, f_omit_norms, _f_ana in text_fields:
                 texts = cols[col].to_pylist()
-                terms, rows, pos = analyzer.analyze_batch(texts)
+                terms, rows, pos = analyzers[fname].analyze_batch(texts)
                 if len(terms):
                     # per-doc TF via factorize + stable argsort reduce
                     codes, uniq = pd.factorize(terms, sort=False)

@@ -138,9 +138,20 @@ def parse_query(
     analyzer: str | object = "standard",
     tokenized_fields: tuple = ("content", "text"),
     default_operator: str = "OR",
+    field_analyzers: dict | None = None,
 ):
+    # field_analyzers maps field -> analyzer (name or object) for
+    # per-field overrides at query time — the PerFieldAnalyzerWrapper
+    # role, matching FieldSpec(analyzer=...) on the index side
     if isinstance(analyzer, str):
         analyzer = get_analyzer(analyzer)
+    _amap = {
+        f: (get_analyzer(a) if isinstance(a, str) else a)
+        for f, a in (field_analyzers or {}).items()
+    }
+
+    def ana(field):
+        return _amap.get(field, analyzer)
     toks = _TOKEN_RE.findall(q)
     pos = [0]
 
@@ -185,7 +196,7 @@ def parse_query(
     def parse_phrase(tok: str, field: str):
         text = tok[1:-1].replace('\\"', '"').replace("\\\\", "\\")
         if field in tokenized_fields:
-            terms = _analyze_terms(text, analyzer)
+            terms = _analyze_terms(text, ana(field))
         else:
             terms = [text] if text else []
         if not terms:
@@ -237,8 +248,8 @@ def parse_query(
             fld, _, text = t.partition(":")
             if text.startswith("/") and text.endswith("/") and len(text) > 2:
                 return suffixes(RegexpQuery(fld, text[1:-1]))
-            return _analyze_text(fld, text, analyzer, tokenized_fields)
-        return _analyze_text(field, t, analyzer, tokenized_fields)
+            return _analyze_text(fld, text, ana(fld), tokenized_fields)
+        return _analyze_text(field, t, ana(field), tokenized_fields)
 
     def parse_clauses(field_ctx: str | None) -> list[BooleanClause]:
         clauses: list[BooleanClause] = []

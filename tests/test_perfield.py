@@ -70,3 +70,40 @@ def test_default_fields_unaffected(pf_ix):
         for r in ds.select("field", "doc_id", "length").collect()
     }
     assert lens[("title", 1)] == 8 and lens[("body", 0)] == 6
+
+
+def test_perfield_analyzer_override(spark, tmp_path):
+    # PerFieldAnalyzerWrapper role: same column, two analyzers
+    from golucene_spark.index import CorpusSpec, FieldSpec, IndexBuilder, MaterializedIndex
+    from golucene_spark.search import Searcher, TermQuery, parse_query
+
+    spec = CorpusSpec(
+        text_fields=[
+            FieldSpec("text", "text", True),
+            FieldSpec("raw", "text", True, analyzer="whitespace"),
+        ],
+        keyword_fields=[FieldSpec("lang", "lang", False)],
+        key_cols=["doc_id"], id_col="doc_id", meta_cols=["lang"],
+    )
+    df = spark.createDataFrame(
+        [(0, "The Quick fox", "en"), (1, "the the slow fox", "en")],
+        "doc_id long, text string, lang string",
+    )
+    d = str(tmp_path / "ix")
+    IndexBuilder(spark, spec, analyzer="simple", quantize_norms=False,
+                 num_segments=1).build(df, d)
+    ix = MaterializedIndex(spark, d)
+    s = Searcher(ix, "bm25")
+    # simple chain: 'the' stopped, 'Quick' lowered
+    assert s.count(TermQuery("text", "quick")) == 1
+    assert s.count(TermQuery("text", "the")) == 0
+    # whitespace override: case preserved, stops kept
+    assert s.count(TermQuery("raw", "Quick")) == 1
+    assert s.count(TermQuery("raw", "quick")) == 0
+    assert {r["doc_id"] for r in s.search(TermQuery("raw", "the"), 5).collect()} == {1}
+    assert s.count(TermQuery("raw", "The")) == 1
+    # query-time wrapper matches index-time analysis
+    q = parse_query("raw:The", default_field="raw", analyzer="simple",
+                    tokenized_fields=("text", "raw"),
+                    field_analyzers={"raw": "whitespace"})
+    assert s.count(q) == 1
