@@ -2434,6 +2434,89 @@ ORDER BY score_e6 DESC, doc_id ASC LIMIT 10
 """
 
 
+def q_chunk_documents(spark, sf_dir):
+    """Token-window chunking with overlap (training-corpus prep):
+    64-token windows every 48 tokens; chunk text surfaced as md5 to
+    keep the compare row narrow."""
+    from .text.prep import chunk_documents
+
+    out = chunk_documents(_docs(spark, sf_dir), chunk_tokens=64, overlap=16)
+    return out.select(
+        "doc_id", "chunk_id", F.md5("chunk").alias("chunk_md5"), "n_tokens"
+    ).orderBy("doc_id", "chunk_id")
+
+
+ORACLES["chunk_documents"] = """
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks FROM documents
+),
+s AS (
+  SELECT doc_id, toks, unnest(range(0, greatest(len(toks), 1), 48)) AS start
+  FROM t WHERE len(toks) > 0
+)
+SELECT doc_id, (start // 48)::BIGINT AS chunk_id,
+       md5(array_to_string(list_slice(toks, start + 1, start + 64), ' ')) AS chunk_md5,
+       least(64, len(toks) - start)::BIGINT AS n_tokens
+FROM s WHERE start < len(toks)
+ORDER BY doc_id, chunk_id
+"""
+
+
+def q_scrub_text(spark, sf_dir):
+    """URL/e-mail scrub + whitespace collapse over a seeded corpus
+    (every doc gets a synthetic URL and address appended so the scrub
+    provably fires)."""
+    from .text.prep import scrub_text
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" see http://ex.com/p/"),
+            F.col("doc_id").cast("string"),
+            F.lit(" mail user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.org end"),
+        ),
+    )
+    out = scrub_text(docs)
+    return out.select("doc_id", F.md5("scrubbed").alias("scrubbed_md5")).orderBy("doc_id")
+
+
+ORACLES["scrub_text"] = """
+WITH seeded AS (
+  SELECT doc_id,
+         text || ' see http://ex.com/p/' || doc_id
+              || ' mail user' || doc_id || '@example.org end' AS text
+  FROM documents
+)
+SELECT doc_id,
+       md5(trim(regexp_replace(regexp_replace(regexp_replace(text,
+            'https?://\\S+', '', 'g'),
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '', 'g'),
+            '\\s+', ' ', 'g'))) AS scrubbed_md5
+FROM seeded ORDER BY doc_id
+"""
+
+
+def q_hash_split(spark, sf_dir):
+    """Deterministic train/val/test assignment by content hash —
+    stable across engines/partitionings, exact dups share a split."""
+    from .text.prep import hash_split
+
+    return hash_split(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+ORACLES["hash_split"] = """
+SELECT doc_id,
+       CAST(('0x' || substr(md5(text), 1, 8))::BIGINT % 100 AS BIGINT) AS bucket,
+       CASE WHEN ('0x' || substr(md5(text), 1, 8))::BIGINT % 100 < 80 THEN 'train'
+            WHEN ('0x' || substr(md5(text), 1, 8))::BIGINT % 100 < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents ORDER BY doc_id
+"""
+
+
 def _dec(c: str, p: int = 18, s: int = 2):
     return F.col(c).cast(f"decimal({p},{s})")
 
@@ -2669,6 +2752,9 @@ QUERIES = {
     "tpch_q3_topk": q_tpch_q3,
     "join_field_values": q_join_field_values,
     "perfield_whitespace_bm25": q_perfield_whitespace_bm25,
+    "chunk_documents": q_chunk_documents,
+    "scrub_text": q_scrub_text,
+    "hash_split": q_hash_split,
 }
 
 if _HAS_STD_ORACLE:

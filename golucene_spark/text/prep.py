@@ -1,0 +1,95 @@
+"""Training-data preparation operators: chunking, scrubbing, splits.
+
+The standard LLM-corpus prep stages a 100-TB pipeline runs between
+dedup/quality (text/dedup.py, text/quality.py) and tokenization — all
+pure Catalyst (JVM regex/array ops, no Python in the loop), each with
+an exact DuckDB twin in the driver gate.
+
+- ``chunk_documents``: whitespace-token windows of ``chunk_tokens``
+  with ``overlap`` carried between consecutive chunks (posexplode of a
+  stride sequence + ``slice`` — one narrow transform, no shuffle).
+- ``scrub_text``: URL / e-mail removal + whitespace collapse — the
+  deterministic PII-lite scrub (RE2 patterns shared verbatim with the
+  SQL twin).
+- ``hash_split``: deterministic content-hash bucketing into
+  train/val/test — md5-prefix mod 100, so the assignment is stable
+  across runs, engines, and partitionings (never rand()).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+URL_RE = r"https?://\S+"
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, chunk_id, chunk, n_tokens): whitespace-token windows of
+    ``chunk_tokens`` starting every ``chunk_tokens - overlap`` tokens;
+    the final window may be shorter.  Narrow plan: tokenize, explode
+    the stride starts, slice — no shuffle, scales with input splits."""
+    assert 0 <= overlap < chunk_tokens
+    stride = chunk_tokens - overlap
+    toks = F.expr(f"regexp_extract_all({text_col}, '\\\\S+', 0)")
+    t = docs.select(F.col(id_col).alias("doc_id"), toks.alias("toks")).filter(
+        F.size("toks") > 0
+    )
+    starts = F.sequence(F.lit(0), F.size("toks") - 1, F.lit(stride))
+    return (
+        t.select("doc_id", "toks", F.explode(starts).alias("start"))
+        .select(
+            "doc_id",
+            (F.col("start") / stride).cast("long").alias("chunk_id"),
+            F.array_join(F.slice("toks", F.col("start") + 1, chunk_tokens), " ").alias("chunk"),
+            F.least(F.lit(chunk_tokens), F.size("toks") - F.col("start"))
+            .cast("long")
+            .alias("n_tokens"),
+        )
+    )
+
+
+def scrub_text(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, scrubbed): URLs and e-mail addresses removed, runs of
+    whitespace collapsed to one space, ends trimmed."""
+    s = F.col(text_col)
+    s = F.regexp_replace(s, URL_RE, "")
+    s = F.regexp_replace(s, EMAIL_RE, "")
+    s = F.trim(F.regexp_replace(s, r"\s+", " "))
+    return docs.select(F.col(id_col).alias("doc_id"), s.alias("scrubbed"))
+
+
+def hash_split(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    train_pct: int = 80,
+    val_pct: int = 10,
+) -> DataFrame:
+    """(doc_id, bucket, split): deterministic content-hash assignment —
+    bucket = int(md5(text)[:8], 16) % 100; train/val/test by
+    percentile.  Duplicate texts land in the SAME split (no eval
+    leakage across exact dups), and the assignment never moves when
+    the corpus is re-partitioned or re-sampled."""
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col(text_col)), 1, 8), 16, 10).cast("long"),
+        F.lit(100),
+    )
+    split = (
+        F.when(bucket < train_pct, "train")
+        .when(bucket < train_pct + val_pct, "val")
+        .otherwise("test")
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        bucket.alias("bucket"),
+        split.alias("split"),
+    )

@@ -1,0 +1,48 @@
+"""Training-corpus prep operators: chunking, scrubbing, hash splits."""
+
+import pytest
+
+from golucene_spark.text.prep import chunk_documents, hash_split, scrub_text
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, " ".join(f"t{i}" for i in range(10))),      # 10 tokens
+        (1, "only three tokens"),
+        (2, ""),                                        # no chunks
+        (3, "dup dup dup"),
+        (4, "dup dup dup"),                             # exact dup of 3
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_chunks_overlap_and_tail(docs):
+    out = chunk_documents(docs, chunk_tokens=4, overlap=2)
+    got = {
+        (r["doc_id"], r["chunk_id"]): (r["chunk"], r["n_tokens"])
+        for r in out.collect()
+    }
+    # stride 2 over 10 tokens: starts 0,2,4,6,8
+    assert got[(0, 0)] == ("t0 t1 t2 t3", 4)
+    assert got[(0, 1)] == ("t2 t3 t4 t5", 4)       # 2-token overlap carried
+    assert got[(0, 4)] == ("t8 t9", 2)             # short tail window
+    assert got[(1, 0)] == ("only three tokens", 3)
+    assert not any(d == 2 for d, _ in got)          # empty doc -> no chunks
+
+
+def test_scrub_removes_urls_and_emails(spark):
+    df = spark.createDataFrame(
+        [(0, "go to https://x.io/a?b=1 or mail a.b+c@d-e.org   now")],
+        "doc_id long, text string",
+    )
+    assert scrub_text(df).collect()[0]["scrubbed"] == "go to or mail now"
+
+
+def test_hash_split_deterministic_and_dup_consistent(docs):
+    a = {r["doc_id"]: (r["bucket"], r["split"]) for r in hash_split(docs).collect()}
+    b = {r["doc_id"]: (r["bucket"], r["split"]) for r in hash_split(docs).collect()}
+    assert a == b                      # stable across runs
+    assert a[3] == a[4]                # exact dups share a split
+    assert all(0 <= v[0] < 100 for v in a.values())
+    assert all(v[1] in ("train", "val", "test") for v in a.values())
