@@ -2499,6 +2499,30 @@ FROM seeded ORDER BY doc_id
 """
 
 
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic corpus mixing: src0 kept at 50%, src1 at 25%,
+    everything else dropped — md5-bucket thresholds per stratum."""
+    from .text.prep import stratified_sample
+
+    out = stratified_sample(
+        _docs(spark, sf_dir), {"src0": 0.5, "src1": 0.25}, key_col="source"
+    )
+    return out.orderBy("doc_id")
+
+
+ORACLES["stratified_sample"] = """
+WITH b AS (
+  SELECT doc_id, source,
+         CAST(('0x' || substr(md5(text), 1, 8))::BIGINT % 10000 AS BIGINT) AS bucket
+  FROM documents
+)
+SELECT doc_id, source AS stratum, bucket
+FROM b
+WHERE bucket < CASE source WHEN 'src0' THEN 5000 WHEN 'src1' THEN 2500 ELSE 0 END
+ORDER BY doc_id
+"""
+
+
 def q_hash_split(spark, sf_dir):
     """Deterministic train/val/test assignment by content hash —
     stable across engines/partitionings, exact dups share a split."""
@@ -2755,6 +2779,7 @@ QUERIES = {
     "chunk_documents": q_chunk_documents,
     "scrub_text": q_scrub_text,
     "hash_split": q_hash_split,
+    "stratified_sample": q_stratified_sample,
 }
 
 if _HAS_STD_ORACLE:

@@ -67,6 +67,36 @@ def scrub_text(
     return docs.select(F.col(id_col).alias("doc_id"), s.alias("scrubbed"))
 
 
+def stratified_sample(
+    docs: DataFrame,
+    rates: dict,
+    key_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic corpus mixing: keep each ``key_col`` stratum at
+    its ``rates[key]`` fraction (keys absent from ``rates`` drop to 0).
+    Selection = md5-prefix bucket (0..9999) < rate*10000 — content-
+    hashed, so the kept set is stable across runs/partitionings and a
+    rate increase strictly grows the previous sample (nested samples,
+    the property rand()-sampling lacks)."""
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col(text_col)), 1, 8), 16, 10).cast("long"),
+        F.lit(10000),
+    )
+    pairs = []
+    for k, r in sorted(rates.items()):
+        pairs += [F.lit(k), F.lit(int(round(r * 10000)))]
+    thresh = F.coalesce(
+        F.element_at(F.create_map(*pairs), F.col(key_col)), F.lit(0)
+    )
+    return docs.filter(bucket < thresh).select(
+        F.col(id_col).alias("doc_id"),
+        F.col(key_col).alias("stratum"),
+        bucket.alias("bucket"),
+    )
+
+
 def hash_split(
     docs: DataFrame,
     text_col: str = "text",

@@ -46,3 +46,16 @@ def test_hash_split_deterministic_and_dup_consistent(docs):
     assert a[3] == a[4]                # exact dups share a split
     assert all(0 <= v[0] < 100 for v in a.values())
     assert all(v[1] in ("train", "val", "test") for v in a.values())
+
+
+def test_stratified_sample_nested_and_deterministic(spark):
+    from golucene_spark.text.prep import stratified_sample
+
+    rows = [(i, f"text number {i}", "a" if i % 2 == 0 else "b") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    small = {r["doc_id"] for r in stratified_sample(df, {"a": 0.2}).collect()}
+    big = {r["doc_id"] for r in stratified_sample(df, {"a": 0.6}).collect()}
+    assert small and small <= big            # nested samples: rate up only grows
+    assert all(i % 2 == 0 for i in big)      # stratum b dropped (rate 0)
+    again = {r["doc_id"] for r in stratified_sample(df, {"a": 0.2}).collect()}
+    assert again == small                    # content-hash: stable across runs
