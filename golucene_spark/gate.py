@@ -2499,6 +2499,53 @@ FROM seeded ORDER BY doc_id
 """
 
 
+def q_ngram_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: probes = the first 20 tokens of every
+    doc_id % 100 == 7 doc (a 'benchmark' drawn from the corpus, so
+    overlap provably exists); report (doc_id, probe_id, n_shared
+    8-gram shingles) — contaminated docs are the n_shared > 0 set."""
+    from .text.prep import ngram_overlap
+
+    docs = _docs(spark, sf_dir)
+    toks = F.expr("regexp_extract_all(text, '\\\\S+', 0)")
+    probes = docs.filter("doc_id % 100 = 7").select(
+        F.col("doc_id").alias("pid"),
+        F.array_join(F.slice(toks, 1, 20), " ").alias("text"),
+    )
+    out = ngram_overlap(docs, probes, n=8, probe_id_col="pid")
+    return out.orderBy("doc_id", "probe_id")
+
+
+ORACLES["ngram_decontaminate"] = """
+WITH dt AS (
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks FROM documents
+),
+ds AS (
+  SELECT doc_id, unnest(range(1, len(toks) - 6)) AS i, toks
+  FROM dt WHERE len(toks) >= 8
+),
+d AS (
+  SELECT DISTINCT doc_id, md5(array_to_string(list_slice(toks, i, i + 7), ' ')) AS g
+  FROM ds
+),
+pt AS (
+  SELECT doc_id AS probe_id, list_slice(toks, 1, 20) AS toks
+  FROM dt WHERE doc_id % 100 = 7
+),
+ps AS (
+  SELECT probe_id, unnest(range(1, len(toks) - 6)) AS i, toks
+  FROM pt WHERE len(toks) >= 8
+),
+p AS (
+  SELECT DISTINCT probe_id, md5(array_to_string(list_slice(toks, i, i + 7), ' ')) AS g
+  FROM ps
+)
+SELECT d.doc_id AS doc_id, p.probe_id AS probe_id, count(*)::BIGINT AS n_shared
+FROM d JOIN p USING (g)
+GROUP BY 1, 2 ORDER BY doc_id, probe_id
+"""
+
+
 def q_stratified_sample(spark, sf_dir):
     """Deterministic corpus mixing: src0 kept at 50%, src1 at 25%,
     everything else dropped — md5-bucket thresholds per stratum."""
@@ -2780,6 +2827,7 @@ QUERIES = {
     "scrub_text": q_scrub_text,
     "hash_split": q_hash_split,
     "stratified_sample": q_stratified_sample,
+    "ngram_decontaminate": q_ngram_decontaminate,
 }
 
 if _HAS_STD_ORACLE:

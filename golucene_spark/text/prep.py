@@ -67,6 +67,44 @@ def scrub_text(
     return docs.select(F.col(id_col).alias("doc_id"), s.alias("scrubbed"))
 
 
+def ngram_overlap(
+    docs: DataFrame,
+    probes: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    probe_id_col: str = "probe_id",
+) -> DataFrame:
+    """Benchmark decontamination (the GPT-3-style n-gram overlap
+    check): (doc_id, probe_id, n_shared) for every corpus doc sharing
+    at least one whitespace-token n-gram with a probe document.
+    Shingles are md5-hashed before the join so the shuffle carries
+    32-byte keys, not text; the probe side is the small one and
+    broadcasts under AQE.  A doc with n_shared > 0 is contaminated
+    and gets dropped (or flagged) before training."""
+
+    def shingles(df, idc, out_id):
+        toks = F.expr(f"regexp_extract_all({text_col}, '\\\\S+', 0)")
+        t = df.select(F.col(idc).alias(out_id), toks.alias("toks")).filter(
+            F.size("toks") >= n
+        )
+        starts = F.sequence(F.lit(1), F.size("toks") - (n - 1))
+        return t.select(
+            out_id, "toks", F.explode(starts).alias("i")
+        ).select(
+            out_id,
+            F.md5(F.array_join(F.slice("toks", F.col("i"), n), " ")).alias("g"),
+        ).distinct()
+
+    d = shingles(docs, id_col, "doc_id")
+    p = shingles(probes, probe_id_col, "probe_id")
+    return (
+        d.join(p, "g")
+        .groupBy("doc_id", "probe_id")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+    )
+
+
 def stratified_sample(
     docs: DataFrame,
     rates: dict,

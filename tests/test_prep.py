@@ -59,3 +59,22 @@ def test_stratified_sample_nested_and_deterministic(spark):
     assert all(i % 2 == 0 for i in big)      # stratum b dropped (rate 0)
     again = {r["doc_id"] for r in stratified_sample(df, {"a": 0.2}).collect()}
     assert again == small                    # content-hash: stable across runs
+
+
+def test_ngram_overlap_decontamination(spark):
+    from golucene_spark.text.prep import ngram_overlap
+
+    corpus = spark.createDataFrame(
+        [
+            (0, "a b c d e f g h i j"),       # contains the probe 8-gram
+            (1, "a b c d e f g X i j"),       # one token off -> no 8-gram match
+            (2, "z " * 10),
+        ],
+        "doc_id long, text string",
+    )
+    probes = spark.createDataFrame(
+        [(100, "a b c d e f g h")], "probe_id long, text string"
+    )
+    got = {(r["doc_id"], r["probe_id"]): r["n_shared"]
+           for r in ngram_overlap(corpus, probes, n=8).collect()}
+    assert got == {(0, 100): 1}
