@@ -82,6 +82,22 @@ class CachingSearcher:
             )
         return total, top
 
+    def search_after(self, query, after, k: int = 10) -> DataFrame:
+        # pagination is the cache's best case: every page after the
+        # first filters the SAME persisted frame instead of rescanning
+        from pyspark.sql import functions as F
+
+        s, d = float(after[0]), int(after[1])
+        return (
+            self.score_frame(query)
+            .filter(
+                (F.col("score") < F.lit(s))
+                | ((F.col("score") == F.lit(s)) & (F.col("doc_id") > F.lit(d)))
+            )
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
     def clear(self):
         for f in self._cache.values():
             f.unpersist(blocking=False)

@@ -50,3 +50,18 @@ def test_past_end_returns_empty(searcher):
     q = TermQuery("text", "spark")
     tail = searcher.search(q, 30).collect()[-1]
     assert searcher.search_after(q, (tail["score"], tail["doc_id"]), 10).count() == 0
+
+
+def test_cached_pagination_reuses_frame(searcher):
+    from golucene_spark.search import CachingSearcher, TermQuery
+
+    cs = CachingSearcher(searcher, max_entries=4)
+    q = TermQuery("text", "spark")
+    p1 = cs.search(q, 10).collect()
+    p2 = cs.search_after(q, (p1[-1]["score"], p1[-1]["doc_id"]), 10).collect()
+    assert cs.misses == 1 and cs.hits >= 1   # page 2 hit the cached frame
+    full = searcher.search(q, 20).collect()
+    assert [(r["doc_id"], r["score"]) for r in p1 + p2] == [
+        (r["doc_id"], r["score"]) for r in full
+    ]
+    cs.clear()
