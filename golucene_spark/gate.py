@@ -1610,6 +1610,55 @@ ORDER BY score_e6 DESC, doc_id ASC LIMIT 10
 """
 
 
+def q_span_near_bm25(spark, sf_dir):
+    """Ordered SpanNearQuery (spans module, inOrder=true), slop=1: only
+    in-order alignments count — dist 0 weighs 1, dist 1 weighs 0.5
+    (dyadic, exact float sum); the reversed pair the unordered sloppy
+    matcher admits is excluded."""
+    from .search.phrase import span_near_search
+
+    s = Searcher(_index_pos(spark, sf_dir), "bm25")
+    frame = span_near_search(s, "text", list(PHRASE), slop=1, k=10)
+    return (
+        frame.withColumn("score_e6", F.round(F.col("score") * 1e6, 0).cast("long"))
+        .orderBy(F.desc("score_e6"), F.asc("doc_id"))
+        .select("doc_id", "score_e6")
+    )
+
+
+ORACLES["span_near_bm25"] = f"""{BASE_CTE},
+otok AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS term,
+         generate_subscripts(regexp_extract_all(lower(text), '{TOKEN_PATTERN}'), 1) AS ord
+  FROM documents
+),
+kpos AS (
+  SELECT doc_id, term, row_number() OVER (PARTITION BY doc_id ORDER BY ord) - 1 AS pos
+  FROM otok WHERE term NOT IN ({STOP_SQL})
+),
+pf AS (
+  SELECT a.doc_id, sum(1.0 / (1 + (b.pos - a.pos - 1))) AS freq
+  FROM kpos a JOIN kpos b
+    ON a.doc_id = b.doc_id AND b.pos > a.pos AND b.pos - a.pos - 1 <= 1
+  WHERE a.term = '{PHRASE[0]}' AND b.term = '{PHRASE[1]}'
+  GROUP BY a.doc_id
+),
+ts0 AS (SELECT count(*)::BIGINT AS df FROM tf WHERE term = '{PHRASE[0]}'),
+ts1 AS (SELECT count(*)::BIGINT AS df FROM tf WHERE term = '{PHRASE[1]}'),
+idfp AS (
+  SELECT ln(1 + (stats.n_docs - ts0.df + 0.5) / (ts0.df + 0.5))
+       + ln(1 + (stats.n_docs - ts1.df + 0.5) / (ts1.df + 0.5)) AS idf
+  FROM stats, ts0, ts1
+)
+SELECT pf.doc_id AS doc_id,
+  CAST(ROUND((idfp.idf * {K1 + 1.0}
+       * pf.freq / (pf.freq + {K1} * (1 - {B} + {B} * dl.dl / (stats.sum_dl / stats.n_docs)))) * 1000000.0, 0) AS BIGINT) AS score_e6
+FROM pf JOIN dl USING (doc_id), stats, idfp
+ORDER BY score_e6 DESC, doc_id ASC LIMIT 10
+"""
+
+
 def q_dismax_bm25(spark, sf_dir):
     """DisjunctionMaxQuery over two term clauses, tie_breaker=0.5
     (dyadic, so max + tie*(sum-max) is exact in double): a doc is
@@ -2828,6 +2877,7 @@ QUERIES = {
     "hash_split": q_hash_split,
     "stratified_sample": q_stratified_sample,
     "ngram_decontaminate": q_ngram_decontaminate,
+    "span_near_bm25": q_span_near_bm25,
 }
 
 if _HAS_STD_ORACLE:

@@ -782,13 +782,15 @@ class LogicalIndex:
     the materialized tables."""
 
     def __init__(self, docs: DataFrame, spec: CorpusSpec, analyzer: str = "standard",
-                 quantize_norms: bool = True, num_segments: int = 1):
+                 quantize_norms: bool = True, num_segments: int = 1,
+                 index_positions: bool = False):
         self.spark = docs.sparkSession
         self.spec = spec
         self.quantized = quantize_norms
         self._cstats: dict[str, dict] = {}
         docs = assign_doc_ids(docs, spec, num_segments)
-        self._tf_all = tokenize_tf(docs, spec, analyzer, quantize_norms, index_positions=False)
+        self._tf_all = tokenize_tf(docs, spec, analyzer, quantize_norms,
+                                   index_positions=index_positions)
         self.tf = self._tf_all.filter(~F.col("field").startswith(DOC_SENTINEL_FIELD))
         self.doc_stats = self._tf_all.filter(F.col("field").startswith(DOC_SENTINEL_FIELD)).select(
             "segment_id",

@@ -64,6 +64,10 @@ class PhraseQuery:
     terms: tuple  # tuple[str, ...]
     boost: float = 1.0
     slop: int = 0
+    # in_order=True turns the sloppy matcher into the ordered
+    # SpanNearQuery (Lucene spans module): alignment positions must be
+    # non-decreasing in term order
+    in_order: bool = False
 
     def rewrite(self):
         if len(self.terms) == 1:
@@ -216,7 +220,7 @@ def _boosted(q, boost: float):
     if isinstance(q, MatchAllQuery):
         return MatchAllQuery(q.boost * boost)
     if isinstance(q, PhraseQuery):
-        return PhraseQuery(q.field, q.terms, q.boost * boost, q.slop)
+        return PhraseQuery(q.field, q.terms, q.boost * boost, q.slop, q.in_order)
     if isinstance(q, FuzzyQuery):
         return FuzzyQuery(q.field, q.term, q.max_edits, q.boost * boost)
     if isinstance(q, WildcardQuery):

@@ -185,7 +185,8 @@ class Searcher:
         cs = self._collection_stats(q.field)
         idf = sum(self.sim.idf(stats[(q.field, t)].df, cs["max_doc"]) for t in q.terms)
         avgdl = self.sim.avgdl(cs["sum_ttf"], cs["max_doc"])
-        frame = phrase_freq_frame(self.index, q.field, list(q.terms), q.slop)
+        frame = phrase_freq_frame(self.index, q.field, list(q.terms), q.slop,
+                                  in_order=getattr(q, 'in_order', False))
         norm_col = F.col("norm_byte") if getattr(self.index, "quantized", True) else None
         kwargs = {"query_norm": query_norm} if self.sim.uses_coord else {}
         score = self.sim.score_col(

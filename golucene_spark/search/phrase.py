@@ -46,23 +46,34 @@ def _flat_positions(col, term_offset: int, n_rows: int):
     return (rows << 32) + adj
 
 
-def _sloppy_offset_vectors(n_terms: int, slop: int):
+def _sloppy_offset_vectors(n_terms: int, slop: int, in_order: bool = False):
     """All offset vectors d = (d_1..d_{n-1}), d_i in [-slop, slop], whose
     spread over (0, d_1, ..) is <= slop, with their 1/(1+spread) weight.
     Each alignment tuple of positions maps to exactly ONE vector
     (d_i = adj_i - adj_0), so summing counts over vectors never
-    double-counts."""
+    double-counts.
+
+    ``in_order=True`` keeps only vectors whose ACTUAL positions are
+    strictly increasing in term order (pos_{i+1} > pos_i, i.e. the
+    non-decreasing-d condition with d_0 = 0) — the ordered
+    SpanNearQuery of Lucene's spans module."""
     from itertools import product
 
     out = []
     for d in product(range(-slop, slop + 1), repeat=n_terms - 1):
         spread = max((0,) + d) - min((0,) + d)
-        if spread <= slop:
-            out.append((d, 1.0 / (1.0 + spread)))
+        if spread > slop:
+            continue
+        if in_order:
+            full = (0,) + d
+            if any(full[i + 1] < full[i] for i in range(len(full) - 1)):
+                continue
+        out.append((d, 1.0 / (1.0 + spread)))
     return out
 
 
-def phrase_freq_frame(index, field: str, terms: list[str], slop: int = 0) -> DataFrame:
+def phrase_freq_frame(index, field: str, terms: list[str], slop: int = 0,
+                      in_order: bool = False) -> DataFrame:
     """(doc_id, freq, dlq, norm_byte) for docs matching the phrase.
 
     slop=0: exact adjacency (Lucene ExactPhraseScorer semantics) —
@@ -77,8 +88,8 @@ def phrase_freq_frame(index, field: str, terms: list[str], slop: int = 0) -> Dat
     scorer at all: queryParser.go:58 panics).  Vectorized as one
     intersect1d per offset vector over the whole Arrow batch — at most
     (2*slop+1)^(n_terms-1) intersections, no per-doc Python loop."""
-    if slop:
-        return _sloppy_freq_frame(index, field, terms, slop)
+    if slop or in_order:
+        return _sloppy_freq_frame(index, field, terms, slop, in_order)
     return _exact_freq_frame(index, field, terms)
 
 
@@ -94,10 +105,11 @@ def _conjunction_base(index, field: str, terms: list[str]):
     return base
 
 
-def _sloppy_freq_frame(index, field: str, terms: list[str], slop: int) -> DataFrame:
+def _sloppy_freq_frame(index, field: str, terms: list[str], slop: int,
+                       in_order: bool = False) -> DataFrame:
     base = _conjunction_base(index, field, terms)
     n = len(terms)
-    combos = _sloppy_offset_vectors(n, slop)
+    combos = _sloppy_offset_vectors(n, slop, in_order)
     schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType()),
@@ -180,6 +192,17 @@ def _exact_freq_frame(index, field: str, terms: list[str]) -> DataFrame:
             yield out[out["freq"] > 0]
 
     return base.mapInPandas(compute, schema)
+
+
+def span_near_search(searcher, field: str, terms: list[str], slop: int = 0,
+                     k: int = 10) -> DataFrame:
+    """Ordered SpanNearQuery (Lucene spans module; inOrder=true): terms
+    must appear in order, alignments with total displacement <= slop
+    contribute 1/(1+spread) to the sloppy frequency.  Same conjunction
+    + whole-batch vectorized machinery as the phrase scorer."""
+    from .ast import PhraseQuery as PQ
+
+    return searcher.search(PQ(field, tuple(terms), 1.0, slop, True), k)
 
 
 def phrase_search(searcher, field: str, terms: list[str], k: int = 10) -> DataFrame:

@@ -159,3 +159,30 @@ def test_parser_phrase_slop(pix):
     hits = {r["doc_id"] for r in s.search(q, 10).collect()}
     assert 1 in hits  # 'brown quick fox': quick@1 fox@2 -> spread 0
     assert 0 in hits  # 'quick brown fox': spread 1 <= slop
+
+
+def test_span_near_ordered_vs_sloppy(spark):
+    # a reversed adjacent pair has sloppy edit distance 2: unordered
+    # sloppy slop=2 admits it, ordered span-near never does
+    from golucene_spark.index import CorpusSpec, LogicalIndex
+    from golucene_spark.search import Searcher
+    from golucene_spark.search.ast import PhraseQuery
+    from golucene_spark.search.phrase import span_near_search
+
+    rows = [
+        (0, "alpha beta x", "en", "web"),    # in order, gap 0
+        (1, "alpha x beta", "en", "web"),    # in order, gap 1
+        (2, "beta alpha x", "en", "web"),    # reversed
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    ix = LogicalIndex(df, CorpusSpec.documents(), analyzer="simple",
+                      quantize_norms=False, index_positions=True)
+    s = Searcher(ix, "bm25")
+    ordered = {r["doc_id"] for r in span_near_search(s, "text", ["alpha", "beta"], slop=1).collect()}
+    assert ordered == {0, 1}
+    sloppy = {r["doc_id"] for r in s.search(PhraseQuery("text", ("alpha", "beta"), slop=2), 10).collect()}
+    assert sloppy == {0, 1, 2}   # unordered slop=2 admits the reversal
+    ordered2 = {r["doc_id"] for r in span_near_search(s, "text", ["alpha", "beta"], slop=2).collect()}
+    assert ordered2 == {0, 1}    # order still enforced at slop=2
+    # exact-adjacency ordered == exact phrase
+    assert {r["doc_id"] for r in span_near_search(s, "text", ["alpha", "beta"], slop=0).collect()} == {0}
