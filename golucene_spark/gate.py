@@ -1659,6 +1659,43 @@ ORDER BY score_e6 DESC, doc_id ASC LIMIT 10
 """
 
 
+def q_gapfill_locf(spark, sf_dir):
+    """Hypertable gap-fill + LOCF over events: dense 15-min buckets per
+    event_type across the global range, gaps carry the last observed
+    rounded sum forward (fill over e6 integers — exact)."""
+    from .timeseries import gapfill_locf
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return gapfill_locf(ev, bucket_seconds=900).orderBy("event_type", "win_start")
+
+
+ORACLES["gapfill_locf"] = """
+WITH agg AS (
+  SELECT (floor(epoch(ts))::BIGINT // 900) * 900 AS win_start, event_type,
+         count(*)::BIGINT AS n,
+         CAST(ROUND(sum(value) * 1000000.0, 0) AS BIGINT) AS sum_value_e6
+  FROM events GROUP BY 1, 2
+),
+bounds AS (SELECT min(win_start) AS lo, max(win_start) AS hi FROM agg),
+grid AS (
+  SELECT k.event_type, unnest(generate_series(bounds.lo, bounds.hi, 900)) AS win_start
+  FROM (SELECT DISTINCT event_type FROM agg) k, bounds
+),
+joined AS (
+  SELECT g.win_start, g.event_type,
+         coalesce(a.n, 0)::BIGINT AS n, a.sum_value_e6
+  FROM grid g LEFT JOIN agg a USING (event_type, win_start)
+)
+SELECT win_start, event_type, n, sum_value_e6,
+       last_value(sum_value_e6 IGNORE NULLS) OVER (
+         PARTITION BY event_type ORDER BY win_start
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_e6
+FROM joined
+ORDER BY event_type, win_start
+"""
+
+
 def q_dismax_bm25(spark, sf_dir):
     """DisjunctionMaxQuery over two term clauses, tie_breaker=0.5
     (dyadic, so max + tie*(sum-max) is exact in double): a doc is
@@ -2878,6 +2915,7 @@ QUERIES = {
     "stratified_sample": q_stratified_sample,
     "ngram_decontaminate": q_ngram_decontaminate,
     "span_near_bm25": q_span_near_bm25,
+    "gapfill_locf": q_gapfill_locf,
 }
 
 if _HAS_STD_ORACLE:

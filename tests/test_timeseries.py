@@ -1,0 +1,29 @@
+"""Gap-fill + LOCF densification (hypertable rollup surface)."""
+
+from datetime import datetime
+
+from golucene_spark.timeseries import gapfill_locf
+
+
+def test_gapfill_locf_dense_grid_and_fill(spark):
+    rows = [
+        (datetime(2025, 1, 1, 0, 1), "a", 10.0),
+        (datetime(2025, 1, 1, 0, 50), "a", 20.0),   # 0:15 and 0:30 are gaps
+        (datetime(2025, 1, 1, 0, 20), "b", 5.0),
+    ]
+    ev = spark.createDataFrame(rows, "ts timestamp, event_type string, value double")
+    out = {
+        (r["event_type"], r["win_start"]): (r["n"], r["sum_value_e6"], r["filled_e6"])
+        for r in gapfill_locf(ev, bucket_seconds=900).collect()
+    }
+    base = 1735689600  # 2025-01-01 00:00 UTC
+    # dense: every key gets every bucket of the global range
+    assert len(out) == 2 * 4
+    assert out[("a", base)] == (1, 10_000_000, 10_000_000)
+    assert out[("a", base + 900)] == (0, None, 10_000_000)     # gap, filled
+    assert out[("a", base + 1800)] == (0, None, 10_000_000)
+    assert out[("a", base + 2700)] == (1, 20_000_000, 20_000_000)
+    # series b: leading gap has no prior observation -> NULL fill
+    assert out[("b", base)] == (0, None, None)
+    assert out[("b", base + 900)] == (1, 5_000_000, 5_000_000)
+    assert out[("b", base + 2700)] == (0, None, 5_000_000)
