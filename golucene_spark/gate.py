@@ -1659,6 +1659,41 @@ ORDER BY score_e6 DESC, doc_id ASC LIMIT 10
 """
 
 
+def q_asof_join(spark, sf_dir):
+    """Backward as-of join (kdb/DuckDB ASOF): every click event picks
+    the user's latest purchase at-or-before its timestamp; the oracle
+    is DuckDB's NATIVE ASOF LEFT JOIN over the same deduped right
+    side."""
+    from .timeseries import asof_join
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    left = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    right = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    out = asof_join(left, right, ts_col="ts", by=("user_id",), value_cols=("value",))
+    return out.select(
+        "event_id",
+        F.unix_timestamp(F.col("asof_ts").cast("timestamp")).cast("long").alias("asof_epoch"),
+        F.round(F.col("asof_value") * 1e6, 0).cast("long").alias("asof_value_e6"),
+    ).orderBy("event_id")
+
+
+ORACLES["asof_join"] = """
+WITH l AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+),
+r AS (
+  SELECT user_id, ts, max(value) AS value
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+)
+SELECT l.event_id,
+       floor(epoch(r.ts))::BIGINT AS asof_epoch,
+       CAST(ROUND(r.value * 1000000.0, 0) AS BIGINT) AS asof_value_e6
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+ORDER BY l.event_id
+"""
+
+
 def q_gapfill_locf(spark, sf_dir):
     """Hypertable gap-fill + LOCF over events: dense 15-min buckets per
     event_type across the global range, gaps carry the last observed
@@ -2916,6 +2951,7 @@ QUERIES = {
     "ngram_decontaminate": q_ngram_decontaminate,
     "span_near_bm25": q_span_near_bm25,
     "gapfill_locf": q_gapfill_locf,
+    "asof_join": q_asof_join,
 }
 
 if _HAS_STD_ORACLE:

@@ -18,6 +18,66 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    ts_col: str = "ts",
+    by: tuple = ("user_id",),
+    value_cols: tuple = ("value",),
+    tolerance_seconds: int | None = None,
+) -> DataFrame:
+    """Backward as-of join: every left row picks the LATEST right row
+    of the same ``by`` key with right.ts <= left.ts (inclusive) — the
+    kdb/TimescaleDB/DuckDB ASOF JOIN.  Joined right columns come back
+    as ``asof_ts`` + ``value_cols`` (NULL when no prior right row, or
+    when the match is older than ``tolerance_seconds``).
+
+    Execution shape: ONE shuffle — union the two sides tagged, sort
+    within each ``by`` partition by (ts, side) with right-before-left
+    at equal ts (that ordering IS the inclusive bound), and carry the
+    last right values forward with one window.  Never a range
+    cross-join; at 100 TB the window partitions by the natural series
+    key.  Right rows are deduped to one per (by, ts) (latest values by
+    max) so the carried value is deterministic."""
+    by = list(by)
+    value_cols = list(value_cols)
+    r = (
+        right.groupBy(*by, ts_col)
+        .agg(*[F.max(v).alias(v) for v in value_cols])
+        .select(
+            *by,
+            F.col(ts_col).alias("_ts"),
+            F.lit(0).alias("_side"),
+            F.col(ts_col).alias("_r_ts"),
+            *[F.col(v).alias(f"_r_{v}") for v in value_cols],
+        )
+    )
+    l = left.withColumn("_ts", F.col(ts_col)).withColumn("_side", F.lit(1))
+    u = l.unionByName(r, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(*by)
+        .orderBy("_ts", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    u = u.withColumn("asof_ts", F.last("_r_ts", ignorenulls=True).over(w))
+    for v in value_cols:
+        u = u.withColumn(f"asof_{v}", F.last(f"_r_{v}", ignorenulls=True).over(w))
+    out = u.filter(F.col("_side") == 1)
+    if tolerance_seconds is not None:
+        out = out.withColumn(
+            "_stale",
+            (
+                F.unix_timestamp(F.col(ts_col).cast("timestamp"))
+                - F.unix_timestamp(F.col("asof_ts").cast("timestamp"))
+            )
+            > tolerance_seconds,
+        )
+        for c in ["asof_ts"] + [f"asof_{v}" for v in value_cols]:
+            out = out.withColumn(c, F.when(F.col("_stale"), None).otherwise(F.col(c)))
+        out = out.drop("_stale")
+    return out.drop("_ts", "_side", "_r_ts", *[f"_r_{v}" for v in value_cols])
+
+
 def gapfill_locf(
     events: DataFrame,
     bucket_seconds: int = 900,

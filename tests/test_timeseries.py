@@ -27,3 +27,36 @@ def test_gapfill_locf_dense_grid_and_fill(spark):
     assert out[("b", base)] == (0, None, None)
     assert out[("b", base + 900)] == (1, 5_000_000, 5_000_000)
     assert out[("b", base + 2700)] == (0, None, 5_000_000)
+
+
+def test_asof_join_backward_inclusive_and_tolerance(spark):
+    from golucene_spark.timeseries import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 1, 10), (2, 1, 25), (3, 2, 5)], "event_id long, user_id long, ts long"
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 100.0), (1, 20, 200.0), (2, 50, 900.0)],
+        "user_id long, ts long, value double",
+    )
+    out = {r["event_id"]: (r["asof_ts"], r["asof_value"])
+           for r in asof_join(left, right, by=("user_id",)).collect()}
+    assert out[1] == (10, 100.0)     # inclusive: equal ts matches
+    assert out[2] == (20, 200.0)     # latest at-or-before
+    assert out[3] == (None, None)    # no prior right row
+    # tolerance: match older than 5s is nulled
+    tol = {r["event_id"]: r["asof_value"]
+           for r in asof_join(left, right, by=("user_id",),
+                              tolerance_seconds=5).collect()}
+    assert tol[1] == 100.0 and tol[2] == 200.0 and tol[3] is None
+
+
+def test_asof_join_dedupes_equal_ts(spark):
+    from golucene_spark.timeseries import asof_join
+
+    left = spark.createDataFrame([(1, 1, 10)], "event_id long, user_id long, ts long")
+    right = spark.createDataFrame(
+        [(1, 10, 1.0), (1, 10, 7.0)], "user_id long, ts long, value double"
+    )
+    row = asof_join(left, right, by=("user_id",)).collect()[0]
+    assert row["asof_value"] == 7.0  # deterministic: max per (key, ts)
