@@ -1659,6 +1659,87 @@ ORDER BY score_e6 DESC, doc_id ASC LIMIT 10
 """
 
 
+def q_kmv_distinct(spark, sf_dir):
+    """KMV distinct sketch over documents.text, k=256: deterministic
+    (md5-based, seedless) so the DuckDB twin reproduces the EXACT
+    estimate — unlike HLL-based approx_count_distinct which no oracle
+    can mirror."""
+    from .sketch import kmv_distinct
+
+    return kmv_distinct(_docs(spark, sf_dir), "text", k=256)
+
+
+ORACLES["kmv_distinct"] = """
+WITH h AS (
+  SELECT DISTINCT (('0x' || substr(md5(text), 1, 8))::BIGINT)::DOUBLE / 4294967296.0 AS h
+  FROM documents
+),
+kk AS (SELECT h FROM h ORDER BY h LIMIT 256)
+SELECT 256::BIGINT AS k,
+       count(*)::BIGINT AS n_kept,
+       CAST(ROUND(max(h) * 1000000000.0, 0) AS BIGINT) AS kth_e9,
+       CAST(ROUND(CASE WHEN count(*) < 256 THEN count(*)::DOUBLE
+                       ELSE 255.0 / max(h) END * 1000000.0, 0) AS BIGINT) AS estimate_e6
+FROM kk
+"""
+
+
+def q_range_join(spark, sf_dir):
+    """Point-in-interval range join (bucketed, never a per-key cross
+    product): every event joins its own 30-min-gap session interval —
+    the oracle is a plain SQL BETWEEN join over the same session CTE."""
+    from pyspark.sql import Window as W
+
+    from .timeseries import range_join
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    e = ev.select(
+        "event_id", "user_id",
+        F.unix_timestamp(F.col("ts").cast("timestamp")).cast("long").alias("ts"),
+    )
+    w = W.partitionBy("user_id").orderBy("ts")
+    gap = F.col("ts") - F.lag("ts").over(w)
+    sess = (
+        e.withColumn("new_sess", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+        .withColumn("sid", F.sum("new_sess").over(w.rowsBetween(W.unboundedPreceding, 0)))
+        .groupBy("user_id", "sid")
+        .agg(F.min("ts").alias("start"), F.max("ts").alias("end"))
+    )
+    out = range_join(e, sess.drop("sid"), by=("user_id",), bucket_seconds=1800)
+    return out.select(
+        "event_id", F.col("start").alias("sess_start")
+    ).orderBy("event_id")
+
+
+ORACLES["range_join"] = """
+WITH e AS (
+  SELECT event_id, user_id, floor(epoch(ts))::BIGINT AS ts FROM events
+),
+g AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM e
+),
+s AS (
+  SELECT user_id, ts,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM g
+),
+sess AS (
+  SELECT user_id, sid, min(ts) AS s_start, max(ts) AS s_end
+  FROM s GROUP BY 1, 2
+)
+SELECT e.event_id, sess.s_start AS sess_start
+FROM e JOIN sess ON e.user_id = sess.user_id
+                AND e.ts BETWEEN sess.s_start AND sess.s_end
+ORDER BY event_id
+"""
+
+
 def q_asof_join(spark, sf_dir):
     """Backward as-of join (kdb/DuckDB ASOF): every click event picks
     the user's latest purchase at-or-before its timestamp; the oracle
@@ -2952,6 +3033,8 @@ QUERIES = {
     "span_near_bm25": q_span_near_bm25,
     "gapfill_locf": q_gapfill_locf,
     "asof_join": q_asof_join,
+    "range_join": q_range_join,
+    "kmv_distinct": q_kmv_distinct,
 }
 
 if _HAS_STD_ORACLE:

@@ -18,6 +18,42 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    ts_col: str = "ts",
+    start_col: str = "start",
+    end_col: str = "end",
+    by: tuple = (),
+    bucket_seconds: int = 900,
+) -> DataFrame:
+    """Point-in-interval range join: every point row joins the interval
+    rows (same ``by`` key) with start <= ts <= end — WITHOUT the naive
+    range-condition join Catalyst would turn into a per-key cross
+    product.  Each interval is exploded into the time buckets it
+    covers, the point maps to one bucket, and the join is a plain hash
+    equi-join on (by, bucket) followed by the exact range filter — the
+    standard interval-bucketing trick; pick ``bucket_seconds`` near the
+    typical interval length so intervals explode into O(1) buckets."""
+    by = list(by)
+    bs = bucket_seconds
+
+    def bucket(c):
+        return (F.floor(c.cast("double") / bs) * bs).cast("long")
+
+    iv = intervals.withColumn(
+        "_b",
+        F.explode(
+            F.sequence(bucket(F.col(start_col)), bucket(F.col(end_col)), F.lit(bs))
+        ),
+    )
+    pt = points.withColumn("_b", bucket(F.col(ts_col)))
+    out = pt.join(iv, by + ["_b"]).filter(
+        (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) <= F.col(end_col))
+    )
+    return out.drop("_b")
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
