@@ -1659,6 +1659,62 @@ ORDER BY score_e6 DESC, doc_id ASC LIMIT 10
 """
 
 
+def q_pipeline_prep(spark, sf_dir):
+    """The composed prep pipeline a training run actually executes:
+    exact-dedup (keep min doc per content hash) -> token-length filter
+    [20, 1000] -> 64/16 chunking -> deterministic split assignment;
+    reported as per-split doc and chunk counts.  Every stage is an
+    already-proven operator — this gate proves the COMPOSITION."""
+    from .text.prep import chunk_documents, hash_split
+
+    docs = _docs(spark, sf_dir)
+    keep = docs.groupBy(F.md5("text").alias("h")).agg(F.min("doc_id").alias("doc_id"))
+    d = docs.join(keep.select("doc_id"), "doc_id", "left_semi")
+    ntok = F.size(F.expr("regexp_extract_all(text, '\\\\S+', 0)"))
+    filtered = d.filter((ntok >= 20) & (ntok <= 1000))
+    chunks = chunk_documents(filtered, chunk_tokens=64, overlap=16)
+    splits = hash_split(filtered)
+    per_doc = splits.select("doc_id", "split")
+    docs_per = per_doc.groupBy("split").agg(F.count("*").cast("long").alias("n_docs"))
+    chunks_per = (
+        chunks.join(per_doc, "doc_id")
+        .groupBy("split")
+        .agg(F.count("*").cast("long").alias("n_chunks"))
+    )
+    return docs_per.join(chunks_per, "split", "left").select(
+        "split", "n_docs", F.coalesce("n_chunks", F.lit(0)).cast("long").alias("n_chunks")
+    ).orderBy("split")
+
+
+ORACLES["pipeline_prep"] = """
+WITH keep AS (
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+),
+d AS (
+  SELECT doc_id, text, len(regexp_extract_all(text, '\\S+')) AS ntok
+  FROM documents WHERE doc_id IN (SELECT doc_id FROM keep)
+),
+f AS (SELECT doc_id, text FROM d WHERE ntok BETWEEN 20 AND 1000),
+t AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks FROM f),
+ch AS (
+  SELECT doc_id, unnest(range(0, greatest(len(toks), 1), 48)) AS start, len(toks) AS n
+  FROM t WHERE len(toks) > 0
+),
+chunks AS (SELECT doc_id FROM ch WHERE start < n),
+sp AS (
+  SELECT doc_id,
+         CASE WHEN ('0x' || substr(md5(text), 1, 8))::BIGINT % 100 < 80 THEN 'train'
+              WHEN ('0x' || substr(md5(text), 1, 8))::BIGINT % 100 < 90 THEN 'val'
+              ELSE 'test' END AS split
+  FROM f
+)
+SELECT sp.split, count(DISTINCT sp.doc_id)::BIGINT AS n_docs,
+       count(chunks.doc_id)::BIGINT AS n_chunks
+FROM sp LEFT JOIN chunks ON sp.doc_id = chunks.doc_id
+GROUP BY sp.split ORDER BY sp.split
+"""
+
+
 def q_kmv_distinct(spark, sf_dir):
     """KMV distinct sketch over documents.text, k=256: deterministic
     (md5-based, seedless) so the DuckDB twin reproduces the EXACT
@@ -3035,6 +3091,7 @@ QUERIES = {
     "asof_join": q_asof_join,
     "range_join": q_range_join,
     "kmv_distinct": q_kmv_distinct,
+    "pipeline_prep": q_pipeline_prep,
 }
 
 if _HAS_STD_ORACLE:
