@@ -1868,6 +1868,45 @@ ORDER BY event_type, win_start
 """
 
 
+def q_span_first_bm25(spark, sf_dir):
+    """SpanFirstQuery: text:data within the first 10 token positions,
+    freq = qualifying positions only; positions decode JVM-side
+    (hex/conv in codegen) — no Python in the scorer."""
+    from .search.phrase import span_first_search
+
+    s = Searcher(_index_pos(spark, sf_dir), "bm25")
+    frame = span_first_search(s, "text", "data", 10, k=10)
+    return (
+        frame.withColumn("score_e6", F.round(F.col("score") * 1e6, 0).cast("long"))
+        .orderBy(F.desc("score_e6"), F.asc("doc_id"))
+        .select("doc_id", "score_e6")
+    )
+
+
+ORACLES["span_first_bm25"] = f"""{BASE_CTE},
+otok AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS term,
+         generate_subscripts(regexp_extract_all(lower(text), '{TOKEN_PATTERN}'), 1) AS ord
+  FROM documents
+),
+kpos AS (
+  SELECT doc_id, term, row_number() OVER (PARTITION BY doc_id ORDER BY ord) - 1 AS pos
+  FROM otok WHERE term NOT IN ({STOP_SQL})
+),
+qf AS (
+  SELECT doc_id, count(*)::BIGINT AS freq
+  FROM kpos WHERE term = 'data' AND pos < 10 GROUP BY 1
+),
+ts AS (SELECT count(*)::BIGINT AS df FROM tf WHERE term = 'data')
+SELECT qf.doc_id AS doc_id,
+  CAST(ROUND((ln(1 + (stats.n_docs - ts.df + 0.5) / (ts.df + 0.5)) * {K1 + 1.0}
+       * qf.freq / (qf.freq + {K1} * (1 - {B} + {B} * dl.dl / (stats.sum_dl / stats.n_docs)))) * 1000000.0, 0) AS BIGINT) AS score_e6
+FROM qf JOIN dl USING (doc_id), stats, ts
+ORDER BY score_e6 DESC, doc_id ASC LIMIT 10
+"""
+
+
 def q_dismax_bm25(spark, sf_dir):
     """DisjunctionMaxQuery over two term clauses, tie_breaker=0.5
     (dyadic, so max + tie*(sum-max) is exact in double): a doc is
@@ -3092,6 +3131,7 @@ QUERIES = {
     "range_join": q_range_join,
     "kmv_distinct": q_kmv_distinct,
     "pipeline_prep": q_pipeline_prep,
+    "span_first_bm25": q_span_first_bm25,
 }
 
 if _HAS_STD_ORACLE:

@@ -194,6 +194,61 @@ def _exact_freq_frame(index, field: str, terms: list[str]) -> DataFrame:
     return base.mapInPandas(compute, schema)
 
 
+def positions_array_col(col="positions"):
+    """JVM-side decode of a packed little-endian int32 position blob to
+    array<int> — hex/conv per 4-byte slice inside whole-stage codegen,
+    no Python round-trip."""
+    return F.expr(
+        f"transform(sequence(1, int(length({col}) / 4)), i -> "
+        f"cast(conv(concat(hex(substring({col}, i*4, 1)), "
+        f"hex(substring({col}, i*4-1, 1)), "
+        f"hex(substring({col}, i*4-2, 1)), "
+        f"hex(substring({col}, i*4-3, 1))), 16, 10) as int))"
+    )
+
+
+def span_first_search(searcher, field: str, term: str, end: int,
+                      k: int = 10) -> DataFrame:
+    """SpanFirstQuery (Lucene spans module): the term must occur within
+    the first ``end`` positions of the field; the doc is scored by the
+    similarity with freq = number of qualifying positions.  Pure
+    Catalyst: positions decode JVM-side (positions_array_col) and the
+    qualifying freq is a size(filter(...)) over the array — no
+    Python."""
+    from .ast import TermQuery
+
+    s = searcher
+    q = TermQuery(field, term)
+    stats = s._term_stats(q)
+    st = stats[(field, term)]
+    if st.df == 0:
+        from .executor import RESULT_SCHEMA
+
+        return s.index.spark.createDataFrame([], RESULT_SCHEMA)
+    cs = s._collection_stats(field)
+    idf = s.sim.idf(st.df, cs["max_doc"])
+    avgdl = s.sim.avgdl(cs["sum_ttf"], cs["max_doc"])
+    p = s.index.postings_for_terms(field, [term], with_positions=True)
+    pos = positions_array_col()
+    qfreq = F.size(F.filter(pos, lambda x: x < F.lit(end)))
+    kwargs = (
+        {"query_norm": s.sim.query_norm(s._sum_sq(q, stats))}
+        if s.sim.uses_coord
+        else {}
+    )
+    norm_col = F.col("norm_byte") if getattr(s.index, "quantized", True) else None
+    score = s.sim.score_col(
+        qfreq.cast("double"), F.col("dlq"), norm_col, idf, avgdl, 1.0, **kwargs
+    )
+    return (
+        p.withColumn("_qf", qfreq)
+        .filter(F.col("_qf") > 0)
+        .select("doc_id", score.alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 def span_near_search(searcher, field: str, terms: list[str], slop: int = 0,
                      k: int = 10) -> DataFrame:
     """Ordered SpanNearQuery (Lucene spans module; inOrder=true): terms

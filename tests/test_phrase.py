@@ -186,3 +186,25 @@ def test_span_near_ordered_vs_sloppy(spark):
     assert ordered2 == {0, 1}    # order still enforced at slop=2
     # exact-adjacency ordered == exact phrase
     assert {r["doc_id"] for r in span_near_search(s, "text", ["alpha", "beta"], slop=0).collect()} == {0}
+
+
+def test_span_first_boundary(spark):
+    from golucene_spark.index import CorpusSpec, LogicalIndex
+    from golucene_spark.search import Searcher
+    from golucene_spark.search.phrase import span_first_search
+
+    rows = [
+        (0, "hit early words words", "en", "web"),      # pos 0
+        (1, "w1 w2 hit w4", "en", "web"),               # pos 2 (< end)
+        (2, "w1 w2 w3 hit", "en", "web"),               # pos 3 (>= end)
+        (3, "hit x hit y hit", "en", "web"),            # pos 0,2,4 -> qfreq 2
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    ix = LogicalIndex(df, CorpusSpec.documents(), analyzer="simple",
+                      quantize_norms=False, index_positions=True)
+    s = Searcher(ix, "bm25")
+    hits = {r["doc_id"]: r["score"] for r in span_first_search(s, "text", "hit", 3).collect()}
+    assert set(hits) == {0, 1, 3}          # doc 2's only hit is at pos 3
+    # doc 3 scores with freq=2 (positions 0 and 2 qualify, 4 does not):
+    # same doc length as a freq-2 standalone would give a higher score
+    assert hits[3] > hits[0]
