@@ -3015,13 +3015,9 @@ def q_term_vectors(spark, sf_dir):
     ).build(_docs(spark, sf_dir), ixdir)
     ix = MaterializedIndex(spark, ixdir)
     tv = ix.term_vectors_frame(field="text", doc_ids=list(TV_DOC_IDS))
-    decode = F.expr(
-        "transform(sequence(1, int(length(positions) / 4)), i -> "
-        "cast(conv(concat(hex(substring(positions, i*4, 1)), "
-        "hex(substring(positions, i*4-1, 1)), "
-        "hex(substring(positions, i*4-2, 1)), "
-        "hex(substring(positions, i*4-3, 1))), 16, 10) as string))"
-    )
+    from .search.phrase import positions_array_col
+
+    decode = F.transform(positions_array_col(), lambda x: x.cast("string"))
     return (
         tv.select(
             "doc_id",
