@@ -1796,6 +1796,61 @@ ORDER BY event_id
 """
 
 
+def q_gapfill_interpolate(spark, sf_dir):
+    """Gap-fill with linear interpolation between the surrounding
+    observations (the TimescaleDB interpolate role), endpoints the
+    e6-rounded integers so the arithmetic mirrors exactly."""
+    from .timeseries import gapfill_interpolate
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return gapfill_interpolate(ev, bucket_seconds=900).orderBy(
+        "event_type", "win_start"
+    )
+
+
+ORACLES["gapfill_interpolate"] = """
+WITH agg AS (
+  SELECT (floor(epoch(ts))::BIGINT // 900) * 900 AS win_start, event_type,
+         count(*)::BIGINT AS n,
+         CAST(ROUND(sum(value) * 1000000.0, 0) AS BIGINT) AS sum_value_e6
+  FROM events GROUP BY 1, 2
+),
+bounds AS (SELECT min(win_start) AS lo, max(win_start) AS hi FROM agg),
+grid AS (
+  SELECT k.event_type, unnest(generate_series(bounds.lo, bounds.hi, 900)) AS win_start
+  FROM (SELECT DISTINCT event_type FROM agg) k, bounds
+),
+joined AS (
+  SELECT g.win_start, g.event_type,
+         coalesce(a.n, 0)::BIGINT AS n, a.sum_value_e6
+  FROM grid g LEFT JOIN agg a USING (event_type, win_start)
+),
+w AS (
+  SELECT *,
+    last_value(sum_value_e6 IGNORE NULLS) OVER (
+      PARTITION BY event_type ORDER BY win_start
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_e6,
+    last_value(CASE WHEN sum_value_e6 IS NOT NULL THEN win_start END IGNORE NULLS) OVER (
+      PARTITION BY event_type ORDER BY win_start
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+    last_value(sum_value_e6 IGNORE NULLS) OVER (
+      PARTITION BY event_type ORDER BY win_start DESC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nv,
+    last_value(CASE WHEN sum_value_e6 IS NOT NULL THEN win_start END IGNORE NULLS) OVER (
+      PARTITION BY event_type ORDER BY win_start DESC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nt
+  FROM joined
+)
+SELECT win_start, event_type, n, sum_value_e6, filled_e6,
+  CAST(ROUND(CASE WHEN sum_value_e6 IS NOT NULL THEN sum_value_e6::DOUBLE
+       ELSE filled_e6::DOUBLE + (nv - filled_e6)::DOUBLE
+            * ((win_start - pt)::DOUBLE / (nt - pt)::DOUBLE) END, 0) AS BIGINT) AS interp_e6
+FROM w
+ORDER BY event_type, win_start
+"""
+
+
 def q_asof_join(spark, sf_dir):
     """Backward as-of join (kdb/DuckDB ASOF): every click event picks
     the user's latest purchase at-or-before its timestamp; the oracle
@@ -3128,6 +3183,7 @@ QUERIES = {
     "kmv_distinct": q_kmv_distinct,
     "pipeline_prep": q_pipeline_prep,
     "span_first_bm25": q_span_first_bm25,
+    "gapfill_interpolate": q_gapfill_interpolate,
 }
 
 if _HAS_STD_ORACLE:

@@ -54,6 +54,51 @@ def range_join(
     return out.drop("_b")
 
 
+def gapfill_interpolate(
+    events: DataFrame,
+    bucket_seconds: int = 900,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Gap-fill with LINEAR interpolation (TimescaleDB ``interpolate``):
+    like :func:`gapfill_locf` but gap buckets take the straight line
+    between the surrounding observations (NULL before the first / after
+    the last).  All endpoints are the e6-rounded integers, so the
+    interpolation arithmetic (int + int-diff * int-ratio) is the same
+    double expression on both engines — rounded once at the end."""
+    dense = gapfill_locf(events, bucket_seconds, ts_col, key_col, value_col)
+    asc = (
+        Window.partitionBy(key_col)
+        .orderBy("win_start")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    desc = (
+        Window.partitionBy(key_col)
+        .orderBy(F.desc("win_start"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    obs_t = F.when(F.col("sum_value_e6").isNotNull(), F.col("win_start"))
+    d = (
+        dense.withColumn("_pv", F.col("filled_e6"))
+        .withColumn("_pt", F.last(obs_t, ignorenulls=True).over(asc))
+        .withColumn("_nv", F.last("sum_value_e6", ignorenulls=True).over(desc))
+        .withColumn("_nt", F.last(obs_t, ignorenulls=True).over(desc))
+    )
+    interp = F.when(
+        F.col("sum_value_e6").isNotNull(), F.col("sum_value_e6").cast("double")
+    ).otherwise(
+        F.col("_pv").cast("double")
+        + (F.col("_nv") - F.col("_pv")).cast("double")
+        * ((F.col("win_start") - F.col("_pt")).cast("double")
+           / (F.col("_nt") - F.col("_pt")).cast("double"))
+    )
+    return (
+        d.withColumn("interp_e6", F.round(interp, 0).cast("long"))
+        .drop("_pv", "_pt", "_nv", "_nt")
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

@@ -60,3 +60,21 @@ def test_asof_join_dedupes_equal_ts(spark):
     )
     row = asof_join(left, right, by=("user_id",)).collect()[0]
     assert row["asof_value"] == 7.0  # deterministic: max per (key, ts)
+
+
+def test_gapfill_interpolate_linear(spark):
+    from datetime import datetime
+    from golucene_spark.timeseries import gapfill_interpolate
+
+    rows = [
+        (datetime(2025, 1, 1, 0, 1), "a", 10.0),
+        (datetime(2025, 1, 1, 0, 50), "a", 40.0),   # two gap buckets between
+    ]
+    ev = spark.createDataFrame(rows, "ts timestamp, event_type string, value double")
+    out = {r["win_start"]: r["interp_e6"]
+           for r in gapfill_interpolate(ev, bucket_seconds=900).collect()}
+    base = 1735689600
+    assert out[base] == 10_000_000
+    assert out[base + 900] == 20_000_000    # 10 + (40-10)*1/3
+    assert out[base + 1800] == 30_000_000   # 10 + (40-10)*2/3
+    assert out[base + 2700] == 40_000_000
