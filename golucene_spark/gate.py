@@ -1715,6 +1715,58 @@ GROUP BY sp.split ORDER BY sp.split
 """
 
 
+def q_assign_shards(spark, sf_dir):
+    """Training-shard packing: the prep pipeline's chunks packed into
+    ~2000-token shards per split (exclusive running total), reported as
+    per-(split, shard) chunk and token counts."""
+    from .text.prep import assign_shards, chunk_documents, hash_split
+
+    docs = _docs(spark, sf_dir)
+    chunks = chunk_documents(docs, chunk_tokens=64, overlap=16)
+    sp = hash_split(docs).select("doc_id", "split")
+    sharded = assign_shards(chunks.join(sp, "doc_id"), shard_tokens=2000)
+    return (
+        sharded.groupBy("split", "shard_id")
+        .agg(
+            F.count("*").cast("long").alias("n_chunks"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        )
+        .orderBy("split", "shard_id")
+    )
+
+
+ORACLES["assign_shards"] = """
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks FROM documents
+),
+ch AS (
+  SELECT doc_id, unnest(range(0, greatest(len(toks), 1), 48)) AS start, len(toks) AS n
+  FROM t WHERE len(toks) > 0
+),
+chunks AS (
+  SELECT doc_id, (start // 48)::BIGINT AS chunk_id,
+         least(64, n - start)::BIGINT AS n_tokens
+  FROM ch WHERE start < n
+),
+sp AS (
+  SELECT doc_id,
+         CASE WHEN ('0x' || substr(md5(text), 1, 8))::BIGINT % 100 < 80 THEN 'train'
+              WHEN ('0x' || substr(md5(text), 1, 8))::BIGINT % 100 < 90 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+),
+j AS (SELECT c.*, sp.split FROM chunks c JOIN sp USING (doc_id)),
+r AS (
+  SELECT *, sum(n_tokens) OVER (PARTITION BY split ORDER BY doc_id, chunk_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS run
+  FROM j
+)
+SELECT split, (run // 2000)::BIGINT AS shard_id,
+       count(*)::BIGINT AS n_chunks, sum(n_tokens)::BIGINT AS n_tokens
+FROM r GROUP BY 1, 2 ORDER BY split, shard_id
+"""
+
+
 def q_kmv_distinct(spark, sf_dir):
     """KMV distinct sketch over documents.text, k=256: deterministic
     (md5-based, seedless) so the DuckDB twin reproduces the EXACT
@@ -3184,6 +3236,7 @@ QUERIES = {
     "pipeline_prep": q_pipeline_prep,
     "span_first_bm25": q_span_first_bm25,
     "gapfill_interpolate": q_gapfill_interpolate,
+    "assign_shards": q_assign_shards,
 }
 
 if _HAS_STD_ORACLE:

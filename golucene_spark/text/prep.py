@@ -18,7 +18,7 @@ an exact DuckDB twin in the driver gate.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 URL_RE = r"https?://\S+"
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
@@ -65,6 +65,32 @@ def scrub_text(
     s = F.regexp_replace(s, EMAIL_RE, "")
     s = F.trim(F.regexp_replace(s, r"\s+", " "))
     return docs.select(F.col(id_col).alias("doc_id"), s.alias("scrubbed"))
+
+
+def assign_shards(
+    chunks: DataFrame,
+    shard_tokens: int = 1 << 20,
+    order_cols: tuple = ("doc_id", "chunk_id"),
+    split_col: str | None = "split",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Deterministic shard assignment for training-data export: within
+    each split, chunks in ``order_cols`` order pack greedily into
+    shards of ~``shard_tokens`` tokens — shard_id = floor(exclusive
+    running token total / shard_tokens).  One window per split; the
+    downstream writer partitions by (split, shard_id) so every shard is
+    one file of bounded size.  Fully order-determined: re-running on
+    the same input reproduces the same shards byte-for-byte."""
+    parts = [split_col] if split_col else []
+    w = (
+        Window.partitionBy(*parts)
+        .orderBy(*[F.asc(c) for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    running = F.sum(tokens_col).over(w) - F.col(tokens_col)
+    return chunks.withColumn(
+        "shard_id", F.floor(running / shard_tokens).cast("long")
+    )
 
 
 def ngram_overlap(

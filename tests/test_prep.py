@@ -78,3 +78,18 @@ def test_ngram_overlap_decontamination(spark):
     got = {(r["doc_id"], r["probe_id"]): r["n_shared"]
            for r in ngram_overlap(corpus, probes, n=8).collect()}
     assert got == {(0, 100): 1}
+
+
+def test_assign_shards_packing(spark):
+    from golucene_spark.text.prep import assign_shards
+
+    rows = [("train", 0, i, 60) for i in range(5)] + [("val", 1, 0, 10)]
+    df = spark.createDataFrame(rows, "split string, doc_id long, chunk_id long, n_tokens long")
+    got = {(r["split"], r["doc_id"], r["chunk_id"]): r["shard_id"]
+           for r in assign_shards(df, shard_tokens=100).collect()}
+    # exclusive running totals 0,60,120,180,240 -> shards 0,0,1,1,2
+    assert [got[("train", 0, i)] for i in range(5)] == [0, 0, 1, 1, 2]
+    assert got[("val", 1, 0)] == 0           # splits pack independently
+    again = {(r["split"], r["doc_id"], r["chunk_id"]): r["shard_id"]
+             for r in assign_shards(df, shard_tokens=100).collect()}
+    assert again == got                       # deterministic
