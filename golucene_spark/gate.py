@@ -1715,6 +1715,32 @@ GROUP BY sp.split ORDER BY sp.split
 """
 
 
+def q_embedding_quantize(spark, sf_dir):
+    """Symmetric int8 embedding quantization: per-vector scale =
+    max(|x|), components rounded to [-127, 127]; first 4 components
+    surfaced as csv + the scale at e9."""
+    from .text.ann import quantize_embeddings
+
+    q = quantize_embeddings(_emb(spark, sf_dir))
+    return q.select(
+        "vec_id",
+        F.round(F.col("scale") * 1e9, 0).cast("long").alias("scale_e9"),
+        F.array_join(
+            F.transform(F.slice("qvec", 1, 4), lambda x: x.cast("string")), ","
+        ).alias("q4_csv"),
+    ).orderBy("vec_id")
+
+
+ORACLES["embedding_quantize"] = """
+SELECT vec_id,
+  CAST(ROUND(list_max(list_transform(embedding, x -> abs(x)))::DOUBLE * 1000000000.0, 0) AS BIGINT) AS scale_e9,
+  array_to_string(
+    list_transform(embedding[1:4], x -> CAST(ROUND(x::DOUBLE * 127.0
+      / list_max(list_transform(embedding, y -> abs(y)))::DOUBLE, 0) AS BIGINT)), ',') AS q4_csv
+FROM embeddings ORDER BY vec_id
+"""
+
+
 def q_assign_shards(spark, sf_dir):
     """Training-shard packing: the prep pipeline's chunks packed into
     ~2000-token shards per split (exclusive running total), reported as
@@ -3237,6 +3263,7 @@ QUERIES = {
     "span_first_bm25": q_span_first_bm25,
     "gapfill_interpolate": q_gapfill_interpolate,
     "assign_shards": q_assign_shards,
+    "embedding_quantize": q_embedding_quantize,
 }
 
 if _HAS_STD_ORACLE:

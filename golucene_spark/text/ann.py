@@ -302,3 +302,21 @@ def ivf_cosine_topk(
     cells = ivf_probe_cells(query_vec, centroids, nprobe)
     pruned = emb_celled.filter(F.col("ivf_cell").isin(cells))
     return cosine_topk(pruned, query_vec, k, id_col, vec_col, exclude_id)
+
+
+def quantize_embeddings(emb: DataFrame, col: str = "embedding",
+                        id_col: str = "vec_id") -> DataFrame:
+    """Symmetric int8 quantization per vector (the embedding-serving
+    compression step): scale = max(|x|), q_i = round(x_i * 127 / scale)
+    in [-127, 127].  4x smaller storage; dot products against int8
+    vectors rescale by (scale_a * scale_b / 127^2).  Pure Catalyst
+    higher-order functions — deterministic, no Python in the loop."""
+    mx = F.array_max(F.transform(col, lambda x: F.abs(x))).cast("double")
+    q = F.transform(
+        col, lambda x: F.round(x.cast("double") * 127.0 / mx, 0).cast("int")
+    )
+    return emb.select(
+        F.col(id_col),
+        mx.alias("scale"),
+        q.alias("qvec"),
+    )

@@ -244,3 +244,17 @@ def test_ivf_ann(spark, sf_dir):
     probe1 = ivf_cosine_topk(celled, C, qv, 5, nprobe=1, exclude_id=0).collect()
     top_cell = ivf_probe_cells(qv, C, 1)[0]
     assert all(cells[r["vec_id"]] == top_cell for r in probe1)
+
+
+def test_quantize_embeddings_roundtrip(spark):
+    from golucene_spark.text.ann import quantize_embeddings
+
+    df = spark.createDataFrame(
+        [(0, [0.5, -1.0, 0.25]), (1, [0.0, 0.1, -0.2])],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r["vec_id"]: (r["scale"], r["qvec"]) for r in quantize_embeddings(df).collect()}
+    assert got[0][0] == 1.0 and got[0][1] == [64, -127, 32]
+    s1, q1 = got[1]
+    assert abs(s1 - 0.2) < 1e-6 and q1[2] == -127    # max |x| pins to -127
+    assert all(-127 <= v <= 127 for v in q1)
