@@ -1715,6 +1715,85 @@ GROUP BY sp.split ORDER BY sp.split
 """
 
 
+def q_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval: BM25 (text:data, top 50) fused with dense ANN
+    (cosine vs vec 0, top 50) by reciprocal-rank fusion 1/(60+rank) —
+    the calibration-free lexical+vector combiner.  Fused sums have at
+    most two addends, so the double result is order-independent."""
+    from .search.hybrid import rrf_fuse
+
+    s = Searcher(_index(spark, sf_dir), "bm25")
+    q = parse_query("text:data", default_field="text", analyzer="simple")
+    bm = (
+        s.score_frame(q)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(50)
+        .select("doc_id", "score")
+    )
+    emb = _emb(spark, sf_dir)
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    qv = F.array(*[F.lit(float(x)) for x in qrow])
+    dot = F.aggregate(
+        F.zip_with(F.col("emb_d"), qv, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nrm = F.sqrt(
+        F.aggregate(F.zip_with("emb_d", "emb_d", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x)
+    )
+    import math
+
+    qn = math.sqrt(sum(float(x) * float(x) for x in qrow))
+    ann = (
+        emb.filter(F.col("vec_id") != 0)
+        .withColumn("emb_d", F.col("embedding").cast("array<double>"))
+        .withColumn("score", dot / (nrm * F.lit(qn)))
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(50)
+        .select(F.col("vec_id").cast("long").alias("doc_id"), "score")
+    )
+    fused = rrf_fuse([bm, ann])
+    return (
+        fused.withColumn("rrf_e9", F.round(F.col("rrf") * 1e9, 0).cast("long"))
+        .orderBy(F.desc("rrf_e9"), F.asc("doc_id"))
+        .limit(10)
+        .select("doc_id", "rrf_e9")
+    )
+
+
+ORACLES["hybrid_rrf"] = f"""{BASE_CTE},
+ts AS (SELECT count(*)::BIGINT AS df FROM tf WHERE term = 'data'),
+bm AS (
+  SELECT tf.doc_id,
+    (ln(1 + (stats.n_docs - ts.df + 0.5) / (ts.df + 0.5)) * {K1 + 1.0}
+     * tf.freq / (tf.freq + {K1} * (1 - {B} + {B} * dl.dl / (stats.sum_dl / stats.n_docs)))) AS s
+  FROM tf JOIN dl USING (doc_id), stats, ts WHERE tf.term = 'data'
+),
+bmrank AS (
+  SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id ASC) AS rank FROM bm
+),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+ann AS (
+  SELECT vec_id::BIGINT AS doc_id,
+    list_dot_product(embedding::DOUBLE[], q.qv)
+    / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+       * sqrt(list_dot_product(q.qv, q.qv))) AS s
+  FROM embeddings, q WHERE vec_id != 0
+),
+annrank AS (
+  SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id ASC) AS rank FROM ann
+),
+c AS (
+  SELECT doc_id, 1.0 / (60 + rank) AS c FROM bmrank WHERE rank <= 50
+  UNION ALL
+  SELECT doc_id, 1.0 / (60 + rank) AS c FROM annrank WHERE rank <= 50
+)
+SELECT doc_id, CAST(ROUND(sum(c) * 1000000000.0, 0) AS BIGINT) AS rrf_e9
+FROM c GROUP BY doc_id
+ORDER BY rrf_e9 DESC, doc_id ASC LIMIT 10
+"""
+
+
 def q_embedding_quantize(spark, sf_dir):
     """Symmetric int8 embedding quantization: per-vector scale =
     max(|x|), components rounded to [-127, 127]; first 4 components
@@ -3264,6 +3343,7 @@ QUERIES = {
     "gapfill_interpolate": q_gapfill_interpolate,
     "assign_shards": q_assign_shards,
     "embedding_quantize": q_embedding_quantize,
+    "hybrid_rrf": q_hybrid_rrf,
 }
 
 if _HAS_STD_ORACLE:

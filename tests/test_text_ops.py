@@ -258,3 +258,18 @@ def test_quantize_embeddings_roundtrip(spark):
     s1, q1 = got[1]
     assert abs(s1 - 0.2) < 1e-6 and q1[2] == -127    # max |x| pins to -127
     assert all(-127 <= v <= 127 for v in q1)
+
+
+def test_rrf_fuse(spark):
+    from golucene_spark.search.hybrid import rrf_fuse
+
+    a = spark.createDataFrame([(1, 9.0), (2, 5.0), (3, 1.0)], "doc_id long, score double")
+    b = spark.createDataFrame([(3, 0.9), (1, 0.5)], "doc_id long, score double")
+    got = {r["doc_id"]: r["rrf"] for r in rrf_fuse([a, b], k_rrf=60).collect()}
+    assert got[1] == 1 / 61 + 1 / 62      # rank 1 in a, rank 2 in b
+    assert got[2] == 1 / 62               # only in a
+    assert got[3] == 1 / 63 + 1 / 61
+    # ties break by id: equal scores rank ascending by doc_id
+    t = spark.createDataFrame([(7, 1.0), (5, 1.0)], "doc_id long, score double")
+    tied = {r["doc_id"]: r["rrf"] for r in rrf_fuse([t]).collect()}
+    assert tied[5] == 1 / 61 and tied[7] == 1 / 62
