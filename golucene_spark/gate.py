@@ -1715,6 +1715,42 @@ GROUP BY sp.split ORDER BY sp.split
 """
 
 
+CMS_PROBES = ("data", "join", "query", "spark", "zzqx")
+
+
+def q_cms_heavy_hitters(spark, sf_dir):
+    """Count-min sketch (depth 4 x width 1024, seedless md5 rows) over
+    the token stream weighted by term frequency; probe estimates =
+    min over rows — upper bounds on the true totals, reproducible and
+    exactly mirrored (unlike JVM-hash sketches)."""
+    from .sketch import cms_build, cms_estimate
+
+    ix = _index(spark, sf_dir)
+    tf = ix.tf.filter(F.col("field") == "text").select("term", "freq")
+    cms = cms_build(tf, "term", weight_col="freq", depth=4, width=1024)
+    return cms_estimate(cms, list(CMS_PROBES), depth=4, width=1024).orderBy("term")
+
+
+ORACLES["cms_heavy_hitters"] = f"""{BASE_CTE},
+rows AS (SELECT term, freq, unnest(range(0, 4)) AS r FROM tf),
+buck AS (
+  SELECT r, ('0x' || substr(md5(r::VARCHAR || ':' || term), 1, 8))::BIGINT % 1024 AS bucket,
+         freq
+  FROM rows
+),
+cms AS (SELECT r, bucket, sum(freq)::BIGINT AS cnt FROM buck GROUP BY 1, 2),
+probe AS (
+  SELECT t.term, rr.r,
+         ('0x' || substr(md5(rr.r::VARCHAR || ':' || t.term), 1, 8))::BIGINT % 1024 AS bucket
+  FROM (VALUES ('data'), ('join'), ('query'), ('spark'), ('zzqx')) t(term),
+       (SELECT unnest(range(0, 4)) AS r) rr
+)
+SELECT probe.term, min(coalesce(cms.cnt, 0))::BIGINT AS est
+FROM probe LEFT JOIN cms USING (r, bucket)
+GROUP BY probe.term ORDER BY term
+"""
+
+
 def q_hybrid_rrf(spark, sf_dir):
     """Hybrid retrieval: BM25 (text:data, top 50) fused with dense ANN
     (cosine vs vec 0, top 50) by reciprocal-rank fusion 1/(60+rank) —
@@ -3344,6 +3380,7 @@ QUERIES = {
     "assign_shards": q_assign_shards,
     "embedding_quantize": q_embedding_quantize,
     "hybrid_rrf": q_hybrid_rrf,
+    "cms_heavy_hitters": q_cms_heavy_hitters,
 }
 
 if _HAS_STD_ORACLE:

@@ -52,3 +52,50 @@ def kmv_distinct(df: DataFrame, col: str, k: int = 256) -> DataFrame:
         .cast("long")
         .alias("estimate_e6"),
     )
+
+
+def cms_build(df: DataFrame, col: str, weight_col: str | None = None,
+              depth: int = 4, width: int = 1024) -> DataFrame:
+    """Count-min sketch build (Cormode-Muthukrishnan): depth salted
+    md5 hash rows x width counters, one explode + ONE groupBy — the
+    whole sketch is a (depth*width)-row frame regardless of input
+    size, and two sketches merge by unioning + re-summing.  Seedless
+    (md5 of "r:value"), so estimates are reproducible and SQL-
+    mirrorable, unlike JVM hashCode-based sketches."""
+    w = F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
+    rows = df.select(F.col(col).alias("v"), w.alias("w")).withColumn(
+        "r", F.explode(F.sequence(F.lit(0), F.lit(depth - 1)))
+    )
+    bucket = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.concat(F.col("r").cast("string"), F.lit(":"), F.col("v"))), 1, 8),
+            16, 10,
+        ).cast("long"),
+        F.lit(width),
+    )
+    return (
+        rows.withColumn("bucket", bucket)
+        .groupBy("r", "bucket")
+        .agg(F.sum("w").alias("cnt"))
+    )
+
+
+def cms_estimate(cms: DataFrame, terms: list[str],
+                 depth: int = 4, width: int = 1024) -> DataFrame:
+    """(term, est): point estimates (min over the depth rows) for the
+    probe terms — an upper bound on the true total, exact for terms
+    whose buckets saw no collisions."""
+    import hashlib
+
+    probes = []
+    for t in terms:
+        for r in range(depth):
+            h = int(hashlib.md5(f"{r}:{t}".encode()).hexdigest()[:8], 16) % width
+            probes.append((t, r, h))
+    spark = cms.sparkSession
+    p = spark.createDataFrame(probes, "term string, r int, bucket long")
+    return (
+        p.join(cms, ["r", "bucket"], "left")
+        .groupBy("term")
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).cast("long").alias("est"))
+    )

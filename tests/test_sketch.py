@@ -31,3 +31,24 @@ def test_merge_is_klimit_of_union(spark):
     )
     direct = kmv_hashes(a.unionByName(b), "text", 64).collect()
     assert [r["h"] for r in merged] == [r["h"] for r in direct]
+
+
+def test_cms_upper_bound_and_merge(spark):
+    from golucene_spark.sketch import cms_build, cms_estimate
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [("hot", 100), ("warm", 10), ("cold", 1)], "term string, freq long"
+    )
+    cms = cms_build(df, "term", weight_col="freq", depth=4, width=64)
+    est = {r["term"]: r["est"]
+           for r in cms_estimate(cms, ["hot", "warm", "cold", "never"], depth=4, width=64).collect()}
+    assert est["hot"] >= 100 and est["warm"] >= 10 and est["cold"] >= 1  # upper bounds
+    assert est["hot"] <= 111  # total mass caps any bucket
+    # merge = union + re-sum
+    a = cms_build(df, "term", weight_col="freq", depth=4, width=64)
+    merged = (a.unionByName(cms).groupBy("r", "bucket")
+              .agg(F.sum("cnt").alias("cnt")))
+    est2 = {r["term"]: r["est"]
+            for r in cms_estimate(merged, ["hot"], depth=4, width=64).collect()}
+    assert est2["hot"] == 2 * est["hot"]
