@@ -1715,6 +1715,26 @@ GROUP BY sp.split ORDER BY sp.split
 """
 
 
+def q_cap_per_group(spark, sf_dir):
+    """Per-source quota capping at 10 docs (the per-domain cap):
+    winners chosen by the (md5(text), doc_id) content-hash lottery —
+    deterministic across runs and partitionings."""
+    from .text.prep import cap_per_group
+
+    out = cap_per_group(_docs(spark, sf_dir), group_col="source", max_docs=10)
+    return out.select("doc_id", F.col("source").alias("grp")).orderBy("doc_id")
+
+
+ORACLES["cap_per_group"] = """
+WITH r AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY md5(text), doc_id) AS rn
+  FROM documents
+)
+SELECT doc_id, source AS grp FROM r WHERE rn <= 10 ORDER BY doc_id
+"""
+
+
 CMS_PROBES = ("data", "join", "query", "spark", "zzqx")
 
 
@@ -3381,6 +3401,7 @@ QUERIES = {
     "embedding_quantize": q_embedding_quantize,
     "hybrid_rrf": q_hybrid_rrf,
     "cms_heavy_hitters": q_cms_heavy_hitters,
+    "cap_per_group": q_cap_per_group,
 }
 
 if _HAS_STD_ORACLE:

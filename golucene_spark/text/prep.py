@@ -93,6 +93,29 @@ def assign_shards(
     )
 
 
+def cap_per_group(
+    docs: DataFrame,
+    group_col: str = "source",
+    max_docs: int = 1000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-group quota capping (the per-domain cap of pretraining
+    pipelines): keep at most ``max_docs`` docs per ``group_col``,
+    chosen deterministically by (md5(text), doc_id) order — a stable
+    content-hash lottery, so re-runs and re-partitionings keep the
+    SAME winners and growing the quota only ADDS docs (nested, like
+    stratified_sample)."""
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.col(text_col)), F.col(id_col)
+    )
+    return (
+        docs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_docs)
+        .drop("_rn")
+    )
+
+
 def ngram_overlap(
     docs: DataFrame,
     probes: DataFrame,

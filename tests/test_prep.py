@@ -93,3 +93,16 @@ def test_assign_shards_packing(spark):
     again = {(r["split"], r["doc_id"], r["chunk_id"]): r["shard_id"]
              for r in assign_shards(df, shard_tokens=100).collect()}
     assert again == got                       # deterministic
+
+
+def test_cap_per_group_nested_deterministic(spark):
+    from golucene_spark.text.prep import cap_per_group
+
+    rows = [(i, f"txt {i}", "g" + str(i % 2)) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    small = {r["doc_id"] for r in cap_per_group(df, max_docs=5).collect()}
+    big = {r["doc_id"] for r in cap_per_group(df, max_docs=12).collect()}
+    assert len(small) == 10 and len(big) == 24
+    assert small <= big                  # raising the cap only adds docs
+    again = {r["doc_id"] for r in cap_per_group(df, max_docs=5).collect()}
+    assert again == small                # content-hash lottery is stable
