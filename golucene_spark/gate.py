@@ -1715,6 +1715,40 @@ GROUP BY sp.split ORDER BY sp.split
 """
 
 
+def q_funnel(spark, sf_dir):
+    """Ordered funnel view -> click -> purchase with a 24h conversion
+    window (strict order, earliest-entry semantics per stage)."""
+    from .funnel import funnel
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return funnel(ev, ("view", "click", "purchase"), within_seconds=86400).orderBy(
+        "step_idx"
+    )
+
+
+ORACLES["funnel"] = """
+WITH e AS (
+  SELECT user_id AS u, event_type AS t, floor(epoch(ts))::BIGINT AS s FROM events
+),
+s0 AS (SELECT u, min(s) AS entry FROM e WHERE t = 'view' GROUP BY u),
+s1 AS (
+  SELECT e.u, min(e.s) AS entry FROM e JOIN s0 USING (u)
+  WHERE e.t = 'click' AND e.s > s0.entry AND e.s <= s0.entry + 86400 GROUP BY e.u
+),
+s2 AS (
+  SELECT e.u, min(e.s) AS entry FROM e JOIN s1 USING (u)
+  WHERE e.t = 'purchase' AND e.s > s1.entry AND e.s <= s1.entry + 86400 GROUP BY e.u
+)
+SELECT * FROM (VALUES
+  ('view', 0::BIGINT, (SELECT count(*)::BIGINT FROM s0)),
+  ('click', 1::BIGINT, (SELECT count(*)::BIGINT FROM s1)),
+  ('purchase', 2::BIGINT, (SELECT count(*)::BIGINT FROM s2))
+) v(step, step_idx, n_users)
+ORDER BY step_idx
+"""
+
+
 def q_cap_per_group(spark, sf_dir):
     """Per-source quota capping at 10 docs (the per-domain cap):
     winners chosen by the (md5(text), doc_id) content-hash lottery —
@@ -3402,6 +3436,7 @@ QUERIES = {
     "hybrid_rrf": q_hybrid_rrf,
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "cap_per_group": q_cap_per_group,
+    "funnel": q_funnel,
 }
 
 if _HAS_STD_ORACLE:
