@@ -46,3 +46,28 @@ def funnel(
     return spark.createDataFrame(
         counts, "step string, step_idx long, n_users long"
     )
+
+
+def cohort_retention(
+    events: DataFrame,
+    bucket_seconds: int = 7 * 86400,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Cohort retention: users grouped by their FIRST-activity bucket
+    (the cohort), counted again in every later bucket they return in —
+    (cohort, offset, n_users) with offset 0 = the cohort size.  Two
+    aggregations and one join on the per-user first-activity frame;
+    the raw event stream is bucketed once, never windowed."""
+    e = events.select(
+        F.col(user_col).alias("u"),
+        (F.floor(
+            F.unix_timestamp(F.col(ts_col).cast("timestamp")) / bucket_seconds
+        )).cast("long").alias("b"),
+    ).distinct()
+    first = e.groupBy("u").agg(F.min("b").alias("cohort"))
+    return (
+        e.join(first, "u")
+        .groupBy("cohort", (F.col("b") - F.col("cohort")).alias("offset"))
+        .agg(F.countDistinct("u").cast("long").alias("n_users"))
+    )

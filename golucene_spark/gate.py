@@ -1749,6 +1749,31 @@ ORDER BY step_idx
 """
 
 
+def q_cohort_retention(spark, sf_dir):
+    """Weekly cohort retention over events: first-activity week is the
+    cohort; (cohort, offset, n_users) counts distinct returning
+    users."""
+    from .funnel import cohort_retention
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return cohort_retention(ev, bucket_seconds=7 * 86400).orderBy("cohort", "offset")
+
+
+ORACLES["cohort_retention"] = """
+WITH e AS (
+  SELECT DISTINCT user_id AS u,
+         (floor(epoch(ts))::BIGINT // 604800) AS b
+  FROM events
+),
+first AS (SELECT u, min(b) AS cohort FROM e GROUP BY u)
+SELECT first.cohort, (e.b - first.cohort)::BIGINT AS "offset",
+       count(DISTINCT e.u)::BIGINT AS n_users
+FROM e JOIN first USING (u)
+GROUP BY 1, 2 ORDER BY cohort, "offset"
+"""
+
+
 def q_cap_per_group(spark, sf_dir):
     """Per-source quota capping at 10 docs (the per-domain cap):
     winners chosen by the (md5(text), doc_id) content-hash lottery —
@@ -3437,6 +3462,7 @@ QUERIES = {
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "cap_per_group": q_cap_per_group,
     "funnel": q_funnel,
+    "cohort_retention": q_cohort_retention,
 }
 
 if _HAS_STD_ORACLE:

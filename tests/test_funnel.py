@@ -31,3 +31,21 @@ def test_funnel_strict_order_and_window(spark):
              for r in funnel(ev, ("view", "click", "purchase"),
                              within_seconds=None).collect()}
     assert loose == {"view": 3, "click": 2, "purchase": 1}
+
+
+def test_cohort_retention(spark):
+    from datetime import datetime as d
+    from golucene_spark.funnel import cohort_retention
+
+    rows = [
+        (1, d(2025, 1, 6)), (1, d(2025, 1, 14)),   # cohort w0, returns w1
+        (2, d(2025, 1, 7)),                         # cohort w0, never returns
+        (3, d(2025, 1, 15)), (3, d(2025, 1, 15, 18)),  # cohort w1, same-week dup
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {(r["cohort"], r["offset"]): r["n_users"]
+           for r in cohort_retention(ev, bucket_seconds=7 * 86400).collect()}
+    cohorts = sorted({c for c, _ in got})
+    w0, w1 = cohorts
+    assert got[(w0, 0)] == 2 and got[(w0, 1)] == 1
+    assert got[(w1, 0)] == 1 and (w1, 1) not in got
