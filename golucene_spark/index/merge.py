@@ -99,6 +99,23 @@ def merge_segments(
     tombstones no longer apply to the merged segment."""
     if expunge_deletes:
         return _merge_expunge(spark, index_dir, segment_ids, new_segment_id, out_chunk)
+    # Segment-scoped (updateDocument) tombstones kill rows with
+    # segment_id < before_segment.  A plain relabel to a fresh id ABOVE
+    # every before_segment would resurrect superseded versions, so when
+    # any scoped tombstone can affect these segments we route through
+    # the explode path applying ONLY the scoped tombstones — plain
+    # (before_segment NULL) deletes stay logical, preserving Lucene's
+    # numDocs-vs-maxDoc visibility until a real expunge.
+    from .deletes import tombstones
+
+    tomb = tombstones(spark, index_dir)
+    if tomb is not None and min(int(s) for s in segment_ids) < (
+        tomb.agg(F.max("before_segment")).collect()[0][0] or -(1 << 62)
+    ):
+        return _merge_expunge(
+            spark, index_dir, segment_ids, new_segment_id, out_chunk,
+            scoped_only=True,
+        )
     t0 = time.time()
     new_id = new_segment_id if new_segment_id is not None else _allocate_segment_id(index_dir, segment_ids)
     out_chunk = out_chunk or f"merge-{new_id}-{len(segment_ids)}"
@@ -178,15 +195,23 @@ def merge_segments(
     return rec
 
 
-def _merge_expunge(spark, index_dir, segment_ids, new_segment_id, out_chunk) -> dict:
+def _merge_expunge(spark, index_dir, segment_ids, new_segment_id, out_chunk,
+                   scoped_only: bool = False) -> dict:
     """Merge with physical delete application: explode -> anti-join the
-    tombstones -> re-block through blocked_postings (one shuffle)."""
+    tombstones -> re-block through blocked_postings (one shuffle).
+
+    ``scoped_only``: apply only segment-scoped (updateDocument) tombstones
+    — the plain-merge path uses this to drop superseded versions before
+    relabeling, while plain deletes remain logical (read-time filtered)."""
     from .builder import TF_SCHEMA, blocked_postings
     from .deletes import tombstones
 
     t0 = time.time()
     new_id = new_segment_id if new_segment_id is not None else _allocate_segment_id(index_dir, segment_ids)
-    out_chunk = out_chunk or f"expunge-{new_id}-{len(segment_ids)}"
+    out_chunk = out_chunk or (
+        f"merge-{new_id}-{len(segment_ids)}" if scoped_only
+        else f"expunge-{new_id}-{len(segment_ids)}"
+    )
     post = spark.read.parquet(os.path.join(index_dir, "postings")).filter(
         F.col("segment_id").isin(segment_ids)
     )
@@ -206,6 +231,8 @@ def _merge_expunge(spark, index_dir, segment_ids, new_segment_id, out_chunk) -> 
         F.col("e.norm_bytes").alias("norm_byte"),
     )
     tomb = tombstones(spark, index_dir)
+    if tomb is not None and scoped_only:
+        tomb = tomb.filter(F.col("before_segment").isNotNull())
     if tomb is not None:
         # liveDocs applied against the ORIGINAL segment ids (update
         # tombstones only kill versions in segments < before_segment)
@@ -242,7 +269,7 @@ def _merge_expunge(spark, index_dir, segment_ids, new_segment_id, out_chunk) -> 
         "chunk": out_chunk,
         "status": "committed",
         "kind": "merge",
-        "expunged_deletes": True,
+        "expunged_deletes": not scoped_only,
         "merged_from_segments": sorted(int(s) for s in segment_ids),
         "new_segment_id": int(new_id),
         "wall_sec": round(time.time() - t0, 3),

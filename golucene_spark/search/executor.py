@@ -657,7 +657,17 @@ class Searcher:
         after it under the (score desc, doc_id asc) collector order.
         The keyset predicate ``score < s OR (score = s AND doc_id >
         d)`` is filtered before the top-k, so deep pages never re-sort
-        or re-ship the already-returned prefix the way OFFSET does."""
+        or re-ship the already-returned prefix the way OFFSET does.
+
+        Determinism caveat (ADVICE r2): the predicate relies on exact
+        float equality of the cursor score across separately executed
+        jobs.  For single-term frames scores are deterministic, but for
+        aggregated frames (multi-term Boolean sums, DisjunctionMax) the
+        float summation order inside groupBy is partition-dependent, so
+        a re-executed frame can place the cursor doc an ulp away and a
+        page boundary can skip or duplicate a hit.  For exact paging
+        over aggregated queries use CachingSearcher, whose persisted
+        score frame pins one materialization across pages."""
         if isinstance(query, str):
             from .parser import parse_query
 

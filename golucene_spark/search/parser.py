@@ -110,8 +110,11 @@ def parse_multi_field(
         b = boosts.get(f, 1.0)
         return _boosted(query, b) if b != 1.0 else query
 
+    # ADVICE r2: do NOT force every queried field into tokenized_fields —
+    # untokenized/keyword fields must keep the raw-term parse path or
+    # their analyzed terms will never match the index's StringField terms.
     variants = [
-        parse_query(q, f, analyzer, tuple(set(tokenized_fields) | {f}), default_operator)
+        parse_query(q, f, analyzer, tuple(tokenized_fields), default_operator)
         for f in fields
     ]
     first = variants[0]

@@ -34,16 +34,22 @@ def incremental_index_batch(
     spec: CorpusSpec,
     analyzer: str = "standard",
     quantize_norms: bool = True,
-    segment_offset: int = 1_000_000,
+    segment_offset: int | None = None,
     kind: str = "stream",
     store_term_vectors: bool | None = None,
 ) -> dict | None:
-    """Flush one micro-batch as a new segment (chunk ``stream-<epoch>``).
+    """Flush one micro-batch as a new segment (chunk ``<kind>-<epoch>``).
 
     Idempotent per epoch: re-delivery of the same epoch overwrites the
     same chunk directory and manifest record.  docIDs come from the
     stream's id column (spec.id_col required) so they are stable across
     retries; the segment id is derived from the epoch.
+
+    Chunk names and segment-id ranges are namespaced by ``kind``: a
+    checkpointed stream's epoch numbering is independent of the
+    update_documents epoch scan, so an 'update' flush and a resumed
+    stream reaching the same epoch must never share a chunk directory
+    or segment id (they would silently overwrite each other).
     """
     if spec.id_col is None:
         raise ValueError("incremental indexing requires a stable id column")
@@ -51,11 +57,13 @@ def incremental_index_batch(
     if n == 0:
         return None
     t0 = time.time()
+    if segment_offset is None:
+        segment_offset = 1_000_000 if kind == "stream" else 2_000_000
     seg_id = segment_offset + int(epoch_id)
     docs = batch_df.withColumn("doc_id", F.col(spec.id_col).cast("long")).withColumn(
         "segment_id", F.lit(seg_id).cast("int")
     )
-    chunk = f"stream-{int(epoch_id)}"
+    chunk = f"{kind}-{int(epoch_id)}"
     tf = tokenize_tf(docs, spec, analyzer, quantize_norms)
     spark = batch_df.sparkSession
 

@@ -106,3 +106,15 @@ def test_dismax_explain_matches_score(dix):
         assert ex["match"] and ex["value"] == scores[d], d
     missing = s.explain(q, 3)
     assert not missing["match"] and missing["value"] == 0.0
+
+
+def test_multi_field_keeps_keyword_fields_raw():
+    """ADVICE r2 (low): fields not declared tokenized must parse via the
+    raw-term path — not be lowercased/split — or their terms will never
+    match the index's StringField terms."""
+    q = parse_multi_field("Py-3", ["body", "lang"], tokenized_fields=("body",))
+    assert TermQuery("lang", "Py-3") in q.queries
+    # the tokenized field still analyzes (lowercase, split on '-')
+    body_terms = {c.query for sub in q.queries if hasattr(sub, "clauses")
+                  for c in sub.clauses}
+    assert body_terms == {TermQuery("body", "py"), TermQuery("body", "3")}

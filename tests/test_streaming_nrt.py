@@ -91,3 +91,51 @@ def test_streaming_incremental_index(spark, tmp_path_factory):
         for r in spark.read.parquet(os.path.join(ixdir, "field_stats")).collect()
     }
     assert folded == full
+
+
+def test_update_and_stream_epoch_no_collision(spark, tmp_path_factory):
+    """ADVICE r2 (medium): an 'update' flush and a stream micro-batch
+    reaching the SAME epoch number must not share a chunk directory or
+    segment id — the stream used to overwrite the update's postings
+    while its tombstones persisted, silently losing the updated docs."""
+    import os
+
+    from golucene_spark.index.deletes import update_documents
+    from golucene_spark.streaming import incremental_index_batch
+
+    base = tmp_path_factory.mktemp("nrt_upd")
+    ixdir = str(base / "index")
+    spec = doc_spec()
+
+    seed = spark.createDataFrame(
+        [(0, "r", "p", "py", "alpha original body"),
+         (1, "r", "p", "py", "beta original body")],
+        "doc_id long, repo string, path string, lang string, content string",
+    )
+    incremental_index_batch(seed, 0, ixdir, spec, analyzer="simple",
+                            quantize_norms=False)
+
+    upd = spark.createDataFrame(
+        [(1, "r", "p", "py", "beta replaced body")],
+        "doc_id long, repo string, path string, lang string, content string",
+    )
+    rec_u = update_documents(spark, ixdir, upd, spec, analyzer="simple",
+                             quantize_norms=False)
+
+    # a (resumed) stream reaches the same epoch number as the update
+    more = spark.createDataFrame(
+        [(2, "r", "p", "py", "gamma streamed body")],
+        "doc_id long, repo string, path string, lang string, content string",
+    )
+    rec_s = incremental_index_batch(more, rec_u["epoch"], ixdir, spec,
+                                    analyzer="simple", quantize_norms=False)
+
+    assert rec_u["chunk"] != rec_s["chunk"]
+    assert rec_u["segment_id"] != rec_s["segment_id"]
+    assert os.path.isdir(os.path.join(ixdir, "postings", f"chunk={rec_u['chunk']}"))
+    assert os.path.isdir(os.path.join(ixdir, "postings", f"chunk={rec_s['chunk']}"))
+
+    s = Searcher(MaterializedIndex(spark, ixdir), "bm25")
+    assert {r["doc_id"] for r in s.search(TermQuery("content", "replaced"), 10).collect()} == {1}
+    assert {r["doc_id"] for r in s.search(TermQuery("content", "original"), 10).collect()} == {0}
+    assert {r["doc_id"] for r in s.search(TermQuery("content", "streamed"), 10).collect()} == {2}

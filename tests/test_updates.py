@@ -97,3 +97,56 @@ def test_update_hydration_no_duplicates(spark, uix):
     from golucene_spark.search import group_search
     grp = group_search(s, TermQuery("text", "text"), "lang").collect()
     assert len({(r["group"], r["doc_id"]) for r in grp}) == len(grp)
+
+
+def test_plain_merge_does_not_resurrect_updated_docs(spark, uix):
+    """ADVICE r2 (high): plain merge relabels rows to a fresh segment id
+    ABOVE every update tombstone's before_segment, which used to
+    resurrect superseded versions.  The non-expunge path must apply
+    segment-scoped tombstones before relabeling."""
+    from golucene_spark.index.merge import merge_segments
+
+    spec = CorpusSpec.documents()
+    new = spark.createDataFrame(
+        [(1, "beta replaced contents", "en", "web")],
+        "doc_id long, text string, lang string, source string",
+    )
+    update_documents(spark, uix, new, spec, analyzer="simple", quantize_norms=False)
+    ix = MaterializedIndex(spark, uix)
+    segs = sorted(
+        r["segment_id"] for r in ix.term_dict.select("segment_id").distinct().collect()
+    )
+    # merge ONLY the original segments (the ones holding the stale v1)
+    old_segs = [s for s in segs if s < 1_000_000]
+    assert len(old_segs) >= 2
+    merge_segments(spark, uix, old_segs)
+    s = Searcher(MaterializedIndex(spark, uix), "bm25")
+    # stale version must stay dead; live version must survive
+    assert {r["doc_id"] for r in s.search(TermQuery("text", "original"), 10).collect()} == {0}
+    assert {r["doc_id"] for r in s.search(TermQuery("text", "replaced"), 10).collect()} == {1}
+    # plain deletes still apply to the merged segment afterwards
+    delete_docs(spark, uix, [0])
+    s2 = Searcher(MaterializedIndex(spark, uix), "bm25")
+    assert s2.count(TermQuery("text", "original")) == 0
+
+
+def test_plain_merge_all_segments_with_update(spark, uix):
+    """Merging old + update segments together must also keep only the
+    live version."""
+    from golucene_spark.index.merge import merge_segments
+
+    spec = CorpusSpec.documents()
+    new = spark.createDataFrame(
+        [(1, "beta replaced contents", "en", "web")],
+        "doc_id long, text string, lang string, source string",
+    )
+    update_documents(spark, uix, new, spec, analyzer="simple", quantize_norms=False)
+    ix = MaterializedIndex(spark, uix)
+    segs = sorted(
+        r["segment_id"] for r in ix.term_dict.select("segment_id").distinct().collect()
+    )
+    merge_segments(spark, uix, segs)
+    s = Searcher(MaterializedIndex(spark, uix), "bm25")
+    assert {r["doc_id"] for r in s.search(TermQuery("text", "original"), 10).collect()} == {0}
+    assert {r["doc_id"] for r in s.search(TermQuery("text", "replaced"), 10).collect()} == {1}
+    assert s.count(TermQuery("text", "gamma")) == 1
