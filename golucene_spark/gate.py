@@ -918,9 +918,14 @@ FROM summed ORDER BY score_e6 DESC, doc_id ASC LIMIT 10
 def _std_tokens_parquet(sf_dir: str = "/root/testdata/sf0.01") -> str:
     import importlib.util
 
-    out = os.path.join(
-        "/root/repo/.data", f"std_tokens_{os.path.basename(os.path.normpath(sf_dir))}.parquet"
-    )
+    base = os.path.basename(os.path.normpath(sf_dir))
+    # committed golden fixture (generated once from the reference's JFlex
+    # DFA via tests/ref_dfa.py, checked in) — makes this gate independent
+    # of the reference checkout being present
+    fixture = os.path.join("/root/repo/tests/fixtures", f"std_tokens_{base}.parquet")
+    if os.path.exists(fixture):
+        return fixture
+    out = os.path.join("/root/repo/.data", f"std_tokens_{base}.parquet")
     if os.path.exists(out):
         return out
     spec = importlib.util.spec_from_file_location("ref_dfa", "/root/repo/tests/ref_dfa.py")
@@ -964,9 +969,8 @@ def q_term_bm25_standard(spark, sf_dir):
     )
 
 
-try:
-    _STD_TOK = _std_tokens_parquet()
-    ORACLES["term_bm25_standard"] = f"""
+_STD_TOK = _std_tokens_parquet()
+ORACLES["term_bm25_standard"] = f"""
 WITH kept AS (SELECT doc_id, term FROM '{_STD_TOK}'),
 tf AS (SELECT doc_id, term, count(*)::BIGINT AS freq FROM kept GROUP BY 1, 2),
 dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM kept GROUP BY 1),
@@ -980,9 +984,6 @@ FROM tf JOIN dl USING (doc_id), stats, ts
 WHERE tf.term = 'data'
 ORDER BY score_e6 DESC, doc_id ASC LIMIT 10
 """
-    _HAS_STD_ORACLE = True
-except Exception:  # reference checkout unavailable: skip this gate
-    _HAS_STD_ORACLE = False
 
 
 # --- deletes + expunge-merge oracle pairing (W12/W14) ----------------------
@@ -3374,61 +3375,18 @@ ORDER BY doc_id, term
 """
 
 
+# Gate order matters: the driver's correctness run checks the FIRST 50
+# dict entries.  Round-3 ordering puts the gates with no CORRECTNESS row
+# yet (every round-2 addition + this round's new gates) at the head;
+# the round-1 gates (all driver-green in CORRECTNESS_r01/r02) follow.
+# Rotate again next round.
 QUERIES = {
-    "term_bm25_topk": q_term_bm25,
-    "phrase_bm25": q_phrase_bm25,
-    "wand_term_bm25": q_wand_term_bm25,
-    "wildcard_bm25": q_wildcard_bm25,
-    "events_windowed_agg": q_events_window,
-    "embedding_near_dup": q_embedding_near_dup,
-    "events_cube": q_events_cube,
-    "events_sessionize": q_events_sessionize,
-    "term_classic_topk": q_term_classic,
-    "bool_or_bm25": q_bool_or_bm25,
-    "bool_and_bm25": q_bool_and_bm25,
-    "bool_not_bm25": q_bool_not_bm25,
-    "keyword_and_term": q_keyword_and_term,
-    "term_dict_stats": q_term_stats,
-    "doc_stats_norms": q_doc_stats,
-    "collection_stats": q_collection_stats,
-    "topk_per_group": q_topk_per_group,
-    "postings_blocks": q_postings_blocks,
-    "dedup_exact": q_dedup_exact,
-    "token_stats": q_token_stats,
-    "ann_cosine_topk": q_ann_cosine,
-    "token_quality": q_quality,
-    "language_id": q_langid,
-    "doc_fingerprint": q_fingerprint,
-    "ngram_jaccard_pairs": q_jaccard_pairs,
-    "minhash_lsh_pairs": q_minhash_lsh,   # oracle via golden XXH64 parquet
-    "near_dup_groups": q_near_dup_groups,  # oracle via recursive-CTE closure
-    "simhash64": q_simhash,               # oracle via golden XXH64 parquet
-    "ann_lsh_topk": q_ann_lsh,            # oracle via hyperplane parquet
-    "parsed_phrase_bm25": q_parsed_phrase_bm25,
-    "nested_bool_bm25": q_nested_bool_bm25,
-    "fuzzy_bm25": q_fuzzy_bm25,
-    "deletes_term_bm25": q_deletes_term_bm25,
-    "expunge_merge_bm25": q_expunge_merge_bm25,
-    "term_topk_hydrated": q_term_topk_hydrated,
-    "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
-    "range_bm25": q_range_bm25,
-    "regexp_bm25": q_regexp_bm25,
-    "media_stats": q_media_stats,
-    "media_frames": q_media_frames,
-    "bpe_token_count": q_bpe_tokens,
-    "bool_or_classic": q_bool_or_classic,
-    "bool_msm_bm25": q_bool_msm_bm25,
-    "highlight_topk": q_highlight,
-    "sloppy_phrase_bm25": q_sloppy_phrase_bm25,
-    "dismax_bm25": q_dismax_bm25,
-    "sorted_topk": q_sorted_topk,
-    "facet_lang": q_facet_lang,
-    "mlt_terms": q_mlt_terms,
-    "suggest_terms": q_suggest_terms,
-    "group_search": q_group_search,
-    "ann_ivf_topk": q_ann_ivf,
+    # --- never driver-checked (round-2 additions) ---
+    "term_bm25_standard": q_term_bm25_standard,
     "update_bm25": q_update_bm25,
     "federated_term_bm25": q_federated_term_bm25,
+    "group_search": q_group_search,
+    "ann_ivf_topk": q_ann_ivf,
     "search_after_page2": q_search_after,
     "term_vectors": q_term_vectors,
     "req_prohib_bm25": q_req_prohib_bm25,
@@ -3463,7 +3421,56 @@ QUERIES = {
     "cap_per_group": q_cap_per_group,
     "funnel": q_funnel,
     "cohort_retention": q_cohort_retention,
+    # --- code paths touched this round (regression re-checks) ---
+    "expunge_merge_bm25": q_expunge_merge_bm25,
+    "deletes_term_bm25": q_deletes_term_bm25,
+    "sloppy_phrase_bm25": q_sloppy_phrase_bm25,
+    "wand_term_bm25": q_wand_term_bm25,
+    "phrase_bm25": q_phrase_bm25,
+    "dismax_bm25": q_dismax_bm25,
+    "term_bm25_topk": q_term_bm25,
+    "parsed_phrase_bm25": q_parsed_phrase_bm25,
+    "bool_msm_bm25": q_bool_msm_bm25,
+    "bool_or_classic": q_bool_or_classic,
+    "term_classic_topk": q_term_classic,
+    # ------- driver-green round-1 gates (CORRECTNESS_r01/r02) -------
+    "wildcard_bm25": q_wildcard_bm25,
+    "events_windowed_agg": q_events_window,
+    "embedding_near_dup": q_embedding_near_dup,
+    "events_cube": q_events_cube,
+    "events_sessionize": q_events_sessionize,
+    "bool_or_bm25": q_bool_or_bm25,
+    "bool_and_bm25": q_bool_and_bm25,
+    "bool_not_bm25": q_bool_not_bm25,
+    "keyword_and_term": q_keyword_and_term,
+    "term_dict_stats": q_term_stats,
+    "doc_stats_norms": q_doc_stats,
+    "collection_stats": q_collection_stats,
+    "topk_per_group": q_topk_per_group,
+    "postings_blocks": q_postings_blocks,
+    "dedup_exact": q_dedup_exact,
+    "token_stats": q_token_stats,
+    "ann_cosine_topk": q_ann_cosine,
+    "token_quality": q_quality,
+    "language_id": q_langid,
+    "doc_fingerprint": q_fingerprint,
+    "ngram_jaccard_pairs": q_jaccard_pairs,
+    "minhash_lsh_pairs": q_minhash_lsh,   # oracle via golden XXH64 parquet
+    "near_dup_groups": q_near_dup_groups,  # oracle via recursive-CTE closure
+    "simhash64": q_simhash,               # oracle via golden XXH64 parquet
+    "ann_lsh_topk": q_ann_lsh,            # oracle via hyperplane parquet
+    "nested_bool_bm25": q_nested_bool_bm25,
+    "fuzzy_bm25": q_fuzzy_bm25,
+    "term_topk_hydrated": q_term_topk_hydrated,
+    "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
+    "range_bm25": q_range_bm25,
+    "regexp_bm25": q_regexp_bm25,
+    "media_stats": q_media_stats,
+    "media_frames": q_media_frames,
+    "bpe_token_count": q_bpe_tokens,
+    "highlight_topk": q_highlight,
+    "sorted_topk": q_sorted_topk,
+    "facet_lang": q_facet_lang,
+    "mlt_terms": q_mlt_terms,
+    "suggest_terms": q_suggest_terms,
 }
-
-if _HAS_STD_ORACLE:
-    QUERIES["term_bm25_standard"] = q_term_bm25_standard
