@@ -986,6 +986,71 @@ ORDER BY score_e6 DESC, doc_id ASC LIMIT 10
 """
 
 
+# --- SmallFloat norm quantization oracle pairing (W7) ----------------------
+# The ONLY gate built with quantize_norms=True: BM25 over the byte315-
+# quantized doc length (core/util/smallFloat.go:15 encode at index time,
+# core/search/search.go:446-507 decode table at search time).  The DuckDB
+# twin quantizes independently: an interval table mapping integer doc
+# length ranges -> the decoded quantized length, derived here from the
+# reference's floatToByte315/byte315ToFloat algorithm in plain NumPy
+# (no imports from the engine's smallfloat module).
+
+
+def _byte315_dl_intervals(max_dl: int = 1 << 20) -> list[tuple[int, int, float]]:
+    """[(dl_lo, dl_hi, dlq)]: for dl in [lo, hi], byte315(1/sqrt(dl))
+    decodes to quantized length dlq = 1/f^2 (all float32 semantics)."""
+    import numpy as np
+
+    zp = (63 - 15) << 3  # zero exponent point 15, re-biased
+    dl = np.arange(1, max_dl + 1, dtype=np.float64)
+    f = (1.0 / np.sqrt(dl)).astype(np.float32)
+    bits = f.view(np.int32)
+    small = (bits >> 21).astype(np.int64)  # keep top 3 mantissa bits
+    byte = np.where(
+        small <= zp,
+        np.where(bits <= 0, 0, 1),
+        np.where(small >= zp + 0x100, 0xFF, small - zp),
+    ).astype(np.uint8)
+    dec_bits = ((byte.astype(np.int64) << 21) + (zp << 21)).astype(np.int32)
+    fdec = dec_bits.view(np.float32)
+    with np.errstate(divide="ignore"):
+        dlq = np.where(fdec > 0, np.float32(1.0) / (fdec * fdec), np.float32(0.0))
+    dlq = dlq.astype(np.float32)
+    cuts = np.flatnonzero(np.diff(byte.astype(np.int64)) != 0)
+    starts = np.concatenate(([0], cuts + 1))
+    ends = np.concatenate((cuts, [len(byte) - 1]))
+    return [(int(s) + 1, int(e) + 1, float(dlq[s])) for s, e in zip(starts, ends)]
+
+
+def q_quantized_norms_bm25(spark, sf_dir):
+    """BM25 term top-k over a quantize_norms=True index: scores use the
+    SmallFloat-decoded doc length, not the exact one — the quantization
+    the reference's rank-identity hinges on."""
+    ix = LogicalIndex(
+        _docs(spark, sf_dir), CorpusSpec.documents(),
+        analyzer="simple", quantize_norms=True,
+    )
+    return _topk_e6(Searcher(ix, "bm25"), "text:data")
+
+
+_DLQ_VALUES = ",\n    ".join(
+    f"({lo}, {hi}, {dlq!r})" for lo, hi, dlq in _byte315_dl_intervals()
+)
+
+ORACLES["quantized_norms_bm25"] = f"""{BASE_CTE},
+qmap(lo, hi, dlq) AS (VALUES
+    {_DLQ_VALUES}),
+qdl AS (SELECT dl.doc_id, qmap.dlq FROM dl JOIN qmap ON dl.dl BETWEEN qmap.lo AND qmap.hi),
+ts AS (SELECT count(*)::BIGINT AS df FROM tf WHERE term = 'data')
+SELECT tf.doc_id AS doc_id,
+  CAST(ROUND((ln(1 + (stats.n_docs - ts.df + 0.5) / (ts.df + 0.5)) * {K1 + 1.0}
+       * tf.freq / (tf.freq + {K1} * (1 - {B} + {B} * qdl.dlq / (stats.sum_dl / stats.n_docs)))) * 1000000.0, 0) AS BIGINT) AS score_e6
+FROM tf JOIN qdl USING (doc_id), stats, ts
+WHERE tf.term = 'data'
+ORDER BY score_e6 DESC, doc_id ASC LIMIT 10
+"""
+
+
 # --- deletes + expunge-merge oracle pairing (W12/W14) ----------------------
 
 _DEL_IDS = [2, 4, 6, 8]
@@ -3381,6 +3446,8 @@ ORDER BY doc_id, term
 # the round-1 gates (all driver-green in CORRECTNESS_r01/r02) follow.
 # Rotate again next round.
 QUERIES = {
+    # --- new this round ---
+    "quantized_norms_bm25": q_quantized_norms_bm25,
     # --- never driver-checked (round-2 additions) ---
     "term_bm25_standard": q_term_bm25_standard,
     "update_bm25": q_update_bm25,
