@@ -1051,6 +1051,37 @@ ORDER BY score_e6 DESC, doc_id ASC LIMIT 10
 """
 
 
+# --- index-time field boost oracle pairing (field.go:16-29) ----------------
+
+
+def q_boost_field_bm25(spark, sf_dir):
+    """BM25 over a field indexed with boost=2.0: the boost folds into the
+    norm (lengthNorm = boost/sqrt(len), search.go:499-507), so scoring
+    sees the decoded length dl/boost^2 = dl/4 — exact dyadic arithmetic,
+    mirrored verbatim by the twin."""
+    spec = CorpusSpec(
+        text_fields=[FieldSpec("text", "text", True, boost=2.0)],
+        keyword_fields=[FieldSpec("lang", "lang", False)],
+        key_cols=["doc_id"],
+        id_col="doc_id",
+        meta_cols=["lang"],
+    )
+    ix = LogicalIndex(_docs(spark, sf_dir), spec, analyzer="simple",
+                      quantize_norms=False)
+    return _topk_e6(Searcher(ix, "bm25"), "text:data")
+
+
+ORACLES["boost_field_bm25"] = f"""{BASE_CTE},
+ts AS (SELECT count(*)::BIGINT AS df FROM tf WHERE term = 'data')
+SELECT tf.doc_id AS doc_id,
+  CAST(ROUND((ln(1 + (stats.n_docs - ts.df + 0.5) / (ts.df + 0.5)) * {K1 + 1.0}
+       * tf.freq / (tf.freq + {K1} * (1 - {B} + {B} * (dl.dl / 4.0) / (stats.sum_dl / stats.n_docs)))) * 1000000.0, 0) AS BIGINT) AS score_e6
+FROM tf JOIN dl USING (doc_id), stats, ts
+WHERE tf.term = 'data'
+ORDER BY score_e6 DESC, doc_id ASC LIMIT 10
+"""
+
+
 # --- deletes + expunge-merge oracle pairing (W12/W14) ----------------------
 
 _DEL_IDS = [2, 4, 6, 8]
@@ -3448,6 +3479,7 @@ ORDER BY doc_id, term
 QUERIES = {
     # --- new this round ---
     "quantized_norms_bm25": q_quantized_norms_bm25,
+    "boost_field_bm25": q_boost_field_bm25,
     # --- never driver-checked (round-2 additions) ---
     "term_bm25_standard": q_term_bm25_standard,
     "update_bm25": q_update_bm25,

@@ -82,7 +82,15 @@ class FieldSpec:
     ``omit_norms=True``: no length normalization — norms encode 1.0
     and the field's collection sum_ttf reads as 0, so BM25 degrades to
     idf*(k1+1)*freq/(freq+k1) and classic to norm(1), exactly the
-    omitNorms scoring of keyword fields (field.go:194-271)."""
+    omitNorms scoring of keyword fields (field.go:194-271).
+
+    ``boost`` / ``boost_col``: index-time boost folded into the norm as
+    ``boost/sqrt(length)`` before SmallFloat encoding — the reference's
+    per-field boost (core/document/field.go:16-29) feeding lengthNorm
+    at core/search/search.go:499-507.  ``boost_col`` names a source
+    column holding a per-document multiplier (Lucene's per-field-
+    instance boost); the effective boost is boost * boost_col value.
+    Ignored when omit_norms (no norm is written to fold it into)."""
 
     name: str              # index field name
     column: str            # source column
@@ -92,6 +100,8 @@ class FieldSpec:
     # per-field analyzer override (the PerFieldAnalyzerWrapper role of
     # core Lucene's analysis/miscellaneous); None = the index analyzer
     analyzer: str | None = None
+    boost: float = 1.0
+    boost_col: str | None = None
 
 
 @dataclass
@@ -176,7 +186,8 @@ def _tf_arrow_fn(spec: CorpusSpec, analyzer_name: str, quantize: bool, index_pos
 
     text_fields = [
         (f.name, f.column, getattr(f, "positions", True), getattr(f, "omit_norms", False),
-         getattr(f, "analyzer", None))
+         getattr(f, "analyzer", None), float(getattr(f, "boost", 1.0)),
+         getattr(f, "boost_col", None))
         for f in spec.text_fields
     ]
     kw_fields = [(f.name, f.column) for f in spec.keyword_fields]
@@ -233,7 +244,7 @@ def _tf_arrow_fn(spec: CorpusSpec, analyzer_name: str, quantize: bool, index_pos
             globals()["_GC_FROZEN"] = True
         analyzers = {
             fname: get_analyzer(f_ana or analyzer_name)
-            for fname, _c, _p, _o, f_ana in text_fields
+            for fname, _c, _p, _o, f_ana, _b, _bc in text_fields
         }
         for rb0 in batches:
             for off in range(0, rb0.num_rows, slice_rows) or [0]:
@@ -247,7 +258,7 @@ def _tf_arrow_fn(spec: CorpusSpec, analyzer_name: str, quantize: bool, index_pos
             cols = {name: rb.column(i) for i, name in enumerate(rb.schema.names)}
             doc_ids = cols["doc_id"].to_numpy(zero_copy_only=False)
             seg_ids = cols["segment_id"].to_numpy(zero_copy_only=False)
-            for fname, col, f_positions, f_omit_norms, _f_ana in text_fields:
+            for fname, col, f_positions, f_omit_norms, _f_ana, f_boost, f_boost_col in text_fields:
                 texts = cols[col].to_pylist()
                 terms, rows, pos = analyzers[fname].analyze_batch(texts)
                 if len(terms):
@@ -289,11 +300,21 @@ def _tf_arrow_fn(spec: CorpusSpec, analyzer_name: str, quantize: bool, index_pos
                     nb = np.full(n, 124, dtype=np.int64)  # encode(1.0)
                     dlq_doc = np.ones(n, dtype=np.float64)
                 else:
-                    nb = smallfloat.encode_norm_from_length(dl)
+                    # index-time boost folded into the norm (lengthNorm =
+                    # boost/sqrt(length), search.go:499-507); the decoded
+                    # view BM25 scores against is then length/boost^2
+                    if f_boost_col is not None:
+                        bvals = cols[f_boost_col].to_numpy(zero_copy_only=False).astype(np.float64)
+                        bvals = np.where(np.isfinite(bvals), bvals, 1.0)
+                        boost_arr = f_boost * bvals
+                    else:
+                        boost_arr = f_boost
+                    nb = smallfloat.encode_norm_from_length(dl, boost_arr)
                     if quantize:
                         dlq_doc = smallfloat.quantized_doc_length(nb).astype(np.float64)
                     else:
-                        dlq_doc = dl.astype(np.float64)
+                        boost_sq = np.asarray(boost_arr, dtype=np.float64) ** 2
+                        dlq_doc = dl.astype(np.float64) / boost_sq
                 if len(g_row):
                     yield _mk(
                         seg_ids[g_row], doc_ids[g_row], _const_str(fname, len(g_row)),
@@ -331,7 +352,9 @@ def tokenize_tf(docs: DataFrame, spec: CorpusSpec, analyzer: str = "standard",
                 quantize: bool = True, index_positions: bool = True) -> DataFrame:
     """docs (with doc_id, segment_id) -> flat TF rows (incl. sentinels)."""
     cols = ["segment_id", "doc_id"] + sorted(
-        {f.column for f in spec.text_fields} | {f.column for f in spec.keyword_fields}
+        {f.column for f in spec.text_fields}
+        | {f.column for f in spec.keyword_fields}
+        | {f.boost_col for f in spec.text_fields if getattr(f, "boost_col", None)}
     )
     return docs.select(*cols).mapInArrow(
         _tf_arrow_fn(spec, analyzer, quantize, index_positions), TF_SCHEMA

@@ -43,8 +43,10 @@ def byte315_to_float(b: np.ndarray) -> np.ndarray:
 NORM_TABLE: np.ndarray = byte315_to_float(np.arange(256, dtype=np.uint8))
 
 
-def encode_norm_from_length(length: np.ndarray, boost: float = 1.0) -> np.ndarray:
+def encode_norm_from_length(length: np.ndarray, boost=1.0) -> np.ndarray:
     """norm byte for a doc of `length` tokens: byte315(boost/sqrt(length)).
+    ``boost`` is a scalar or a per-doc array (index-time field/doc boost,
+    core/search/search.go:499-507 lengthNorm = boost/sqrt(length)).
     Zero-length docs encode boost/sqrt(0)=inf -> byte 255 per the float
     pipeline; Lucene never writes norms for empty fields, we keep 0."""
     length = np.asarray(length, dtype=np.float64)
