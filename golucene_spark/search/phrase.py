@@ -46,30 +46,84 @@ def _flat_positions(col, term_offset: int, n_rows: int):
     return (rows << 32) + adj
 
 
-def _sloppy_offset_vectors(n_terms: int, slop: int, in_order: bool = False):
-    """All offset vectors d = (d_1..d_{n-1}), d_i in [-slop, slop], whose
-    spread over (0, d_1, ..) is <= slop, with their 1/(1+spread) weight.
-    Each alignment tuple of positions maps to exactly ONE vector
-    (d_i = adj_i - adj_0), so summing counts over vectors never
-    double-counts.
+def _batch_sloppy_freqs(flats, m: int, slop: int, in_order: bool) -> np.ndarray:
+    """Per-row sloppy frequencies for a whole batch — polynomial in the
+    number of positions, never in (2*slop+1)^(n-1).
 
-    ``in_order=True`` keeps only vectors whose ACTUAL positions are
-    strictly increasing in term order (pos_{i+1} > pos_i, i.e. the
-    non-decreasing-d condition with d_0 = 0) — the ordered
-    SpanNearQuery of Lucene's spans module."""
-    from itertools import product
+    Semantics (unchanged): every alignment tuple (one adjusted position
+    adj_i = pos_i - i per term) with spread = max(adj) - min(adj) <= slop
+    contributes 1/(1+spread); ``in_order`` additionally requires the
+    adjusted positions to be non-decreasing in term order (pos strictly
+    increasing — ordered SpanNearQuery).
 
-    out = []
-    for d in product(range(-slop, slop + 1), repeat=n_terms - 1):
-        spread = max((0,) + d) - min((0,) + d)
-        if spread > slop:
-            continue
-        if in_order:
-            full = (0,) + d
-            if any(full[i + 1] < full[i] for i in range(len(full) - 1)):
-                continue
-        out.append((d, 1.0 / (1.0 + spread)))
-    return out
+    Unordered: window telescoping.  With A(s) = sum over window starts L
+    of prod_i count_i([L, L+s]), the number of tuples with exact spread s
+    is N(s) = A(s) - 2*A(s-1) + A(s-2) (a spread-r tuple lies in exactly
+    s-r+1 windows of span s).  Counts come from two searchsorted calls
+    per term over sorted (row, adj) keys; candidate starts are the
+    sparsest term's positions minus 0..slop.  O(P * slop * n * log P).
+
+    Ordered: anchored DP over window offsets.  For chain starts L (term-0
+    positions), D_i[cand, j] = number of non-decreasing partial chains
+    through terms 0..i ending at offset j <= slop; each term applies a
+    prefix-cumsum then a membership mask.  A chain's weight keys off its
+    final offset (spread = adj_last - adj_0).  O(P_0 * slop * n * log P).
+    """
+    n = len(flats)
+    freqs = np.zeros(m, dtype=np.float64)
+    # shift adjusted positions so every tuple coordinate and candidate
+    # window start stays non-negative inside the (row << 32) + adj keys
+    # (adj_i >= -(n-1); unordered starts reach adj - slop)
+    shift = np.int64(n + slop)
+    keys = []
+    for rows_i, adj_i in flats:
+        k = (rows_i << 32) + (adj_i + shift)
+        k.sort()
+        keys.append(k)
+        if k.size == 0:
+            return freqs
+    S = slop + 1
+    weights = 1.0 / (1.0 + np.arange(S, dtype=np.float64))
+
+    if in_order:
+        rows0, adj0 = flats[0]
+        cand_key = (rows0 << 32) + (adj0 + shift)
+        cand_rows = rows0
+        D = np.zeros((cand_key.size, S), dtype=np.float64)
+        D[:, 0] = 1.0
+        for i in range(1, n):
+            D = np.cumsum(D, axis=1)
+            for j in range(S):
+                probe = cand_key + j
+                idx = np.searchsorted(keys[i], probe)
+                hit = np.zeros(cand_key.size, dtype=bool)
+                inb = idx < keys[i].size
+                hit[inb] = keys[i][idx[inb]] == probe[inb]
+                D[:, j] *= hit
+        return np.bincount(cand_rows, weights=D @ weights, minlength=m)
+
+    # unordered: anchor candidates on the sparsest term
+    a = min(range(n), key=lambda i: keys[i].size)
+    cand_key = np.unique(
+        np.concatenate([keys[a] - j for j in range(S)])
+    )
+    cand_rows = (cand_key >> 32).astype(np.int64)
+    W = np.ones((cand_key.size, S), dtype=np.float64)
+    for i in range(n):
+        lo = np.searchsorted(keys[i], cand_key)
+        for s in range(S):
+            W[:, s] *= np.searchsorted(keys[i], cand_key + s + 1) - lo
+    A = np.zeros((m, S), dtype=np.float64)
+    for s in range(S):
+        A[:, s] = np.bincount(cand_rows, weights=W[:, s], minlength=m)
+    for s in range(S):
+        n_s = A[:, s].copy()
+        if s >= 1:
+            n_s -= 2.0 * A[:, s - 1]
+        if s >= 2:
+            n_s += A[:, s - 2]
+        freqs += n_s * weights[s]
+    return freqs
 
 
 def phrase_freq_frame(index, field: str, terms: list[str], slop: int = 0,
@@ -85,9 +139,10 @@ def phrase_freq_frame(index, field: str, terms: list[str], slop: int = 0,
     contributes sloppyFreq = 1/(1 + spread) (similarities.go's
     1/(distance+1)); a deterministic order-independent analogue of
     Lucene's greedy SloppyPhraseScorer (the reference has no phrase
-    scorer at all: queryParser.go:58 panics).  Vectorized as one
-    intersect1d per offset vector over the whole Arrow batch — at most
-    (2*slop+1)^(n_terms-1) intersections, no per-doc Python loop."""
+    scorer at all: queryParser.go:58 panics).  Vectorized over the whole
+    Arrow batch via window telescoping / anchored DP
+    (_batch_sloppy_freqs) — polynomial in total positions, no per-doc
+    Python loop and no exponential offset-vector enumeration."""
     if slop or in_order:
         return _sloppy_freq_frame(index, field, terms, slop, in_order)
     return _exact_freq_frame(index, field, terms)
@@ -109,7 +164,6 @@ def _sloppy_freq_frame(index, field: str, terms: list[str], slop: int,
                        in_order: bool = False) -> DataFrame:
     base = _conjunction_base(index, field, terms)
     n = len(terms)
-    combos = _sloppy_offset_vectors(n, slop, in_order)
     schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType()),
@@ -125,22 +179,7 @@ def _sloppy_freq_frame(index, field: str, terms: list[str], slop: int,
             if m == 0:
                 continue
             flats = [_flat_rows_adj(pdf[f"pos{i}"], i, m) for i in range(n)]
-            keys0 = (flats[0][0] << 32) + flats[0][1]
-            freqs = np.zeros(m, dtype=np.float64)
-            for d, w in combos:
-                match = keys0
-                for i in range(1, n):
-                    if match.size == 0:
-                        break
-                    rows_i, adj_i = flats[i]
-                    shifted = adj_i - d[i - 1]
-                    valid = shifted >= 0
-                    keys_i = (rows_i[valid] << 32) + shifted[valid]
-                    match = np.intersect1d(match, keys_i, assume_unique=True)
-                if match.size:
-                    freqs += w * np.bincount(
-                        (match >> 32).astype(np.int64), minlength=m
-                    ).astype(np.float64)
+            freqs = _batch_sloppy_freqs(flats, m, slop, in_order)
             out = pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],

@@ -208,3 +208,53 @@ def test_span_first_boundary(spark):
     # doc 3 scores with freq=2 (positions 0 and 2 qualify, 4 does not):
     # same doc length as a freq-2 standalone would give a higher score
     assert hits[3] > hits[0]
+
+
+def test_batch_sloppy_freqs_random_vs_brute():
+    """Pure-NumPy equivalence of the polynomial matcher against direct
+    tuple enumeration, across random position sets, orders, slops —
+    including the (slop=4, 5-term) shapes where enumeration would need
+    9^4 = 6561 passes."""
+    import numpy as np
+    from itertools import product as iproduct
+
+    from golucene_spark.search.phrase import _batch_sloppy_freqs
+
+    rng = np.random.RandomState(7)
+    for trial in range(40):
+        n_terms = rng.randint(2, 6)
+        slop = rng.randint(0, 5)
+        in_order = bool(rng.randint(0, 2))
+        m = rng.randint(1, 5)
+        # per (row, term) sorted unique adjusted positions (pos - i >= -i)
+        per = [
+            [
+                np.unique(rng.randint(-i, 12, size=rng.randint(0, 5)))
+                for i in range(n_terms)
+            ]
+            for _ in range(m)
+        ]
+        flats = []
+        for i in range(n_terms):
+            rows = np.concatenate(
+                [np.full(len(per[r][i]), r, dtype=np.int64) for r in range(m)]
+            )
+            adj = np.concatenate(
+                [per[r][i].astype(np.int64) for r in range(m)]
+            )
+            flats.append((rows, adj))
+        got = _batch_sloppy_freqs(flats, m, slop, in_order)
+        for r in range(m):
+            want = 0.0
+            if all(len(per[r][i]) for i in range(n_terms)):
+                for tup in iproduct(*per[r]):
+                    spread = max(tup) - min(tup)
+                    if spread > slop:
+                        continue
+                    if in_order and any(
+                        tup[i + 1] < tup[i] for i in range(n_terms - 1)
+                    ):
+                        continue
+                    want += 1.0 / (1.0 + spread)
+            assert got[r] == pytest.approx(want, rel=1e-12, abs=1e-12), (
+                trial, r, n_terms, slop, in_order)
