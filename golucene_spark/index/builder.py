@@ -461,6 +461,15 @@ def blocked_postings(tf: DataFrame, block_size: int = BLOCK_SIZE,
         F.size("chunk").alias("block_len"),
         F.array_max(freqs).cast("int").alias("block_max_freq"),
         F.array_min(dlqs).alias("block_min_dlq"),
+        # block-max WAND companions: with the block's max dlq, metadata
+        # alone yields a LOWER bound on the best docs inside the block
+        # (every max-freq doc has dlq <= block_max_dlq), and the count
+        # of docs attaining max freq says how many docs that bound
+        # certifies — the top-k threshold then seeds from metadata with
+        # no posting decode
+        F.array_max(dlqs).alias("block_max_dlq"),
+        F.size(F.filter(freqs, lambda x: x == F.array_max(freqs)))
+        .alias("block_max_freq_cnt"),
         F.element_at(doc_ids, 1).alias("block_first_doc"),
         F.element_at(doc_ids, -1).alias("block_last_doc"),
         F.when(F.col("field").startswith(DOC_SENTINEL_FIELD), "doc")
@@ -710,6 +719,13 @@ class IndexBuilder:
                     # terms carry their only doc inline in the dictionary
                     F.when(F.max("df_seg") == 1, F.min(F.element_at("doc_ids", 1))).alias("pulsed_doc"),
                     F.when(F.max("df_seg") == 1, F.min(F.element_at("freqs", 1))).alias("pulsed_freq"),
+                    # block-metadata spread: lets WAND detect degenerate
+                    # (uniform upper-bound) terms from the term_stats
+                    # collect it already does — zero extra jobs
+                    F.min("block_max_freq").alias("bmf_min"),
+                    F.max("block_max_freq").alias("bmf_max"),
+                    F.min("block_min_dlq").alias("bdlq_min"),
+                    F.max("block_min_dlq").alias("bdlq_max"),
                 )
             )
             (td.sortWithinPartitions("field", "term")
@@ -994,10 +1010,17 @@ class MaterializedIndex:
         return out.drop("segment_id")
 
     def term_stats(self, field: str, terms: list[str]) -> DataFrame:
+        # block-metadata spread columns (when the index carries them) ride
+        # the same collect so WAND's degenerate-bounds early-out is free
+        spread = (
+            [F.min("bmf_min").alias("bmf_min"), F.max("bmf_max").alias("bmf_max"),
+             F.min("bdlq_min").alias("bdlq_min"), F.max("bdlq_max").alias("bdlq_max")]
+            if "bmf_min" in self.term_dict.columns else []
+        )
         return (
             self.term_dict.filter((F.col("field") == field) & F.col("term").isin(terms))
             .groupBy("term")
-            .agg(F.sum("df").alias("df"), F.sum("ttf").alias("ttf"))
+            .agg(F.sum("df").alias("df"), F.sum("ttf").alias("ttf"), *spread)
         )
 
     def live_doc_meta(self) -> DataFrame:

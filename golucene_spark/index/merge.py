@@ -153,10 +153,17 @@ def merge_segments(
     td = spark.read.parquet(os.path.join(index_dir, "term_dict")).filter(
         F.col("segment_id").isin(segment_ids)
     )
+    has_spread = "bmf_min" in td.columns
+    spread_aggs = (
+        [F.min("bmf_min").alias("bmf_min"), F.max("bmf_max").alias("bmf_max"),
+         F.min("bdlq_min").alias("bdlq_min"), F.max("bdlq_max").alias("bdlq_max")]
+        if has_spread else []
+    )
     td_merged = (
         td.groupBy("field", "term")
         .agg(F.sum("df").alias("df"), F.sum("ttf").alias("ttf"),
-             F.min("pulsed_doc").alias("pd"), F.min("pulsed_freq").alias("pf"))
+             F.min("pulsed_doc").alias("pd"), F.min("pulsed_freq").alias("pf"),
+             *spread_aggs)
         .select(
             F.lit(new_id).cast("int").alias("segment_id"),
             "field",
@@ -165,6 +172,7 @@ def merge_segments(
             "ttf",
             F.when(F.col("df") == 1, F.col("pd")).alias("pulsed_doc"),
             F.when(F.col("df") == 1, F.col("pf")).alias("pulsed_freq"),
+            *( ["bmf_min", "bmf_max", "bdlq_min", "bdlq_max"] if has_spread else [] ),
         )
     )
     td_merged.write.mode("overwrite").parquet(
@@ -253,6 +261,10 @@ def _merge_expunge(spark, index_dir, segment_ids, new_segment_id, out_chunk,
             F.max("ttf_seg").alias("ttf"),
             F.when(F.max("df_seg") == 1, F.min(F.element_at("doc_ids", 1))).alias("pulsed_doc"),
             F.when(F.max("df_seg") == 1, F.min(F.element_at("freqs", 1))).alias("pulsed_freq"),
+            F.min("block_max_freq").alias("bmf_min"),
+            F.max("block_max_freq").alias("bmf_max"),
+            F.min("block_min_dlq").alias("bdlq_min"),
+            F.max("block_min_dlq").alias("bdlq_max"),
         )
     )
     td.write.mode("overwrite").parquet(os.path.join(index_dir, "term_dict", f"chunk={out_chunk}"))

@@ -69,6 +69,12 @@ def _collect_terms(q, out):
 class _TermStats:
     df: int = 0
     ttf: int = 0
+    # block-metadata spread (term_dict columns, MaterializedIndex only):
+    # WAND's degenerate-bounds early-out reads these; None = unknown
+    bmf_min: int | None = None
+    bmf_max: int | None = None
+    bdlq_min: float | None = None
+    bdlq_max: float | None = None
 
 
 class Searcher:
@@ -79,6 +85,7 @@ class Searcher:
         self.index = index
         self.sim = get_similarity(similarity) if isinstance(similarity, str) else similarity
         self._cstats_cache: dict[str, dict] = {}
+        self._tstats_cache: dict[tuple, _TermStats] = {}
 
     # -- statistics ------------------------------------------------------
     def _collection_stats(self, field: str) -> dict:
@@ -98,15 +105,25 @@ class Searcher:
         return self._cstats_cache[field]
 
     def _term_stats(self, query) -> dict[tuple, _TermStats]:
+        # memoized per searcher: a Searcher wraps one index snapshot, so
+        # (field, term) stats never change under it.  Repeated queries
+        # (and wand_topk's early-out falling back to search()) pay the
+        # term_dict collect once instead of once per execution.
         terms = _collect_terms(query, set())
+        missing = [(f, t) for f, t in terms if (f, t) not in self._tstats_cache]
         by_field: dict[str, list[str]] = {}
-        for f, t in terms:
+        for f, t in missing:
             by_field.setdefault(f, []).append(t)
-        out = {(f, t): _TermStats() for f, t in terms}
+            self._tstats_cache[(f, t)] = _TermStats()
         for f, ts in by_field.items():
             for r in self.index.term_stats(f, ts).collect():
-                out[(f, r["term"])] = _TermStats(int(r["df"]), int(r["ttf"]))
-        return out
+                d = r.asDict()
+                self._tstats_cache[(f, r["term"])] = _TermStats(
+                    int(r["df"]), int(r["ttf"]),
+                    d.get("bmf_min"), d.get("bmf_max"),
+                    d.get("bdlq_min"), d.get("bdlq_max"),
+                )
+        return {(f, t): self._tstats_cache[(f, t)] for f, t in terms}
 
     # -- weight normalization (search.go:154-171) ------------------------
     def _sum_sq(self, q, stats) -> float:

@@ -2,26 +2,30 @@
 
 Lucene 4.10 predates block-max WAND; we add it on top of the Lucene41-
 style block layout: each 128-doc posting block carries (block_max_freq,
-block_min_dlq), giving a per-block upper bound on any contained doc's
-BM25 contribution.  Two-phase exact algorithm:
+block_min_dlq, block_max_dlq), giving both an upper bound (ub) on any
+contained doc's BM25 contribution and a LOWER bound (lb) on the block's
+best doc (the max-freq doc has dlq <= block_max_dlq).  Single-action
+exact algorithm:
 
-  phase 0  collect block metadata upper bounds per query term (tiny
-           TakeOrdered jobs, never the postings themselves)
-  phase 1  true-score the docs of the best blocks of the highest-ub
-           term until >= k candidates -> threshold theta = kth true
-           score (a valid lower bound of the global kth score, since
-           phase-1 docs are a subset)
-  phase 2  keep only blocks where ub(term, block) + sum of other
+  theta    within one term, blocks hold disjoint doc sets, so the k
+           best per-term block lbs certify k distinct docs scoring
+           >= the k-th lb — a valid threshold computed from metadata
+           alone (max over terms with >= k blocks), in-plan
+  prune    keep only blocks where ub(term, block) + sum of other
            terms' max ubs >= theta; any doc living exclusively in
            pruned blocks is provably below theta (a doc with true score
            >= theta therefore appears in >= 1 surviving block, so the
-           surviving-block doc set is a superset of the true top-k).
+           surviving-block doc set is a superset of the true top-k)
+  rescore  one pushdown-filtered decode of every block overlapping a
+           surviving doc-id interval; partial sums of non-candidate
+           docs are provably < theta and cannot displace true hits
 
-Decode pruning is real in BOTH phases: candidate docs are rescored
-from only the blocks whose doc-id range can contain a candidate — a
-bucket equi-join on ``doc_id div G`` between candidate buckets and
-block [first_doc, last_doc] spans (the skip-list Advance() role,
-set-oriented) — never from a full explode of the query terms' postings.
+The pipeline is two driver actions — one metadata-only collect of the
+surviving block spans (no posting decode), one exact rescore whose
+doc-id interval filter pushes into the scan.  A degenerate-bounds early-out (block
+metadata spread riding the term_dict stats collect) falls back to the
+single-job exhaustive plan when block ubs cannot separate (uniform
+corpora), so WAND never pays its overhead where pruning is impossible.
 
 Results are identical to exhaustive scoring (pruning only discards
 provably sub-threshold docs); tests assert equality and that decoded
@@ -35,10 +39,14 @@ from pyspark.sql import DataFrame, functions as F
 from .ast import BooleanQuery, Occur, TermQuery
 from .executor import Searcher
 
-# doc-range bucket granularity for the block/candidate join: one bucket
-# per 128-doc block span (doc ids are dense within a segment), so a
-# block maps to ~1 bucket and candidate buckets stay broadcast-sized
-BUCKET = 128
+# early-out: when the summed per-term block-ub lower bound sits within
+# this fraction of the summed upper bound, block metadata cannot
+# separate blocks and the exhaustive single-job plan is cheaper
+UNIFORM_UB_FRACTION = 0.9
+
+# cap on the surviving-block metadata collect; past this, pruning is too
+# weak for WAND to beat the single-job exhaustive plan
+SURVIVOR_COLLECT_CAP = 20_000
 
 
 def _flat_should_terms(query) -> list[TermQuery] | None:
@@ -57,81 +65,12 @@ def _flat_should_terms(query) -> list[TermQuery] | None:
     return None
 
 
-def _blocks_for_candidates(term_blocks: DataFrame, cand_docs: DataFrame) -> DataFrame:
-    """Blocks whose doc-id range can contain a candidate doc: equi-join
-    on doc-range buckets (block spans few buckets; candidates broadcast-
-    sized by construction).  Exact superset of the needed blocks."""
-    cand_b = cand_docs.select(
-        F.expr(f"doc_id div {BUCKET}").alias("bkt")
-    ).distinct()
-    spanned = term_blocks.withColumn(
-        "bkt",
-        F.explode(
-            F.sequence(
-                F.expr(f"block_first_doc div {BUCKET}"),
-                F.expr(f"block_last_doc div {BUCKET}"),
-            )
-        ),
-    )
-    return spanned.join(F.broadcast(cand_b), "bkt", "left_semi").select(
-        "term", "segment_id", "block_id"
-    ).distinct()
-
-
-def _rescore_candidates(
-    searcher: Searcher,
-    field: str,
-    weights: dict[str, float],
-    avgdl: float,
-    term_blocks: DataFrame,
-    cand_docs: DataFrame,
-    stats_out: dict | None = None,
-    stats_key: str = "blocks_decoded",
-) -> DataFrame:
-    """Exact (doc_id, score) for the candidate docs, decoding ONLY the
-    blocks that can contain them.  Mirrors _flat_terms_frame arithmetic
-    (same score_col expression + groupBy-sum)."""
-    index = searcher.index
-    needed = _blocks_for_candidates(term_blocks, cand_docs)
-    if stats_out is not None:
-        stats_out[stats_key] = needed.count()
-    p = term_blocks.join(needed, ["term", "segment_id", "block_id"], "left_semi")
-    flat = p.select(
-        "segment_id", "term",
-        F.explode(F.arrays_zip("doc_ids", "freqs", "dlqs", "norm_bytes")).alias("e"),
-    ).select(
-        "segment_id",
-        "term",
-        F.col("e.doc_ids").alias("doc_id"),
-        F.col("e.freqs").alias("freq"),
-        F.col("e.dlqs").alias("dlq"),
-        F.col("e.norm_bytes").alias("norm_byte"),
-    )
-    if getattr(index, "_tombstones", None) is not None:
-        from ..index.deletes import filter_live
-
-        flat = filter_live(flat, index._tombstones)
-    flat = flat.drop("segment_id")
-    # plain semi-join: AQE broadcasts when the candidate set is small;
-    # at scale a huge candidate set must not be forced driver-side
-    flat = flat.join(cand_docs, "doc_id", "left_semi")
-    idf_map = F.create_map(*[x for kk, v in weights.items() for x in (F.lit(kk), F.lit(v))])
-    norm_col = F.col("norm_byte") if getattr(index, "quantized", True) else None
-    score = searcher.sim.score_col(
-        F.col("freq").cast("double"), F.col("dlq"), norm_col,
-        F.element_at(idf_map, F.col("term")), avgdl, 1.0,
-    )
-    per_term = flat.select("doc_id", score.alias("score"))
-    return per_term.groupBy("doc_id").agg(F.sum("score").alias("score"))
-
-
 def wand_topk(searcher: Searcher, query, k: int = 10,
               stats_out: dict | None = None) -> DataFrame:
     """Exact top-k with block-max pruning; falls back to the exhaustive
     plan for query shapes without a pruning path.  ``stats_out``: when a
     dict is passed, decode-work counters are recorded in it
-    (blocks_total / blocks_decoded_seed / blocks_surviving /
-    blocks_decoded_rescore)."""
+    (blocks_total / blocks_surviving / blocks_decoded_rescore)."""
     q = query.rewrite() if hasattr(query, "rewrite") else query
     tqs = _flat_should_terms(q)
     index = searcher.index
@@ -154,6 +93,35 @@ def wand_topk(searcher: Searcher, query, k: int = 10,
         return searcher.search(q, k)
     terms = list(weights)
 
+    # degenerate-bounds early-out (zero extra jobs): the term_dict rows
+    # already collected above carry each term's block-metadata spread
+    # (min/max of block_max_freq, block_min_dlq).  When every block's
+    # upper bound sits within a few percent of the term's max, the
+    # threshold can never separate blocks and WAND would pay its full
+    # overhead to prune nothing — run the single-job exhaustive plan.
+    def _ub(w, f, d):
+        f = float(f)
+        return w * (k1 + 1.0) * f / (f + k1 * (1.0 - b + b * float(d) / avgdl))
+
+    spread_known = all(
+        stats[(field, t)].bmf_min is not None
+        and stats[(field, t)].bdlq_min is not None
+        for t in terms
+    )
+    if spread_known:
+        hi = sum(
+            _ub(weights[t], stats[(field, t)].bmf_max, stats[(field, t)].bdlq_min)
+            for t in terms
+        )
+        lo = sum(
+            _ub(weights[t], stats[(field, t)].bmf_min, stats[(field, t)].bdlq_max)
+            for t in terms
+        )
+        if hi > 0 and lo >= UNIFORM_UB_FRACTION * hi:
+            if stats_out is not None:
+                stats_out["early_out"] = "uniform_block_bounds"
+            return searcher.search(q, k)
+
     wmap = F.create_map(
         *[x for kk, v in weights.items() for x in (F.lit(kk), F.lit(v * (k1 + 1.0)))]
     )
@@ -168,87 +136,135 @@ def wand_topk(searcher: Searcher, query, k: int = 10,
         if hasattr(index, "postings_frame")
         else index.postings.filter((F.col("field") == field) & F.col("term").isin(terms))
     )
-    # metadata-only frame, consulted by several small driver jobs
-    # (per-term max ub, seed-block pick, surviving filter): cache it so
-    # the postings parquet is read once for metadata
+    if "block_max_freq_cnt" not in term_blocks.columns:
+        # pre-block_max_dlq index layout: no metadata lower bound to seed
+        # the threshold from; the exhaustive plan is the cheaper exact path
+        return searcher.search(q, k)
+    # metadata lower bound on the best score inside a block: the doc
+    # attaining block_max_freq has dlq <= block_max_dlq, so its score is
+    # >= w * max_freq / (max_freq + k1*(1-b+b*block_max_dlq/avgdl))
+    lb_col = (
+        F.element_at(wmap, F.col("term"))
+        * mf
+        / (mf + k1 * (1.0 - b + b * F.col("block_max_dlq") / avgdl))
+    )
     blocks = term_blocks.select(
         "term", "segment_id", "block_id", "block_len",
-        "block_first_doc", "block_last_doc", ub_col.alias("ub"),
-    ).persist()
+        "block_first_doc", "block_last_doc", "block_max_freq_cnt",
+        ub_col.alias("ub"), lb_col.alias("lb"),
+    )
     if stats_out is not None:
+        blocks = blocks.persist()
         stats_out["blocks_total"] = blocks.count()
     try:
         return _wand_phases(searcher, q, k, field, weights, avgdl,
                             term_blocks, blocks, stats_out)
     finally:
-        blocks.unpersist()
+        if stats_out is not None:
+            blocks.unpersist()
 
 
 def _wand_phases(searcher, q, k, field, weights, avgdl, term_blocks, blocks,
                  stats_out) -> DataFrame:
-    # per-term global max ub (tiny agg)
-    max_ub = {
-        r["term"]: r["mu"]
-        for r in blocks.groupBy("term").agg(F.max("ub").alias("mu")).collect()
-    }
-    total_ub = sum(max_ub.values())
+    """One composed Catalyst plan / ONE driver action — no data-dependent
+    driver round-trips and no decoded seeding phase.
 
-    # phase 1: enough best blocks (by ub) to cover >= k docs
-    need, picked = k, []
-    for r in blocks.orderBy(F.desc("ub")).limit(max(4, 2 * k // 128 + 2)).collect():
-        picked.append((r["term"], r["segment_id"], r["block_id"]))
-        need -= r["block_len"]
-        if need <= 0:
-            break
-    if not picked:
-        return searcher.search(q, k)
-    pick_cond = None
-    for t, s, bid in picked:
-        c = (F.col("term") == t) & (F.col("segment_id") == s) & (F.col("block_id") == bid)
-        pick_cond = c if pick_cond is None else (pick_cond | c)
-    seed_docs = (
-        term_blocks.filter(pick_cond)
-        .select(F.explode("doc_ids").alias("doc_id"))
-        .distinct()
-    )
-    seed_scores = _rescore_candidates(
-        searcher, field, weights, avgdl, term_blocks, seed_docs,
-        stats_out, "blocks_decoded_seed",
-    )
-    seed_topk = seed_scores.orderBy(F.desc("score"), F.asc("doc_id")).limit(k).collect()
-    if len(seed_topk) < k:
-        # fewer than k matches exist anywhere near the top blocks: just
-        # run exhaustive (cheap corpus)
-        return searcher.search(q, k)
-    theta = seed_topk[-1]["score"]
+    The threshold comes from block METADATA alone: within one term,
+    blocks hold disjoint doc sets, so the k best per-term block lower
+    bounds certify k distinct docs scoring >= the k-th bound — a valid
+    theta (per term; the plan takes the max over terms).  Every block
+    whose ub + (sum of other terms' max ubs) < theta is provably unable
+    to contribute a top-k doc; survivors' docs are rescored exactly via
+    the bucket join (scores identical to the exhaustive plan)."""
+    from pyspark.sql import Window
 
-    # phase 2: blocks that could still beat theta
-    surviving = blocks.withColumn(
-        "slack", F.col("ub") + F.lit(total_ub) - F.element_at(
-            F.create_map(*[x for kk, v in max_ub.items() for x in (F.lit(kk), F.lit(v))]),
-            F.col("term"),
+    # per-term global max ub + total (tiny aggregates, broadcast)
+    tmax = blocks.groupBy("term").agg(F.max("ub").alias("term_max_ub"))
+    tot = tmax.agg(F.sum("term_max_ub").alias("total_ub"))
+
+    # theta: each block certifies block_max_freq_cnt distinct docs
+    # scoring >= its lb; within one term, blocks hold disjoint doc
+    # sets, so any row whose per-term cumulative certified count (in lb
+    # desc order) reaches k proves k distinct docs >= its lb.  Theta is
+    # the max such lb across terms.
+    wt = Window.partitionBy("term").orderBy(
+        F.desc("lb"), "segment_id", "block_id"
+    )
+    theta_df = (
+        blocks.withColumn("cum", F.sum("block_max_freq_cnt").over(wt))
+        .filter(F.col("cum") >= k)
+        .agg(F.max("lb").alias("theta_raw"))
+        .select(F.coalesce("theta_raw", F.lit(float("-inf"))).alias("theta"))
+    )
+
+    surviving = (
+        blocks.join(F.broadcast(tmax), "term")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(theta_df))
+        .filter(
+            F.col("ub") + F.col("total_ub") - F.col("term_max_ub")
+            >= F.col("theta")
         )
-    ).filter(F.col("slack") >= theta)
+    )
+    # job 1 (metadata only, no posting decode): the surviving blocks'
+    # doc-id spans.  Capped: past the cap pruning is too weak to beat
+    # the single-job exhaustive plan anyway.
+    surv = surviving.select("block_first_doc", "block_last_doc").limit(
+        SURVIVOR_COLLECT_CAP + 1
+    ).collect()
     if stats_out is not None:
-        stats_out["blocks_surviving"] = surviving.count()
-    cand_docs = (
-        term_blocks.join(
-            surviving.select("term", "segment_id", "block_id"),
-            ["term", "segment_id", "block_id"],
-            "left_semi",
-        )
-        .select(F.explode("doc_ids").alias("doc_id"))
-        .distinct()
+        stats_out["blocks_surviving"] = len(surv)
+    if not surv or len(surv) > SURVIVOR_COLLECT_CAP:
+        return searcher.search(q, k)
+
+    # merge surviving spans into disjoint doc-id intervals (driver-side,
+    # tiny) — the rescore filter below pushes them into the scan
+    spans = sorted((int(r["block_first_doc"]), int(r["block_last_doc"])) for r in surv)
+    merged = [list(spans[0])]
+    for lo, hi in spans[1:]:
+        if lo <= merged[-1][1] + 1:
+            merged[-1][1] = max(merged[-1][1], hi)
+        else:
+            merged.append([lo, hi])
+
+    # job 2: exact rescore of every block overlapping a surviving span.
+    # A doc outside every surviving block may receive a PARTIAL score
+    # here (some of its blocks excluded) — harmless: such a doc's full
+    # score is provably < theta (every block holding it was pruned), so
+    # a partial sum can never displace a true top-k doc, all of which
+    # live in surviving blocks and get full sums.
+    overlap = None
+    for lo, hi in merged:
+        c = (F.col("block_last_doc") >= lo) & (F.col("block_first_doc") <= hi)
+        overlap = c if overlap is None else (overlap | c)
+    needed = term_blocks.filter(overlap)
+    if stats_out is not None:
+        stats_out["blocks_decoded_rescore"] = needed.count()
+    flat = needed.select(
+        "term",
+        F.explode(F.arrays_zip("doc_ids", "freqs", "dlqs", "norm_bytes")).alias("e"),
+    ).select(
+        "term",
+        F.col("e.doc_ids").alias("doc_id"),
+        F.col("e.freqs").alias("freq"),
+        F.col("e.dlqs").alias("dlq"),
+        F.col("e.norm_bytes").alias("norm_byte"),
     )
-    rescored = _rescore_candidates(
-        searcher, field, weights, avgdl, term_blocks, cand_docs,
-        stats_out, "blocks_decoded_rescore",
+    index = searcher.index
+    if getattr(index, "_tombstones", None) is not None:
+        from ..index.deletes import filter_live
+
+        flat = filter_live(flat, index._tombstones)
+    idf_map = F.create_map(*[x for kk, v in weights.items() for x in (F.lit(kk), F.lit(v))])
+    norm_col = F.col("norm_byte") if getattr(index, "quantized", True) else None
+    score = searcher.sim.score_col(
+        F.col("freq").cast("double"), F.col("dlq"), norm_col,
+        F.element_at(idf_map, F.col("term")), avgdl, 1.0,
     )
-    out = (
-        rescored.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        flat.select("doc_id", score.alias("score"))
+        .groupBy("doc_id").agg(F.sum("score").alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
         .select("doc_id", "score")
     )
-    # materialize before the caller's unpersist of the metadata cache
-    rows = out.collect()
-    return searcher.index.spark.createDataFrame(rows, out.schema)

@@ -81,6 +81,10 @@ def incremental_index_batch(
             F.max("ttf_seg").alias("ttf"),
             F.when(F.max("df_seg") == 1, F.min(F.element_at("doc_ids", 1))).alias("pulsed_doc"),
             F.when(F.max("df_seg") == 1, F.min(F.element_at("freqs", 1))).alias("pulsed_freq"),
+            F.min("block_max_freq").alias("bmf_min"),
+            F.max("block_max_freq").alias("bmf_max"),
+            F.min("block_min_dlq").alias("bdlq_min"),
+            F.max("block_min_dlq").alias("bdlq_max"),
         )
     )
     td.write.mode("overwrite").parquet(os.path.join(index_dir, "term_dict", f"chunk={chunk}"))

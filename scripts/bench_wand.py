@@ -76,6 +76,9 @@ def run_pair(s: Searcher, qs: str, k: int = 10) -> dict:
     }
 
 
+SKEW_ONLY = bool(int(__import__("os").environ.get("WAND_SKEW_ONLY", "0")))
+
+
 def main():
     spark = get_spark(app_name="wand-bench",
                       extra_conf={"spark.ui.showConsoleProgress": "false"})
@@ -97,6 +100,15 @@ def main():
     ix.postings = ix.postings.cache(); ix.postings.count()
     s = Searcher(ix, "bm25")
     out["skew_hot"] = run_pair(s, "content:hot")
+
+    if SKEW_ONLY:
+        # crossover run at larger N: append to the existing wand.json
+        prev = json.loads((Path(__file__).resolve().parent.parent / "BENCH" / "wand.json").read_text())
+        prev[f"skew_hot_{N}"] = {**out["skew_hot"], "build_sec": out["skew_build_sec"]}
+        (Path(__file__).resolve().parent.parent / "BENCH" / "wand.json").write_text(
+            json.dumps(prev, indent=1))
+        print(json.dumps(prev, indent=1))
+        return
 
     # --- zipf corpus ----------------------------------------------------
     ixdir2 = str(DATA / "wand_bench_zipf")
