@@ -153,15 +153,17 @@ def wand_topk(searcher: Searcher, query, k: int = 10,
         "block_first_doc", "block_last_doc", "block_max_freq_cnt",
         ub_col.alias("ub"), lb_col.alias("lb"),
     )
+    # the metadata frame is consulted by three subtrees of job 1 (per-
+    # term max, theta window, surviving filter): persist it so the
+    # postings parquet's metadata columns are scanned once
+    blocks = blocks.persist()
     if stats_out is not None:
-        blocks = blocks.persist()
         stats_out["blocks_total"] = blocks.count()
     try:
         return _wand_phases(searcher, q, k, field, weights, avgdl,
                             term_blocks, blocks, stats_out)
     finally:
-        if stats_out is not None:
-            blocks.unpersist()
+        blocks.unpersist()
 
 
 def _wand_phases(searcher, q, k, field, weights, avgdl, term_blocks, blocks,

@@ -94,7 +94,9 @@ def main():
     )
     df = spark.createDataFrame(skewed_corpus(N)).repartition(32)
     t0 = time.time()
-    IndexBuilder(spark, spec, num_segments=8).build(df, ixdir)
+    # the hot term appears in EVERY doc: doc-range salting keeps any
+    # single reducer's collect_list bounded (the skew-defusal path)
+    IndexBuilder(spark, spec, num_segments=8, salt_range=131072).build(df, ixdir)
     out["skew_build_sec"] = round(time.time() - t0, 1)
     ix = MaterializedIndex(spark, ixdir)
     ix.postings = ix.postings.cache(); ix.postings.count()
