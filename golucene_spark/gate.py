@@ -1082,6 +1082,68 @@ ORDER BY score_e6 DESC, doc_id ASC LIMIT 10
 """
 
 
+# --- position payloads oracle pairing (prox-stream payloads) ----------------
+# The reference WRITES payloads into the prox stream
+# (termsHashConsumerPerField.go:268-282); its readers are stubbed.  This
+# gate indexes a derived corpus whose tokens carry delimited payloads
+# ("term|<(i%7)+1>", the DelimitedPayloadTokenFilter convention) through
+# the whitespace analyzer and scores PayloadTermQuery-style:
+# BM25(term) * avg(payload per occurrence).  Payload values are small
+# ints (exact in float32 and in any summation order), so the JVM-side
+# IEEE-754 blob decode and the fold are hash-exact against the twin.
+
+
+def q_payload_term_bm25(spark, sf_dir):
+    docs = _docs(spark, sf_dir).withColumn(
+        "ptext",
+        F.expr(
+            "array_join(transform(regexp_extract_all(lower(text), '[a-z0-9_]+', 0), "
+            "(t, i) -> concat(t, '|', pmod(i, 7) + 1)), ' ')"
+        ),
+    )
+    spec = CorpusSpec(
+        text_fields=[FieldSpec("ptext", "ptext", True, analyzer="whitespace",
+                               payloads=True)],
+        keyword_fields=[], key_cols=["doc_id"], id_col="doc_id", meta_cols=[],
+    )
+    ix = LogicalIndex(docs, spec, analyzer="whitespace", quantize_norms=False)
+    s = Searcher(ix, "bm25")
+    from .search.phrase import payload_term_search
+
+    frame = payload_term_search(s, "ptext", "data", k=1_000_000)
+    return (
+        frame.withColumn("score_e6", F.round(F.col("score") * 1e6, 0).cast("long"))
+        .orderBy(F.desc("score_e6"), F.asc("doc_id"))
+        .limit(10)
+        .select("doc_id", "score_e6")
+    )
+
+
+ORACLES["payload_term_bm25"] = f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term,
+         generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9_]+'), 1) AS ord
+  FROM documents
+),
+ptok AS (SELECT doc_id, term, ((ord - 1) % 7) + 1 AS payload FROM tok),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS freq,
+              (sum(payload)::DOUBLE / count(*)) AS avg_pay
+       FROM ptok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM ptok GROUP BY 1),
+stats AS (SELECT (SELECT count(*) FROM documents)::BIGINT AS n_docs,
+                 (SELECT sum(dl) FROM dl)::BIGINT AS sum_dl),
+ts AS (SELECT count(*)::BIGINT AS df FROM tf WHERE term = 'data')
+SELECT tf.doc_id AS doc_id,
+  CAST(ROUND((ln(1 + (stats.n_docs - ts.df + 0.5) / (ts.df + 0.5)) * {K1 + 1.0}
+       * tf.freq / (tf.freq + {K1} * (1 - {B} + {B} * dl.dl / (stats.sum_dl / stats.n_docs)))
+       * tf.avg_pay) * 1000000.0, 0) AS BIGINT) AS score_e6
+FROM tf JOIN dl USING (doc_id), stats, ts
+WHERE tf.term = 'data'
+ORDER BY score_e6 DESC, doc_id ASC LIMIT 10
+"""
+
+
 # --- deletes + expunge-merge oracle pairing (W12/W14) ----------------------
 
 _DEL_IDS = [2, 4, 6, 8]
@@ -3480,6 +3542,7 @@ QUERIES = {
     # --- new this round ---
     "quantized_norms_bm25": q_quantized_norms_bm25,
     "boost_field_bm25": q_boost_field_bm25,
+    "payload_term_bm25": q_payload_term_bm25,
     # --- never driver-checked (round-2 additions) ---
     "term_bm25_standard": q_term_bm25_standard,
     "update_bm25": q_update_bm25,

@@ -63,6 +63,7 @@ TF_SCHEMA = T.StructType(
         T.StructField("term", T.StringType(), True),
         T.StructField("freq", T.IntegerType(), False),
         T.StructField("positions", T.BinaryType(), True),
+        T.StructField("payloads", T.BinaryType(), True),
         T.StructField("dlq", T.DoubleType(), False),
         T.StructField("norm_byte", T.IntegerType(), False),
     ]
@@ -102,6 +103,13 @@ class FieldSpec:
     analyzer: str | None = None
     boost: float = 1.0
     boost_col: str | None = None
+    # per-position payloads (termsHashConsumerPerField.go:268-282 writes
+    # payload bytes into the prox stream).  With payloads=True, tokens of
+    # the form ``term|<float>`` are split DelimitedPayloadTokenFilter-
+    # style ('|' delimiter, float encoder; bare tokens get 1.0) and the
+    # per-occurrence float32 payloads are stored packed alongside the
+    # positions blob.  Requires positions indexing (prox-stream data).
+    payloads: bool = False
 
 
 @dataclass
@@ -187,7 +195,7 @@ def _tf_arrow_fn(spec: CorpusSpec, analyzer_name: str, quantize: bool, index_pos
     text_fields = [
         (f.name, f.column, getattr(f, "positions", True), getattr(f, "omit_norms", False),
          getattr(f, "analyzer", None), float(getattr(f, "boost", 1.0)),
-         getattr(f, "boost_col", None))
+         getattr(f, "boost_col", None), getattr(f, "payloads", False))
         for f in spec.text_fields
     ]
     kw_fields = [(f.name, f.column) for f in spec.keyword_fields]
@@ -199,6 +207,7 @@ def _tf_arrow_fn(spec: CorpusSpec, analyzer_name: str, quantize: bool, index_pos
             ("term", pa.string()),
             ("freq", pa.int32()),
             ("positions", pa.binary()),
+            ("payloads", pa.binary()),
             ("dlq", pa.float64()),
             ("norm_byte", pa.int32()),
         ]
@@ -212,7 +221,8 @@ def _tf_arrow_fn(spec: CorpusSpec, analyzer_name: str, quantize: bool, index_pos
     def _null_positions(n: int) -> "pa.Array":
         return pa.nulls(n, pa.binary())
 
-    def _mk(seg, doc, field_arr, term_arr, freq, positions, dlq, nb):
+    def _mk(seg, doc, field_arr, term_arr, freq, positions, dlq, nb,
+            payloads=None):
         return pa.RecordBatch.from_arrays(
             [
                 pa.array(seg.astype(np.int32)),
@@ -221,6 +231,7 @@ def _tf_arrow_fn(spec: CorpusSpec, analyzer_name: str, quantize: bool, index_pos
                 term_arr,
                 pa.array(freq.astype(np.int32)),
                 positions,
+                payloads if payloads is not None else _null_positions(len(freq)),
                 pa.array(dlq.astype(np.float64)),
                 pa.array(nb.astype(np.int32)),
             ],
@@ -244,7 +255,7 @@ def _tf_arrow_fn(spec: CorpusSpec, analyzer_name: str, quantize: bool, index_pos
             globals()["_GC_FROZEN"] = True
         analyzers = {
             fname: get_analyzer(f_ana or analyzer_name)
-            for fname, _c, _p, _o, f_ana, _b, _bc in text_fields
+            for fname, _c, _p, _o, f_ana, _b, _bc, _pl in text_fields
         }
         for rb0 in batches:
             for off in range(0, rb0.num_rows, slice_rows) or [0]:
@@ -258,9 +269,21 @@ def _tf_arrow_fn(spec: CorpusSpec, analyzer_name: str, quantize: bool, index_pos
             cols = {name: rb.column(i) for i, name in enumerate(rb.schema.names)}
             doc_ids = cols["doc_id"].to_numpy(zero_copy_only=False)
             seg_ids = cols["segment_id"].to_numpy(zero_copy_only=False)
-            for fname, col, f_positions, f_omit_norms, _f_ana, f_boost, f_boost_col in text_fields:
+            for fname, col, f_positions, f_omit_norms, _f_ana, f_boost, f_boost_col, f_payloads in text_fields:
                 texts = cols[col].to_pylist()
                 terms, rows, pos = analyzers[fname].analyze_batch(texts)
+                pay = None
+                if f_payloads and len(terms):
+                    # DelimitedPayloadTokenFilter ('|', float encoder):
+                    # split at the LAST delimiter; bare tokens carry 1.0
+                    parts = pd.Series(terms, dtype=object).str.rpartition("|")
+                    pre = parts[0].to_numpy(dtype=object)
+                    payvals = pd.to_numeric(parts[2], errors="coerce").to_numpy(
+                        dtype=np.float64
+                    )
+                    has = (pre != "") & ~np.isnan(payvals)
+                    terms = np.where(has, pre, terms)
+                    pay = np.where(has, payvals, 1.0).astype(np.float32)
                 if len(terms):
                     # per-doc TF via factorize + stable argsort reduce
                     codes, uniq = pd.factorize(terms, sort=False)
@@ -287,12 +310,25 @@ def _tf_arrow_fn(spec: CorpusSpec, analyzer_name: str, quantize: bool, index_pos
                         )
                     else:
                         positions = _null_positions(len(b0))
+                    if pay is not None:
+                        # packed float32 per posting, same grouping/order
+                        # as the positions blob (prox-stream layout)
+                        pay_bytes = pay[order].astype("<f4").tobytes()
+                        pay_offsets = (np.concatenate((b0, [len(sk)])) * 4).astype(np.int32)
+                        pay_blob = pa.Array.from_buffers(
+                            pa.binary(), len(b0),
+                            [None, pa.py_buffer(pay_offsets.tobytes()),
+                             pa.py_buffer(pay_bytes)],
+                        )
+                    else:
+                        pay_blob = None
                     dl = np.bincount(rows, minlength=n).astype(np.int64)
                 else:
                     g_row = np.array([], dtype=np.int64)
                     g_term = pa.array([], type=pa.string())
                     freq = np.array([], dtype=np.int32)
                     positions = _null_positions(0)
+                    pay_blob = None
                     dl = np.zeros(n, dtype=np.int64)
                 if f_omit_norms:
                     # omitNorms: every doc's norm encodes 1.0; scoring
@@ -319,6 +355,7 @@ def _tf_arrow_fn(spec: CorpusSpec, analyzer_name: str, quantize: bool, index_pos
                     yield _mk(
                         seg_ids[g_row], doc_ids[g_row], _const_str(fname, len(g_row)),
                         g_term, freq, positions, dlq_doc[g_row], nb[g_row],
+                        pay_blob,
                     )
                 # sentinel doc rows: term = sha256(text), freq = doc length
                 shas = pa.array(
@@ -379,8 +416,12 @@ def blocked_postings(tf: DataFrame, block_size: int = BLOCK_SIZE,
     flat = tf if include_sentinels else tf.filter(
         ~F.col("field").startswith(DOC_SENTINEL_FIELD)
     )
+    has_payloads = "payloads" in tf.columns
     plist = F.sort_array(
-        F.collect_list(F.struct("doc_id", "freq", "dlq", "norm_byte", "positions"))
+        F.collect_list(F.struct(
+            "doc_id", "freq", "dlq", "norm_byte", "positions",
+            *(["payloads"] if has_payloads else []),
+        ))
     )
     if salt_range:
         g0 = (
@@ -445,6 +486,7 @@ def blocked_postings(tf: DataFrame, block_size: int = BLOCK_SIZE,
     dlqs = F.transform("chunk", lambda x: x["dlq"])
     nbs = F.transform("chunk", lambda x: x["norm_byte"])
     poss = F.transform("chunk", lambda x: x["positions"])
+    pays = F.transform("chunk", lambda x: x["payloads"]) if has_payloads else None
     return e.select(
         "segment_id",
         "field",
@@ -458,6 +500,7 @@ def blocked_postings(tf: DataFrame, block_size: int = BLOCK_SIZE,
         dlqs.alias("dlqs"),
         nbs.cast("array<int>").alias("norm_bytes"),
         poss.alias("positions"),
+        *([pays.alias("payloads")] if has_payloads else []),
         F.size("chunk").alias("block_len"),
         F.array_max(freqs).cast("int").alias("block_max_freq"),
         F.array_min(dlqs).alias("block_min_dlq"),
@@ -842,10 +885,13 @@ class LogicalIndex:
         )
 
     def postings_for_terms(self, field: str, terms: list[str],
-                           with_positions: bool = False) -> DataFrame:
+                           with_positions: bool = False,
+                           with_payloads: bool = False) -> DataFrame:
         cols = ["term", "doc_id", "freq", "dlq", "norm_byte"]
         if with_positions:
             cols.append("positions")
+        if with_payloads:
+            cols.append("payloads")
         return self.tf.filter((F.col("field") == field) & F.col("term").isin(terms)).select(*cols)
 
     def term_stats(self, field: str, terms: list[str]) -> DataFrame:
@@ -982,16 +1028,21 @@ class MaterializedIndex:
 
     def postings_for_terms(self, field: str, terms: list[str],
                            min_score_ub=None, score_ub_fn=None,
-                           with_positions: bool = False) -> DataFrame:
-        """Exploded (term, doc_id, freq, dlq[, positions]) for the given
-        terms.  Optional block-max pruning: score_ub_fn(block_max_freq,
-        block_min_dlq, term) -> Column upper bound; blocks below
-        min_score_ub are skipped before decode (the WAND move)."""
+                           with_positions: bool = False,
+                           with_payloads: bool = False) -> DataFrame:
+        """Exploded (term, doc_id, freq, dlq[, positions][, payloads]) for
+        the given terms.  Optional block-max pruning:
+        score_ub_fn(block_max_freq, block_min_dlq, term) -> Column upper
+        bound; blocks below min_score_ub are skipped before decode (the
+        WAND move)."""
         p = self.postings_frame(field, terms)
         if min_score_ub is not None and score_ub_fn is not None:
             p = p.filter(score_ub_fn(F.col("block_max_freq"), F.col("block_min_dlq"), F.col("term")) >= min_score_ub)
-        zcols = ["doc_ids", "freqs", "dlqs", "norm_bytes"] + (
-            ["positions"] if with_positions else []
+        with_payloads = with_payloads and "payloads" in p.columns
+        zcols = (
+            ["doc_ids", "freqs", "dlqs", "norm_bytes"]
+            + (["positions"] if with_positions else [])
+            + (["payloads"] if with_payloads else [])
         )
         z = F.arrays_zip(*zcols)
         out = p.select("segment_id", "term", F.explode(z).alias("e")).select(
@@ -1002,6 +1053,7 @@ class MaterializedIndex:
             F.col("e.dlqs").alias("dlq"),
             F.col("e.norm_bytes").alias("norm_byte"),
             *( [F.col("e.positions").alias("positions")] if with_positions else [] ),
+            *( [F.col("e.payloads").alias("payloads")] if with_payloads else [] ),
         )
         if self._tombstones is not None:
             from .deletes import filter_live

@@ -226,6 +226,8 @@ def _merge_expunge(spark, index_dir, segment_ids, new_segment_id, out_chunk,
     zcols = ["doc_ids", "freqs", "dlqs", "norm_bytes"]
     if "positions" in post.columns:
         zcols.append("positions")
+    if "payloads" in post.columns:
+        zcols.append("payloads")
     flat = post.select(
         "segment_id", "field", "term", F.explode(F.arrays_zip(*zcols)).alias("e")
     ).select(
@@ -235,6 +237,7 @@ def _merge_expunge(spark, index_dir, segment_ids, new_segment_id, out_chunk,
         "term",
         F.col("e.freqs").alias("freq"),
         (F.col("e.positions") if "positions" in zcols else F.lit(None).cast("binary")).alias("positions"),
+        (F.col("e.payloads") if "payloads" in zcols else F.lit(None).cast("binary")).alias("payloads"),
         F.col("e.dlqs").alias("dlq"),
         F.col("e.norm_bytes").alias("norm_byte"),
     )

@@ -22,6 +22,7 @@ from .multiterm import suggest_terms
 from .grouping import group_search
 from .join import join_search
 from .cache import CachingSearcher
+from .phrase import span_near_search, span_first_search, payload_term_search
 
 __all__ = [
     "TermQuery",
@@ -41,6 +42,9 @@ __all__ = [
     "BM25Similarity",
     "ClassicSimilarity",
     "Searcher",
+    "span_near_search",
+    "span_first_search",
+    "payload_term_search",
     "highlight",
     "facet_counts",
     "more_like_this",

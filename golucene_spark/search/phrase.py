@@ -246,6 +246,80 @@ def positions_array_col(col="positions"):
     )
 
 
+def payload_floats_col(col="payloads"):
+    """JVM-side decode of a packed little-endian float32 payload blob to
+    array<double> — bit-exact IEEE-754 reassembly inside whole-stage
+    codegen (sign * (1+m/2^23) * 2^(e-127); denormals m/2^23 * 2^-126):
+    every step (dyadic mantissa fraction, integer power of two, sign
+    flip) is exact in double, so the decode matches NumPy's frombuffer
+    to the bit for all finite payloads."""
+    bits = (f"cast(conv(concat(hex(substring({col}, i*4, 1)), "
+            f"hex(substring({col}, i*4-1, 1)), "
+            f"hex(substring({col}, i*4-2, 1)), "
+            f"hex(substring({col}, i*4-3, 1))), 16, 10) as bigint)")
+    return F.expr(
+        f"transform(sequence(1, int(length({col}) / 4)), i -> ("
+        f"case when {bits} % 2147483648 = 0 then cast(0.0 as double) else "
+        f"(case when ({bits} div 2147483648) % 2 = 1 then -1.0 else 1.0 end)"
+        f" * (case when (({bits} div 8388608) % 256) = 0"
+        f" then (cast(({bits} % 8388608) as double) / 8388608.0) * pow(2.0, -126)"
+        f" else (1.0 + cast(({bits} % 8388608) as double) / 8388608.0)"
+        f" * pow(2.0, (({bits} div 8388608) % 256) - 127) end) end))"
+    )
+
+
+def payload_term_search(searcher, field: str, term: str, k: int = 10,
+                        include_span_score: bool = True) -> DataFrame:
+    """PayloadTermQuery + AveragePayloadFunction (Lucene 4.10 payloads
+    package; the reference WRITES payloads into the prox stream at
+    termsHashConsumerPerField.go:268-282 but its payload readers are
+    stubbed): score = termScore(doc) * avg(payload) per occurrence
+    (includeSpanScore=True), or the average payload alone.  Pure
+    Catalyst: the float32 blob decodes JVM-side (payload_floats_col),
+    the average is a sequential aggregate fold in position order."""
+    from .ast import TermQuery
+
+    s = searcher
+    q = TermQuery(field, term)
+    stats = s._term_stats(q)
+    st = stats[(field, term)]
+    if st.df == 0:
+        from .executor import RESULT_SCHEMA
+
+        return s.index.spark.createDataFrame([], RESULT_SCHEMA)
+    cs = s._collection_stats(field)
+    idf = s.sim.idf(st.df, cs["max_doc"])
+    avgdl = s.sim.avgdl(cs["sum_ttf"], cs["max_doc"])
+    p = s.index.postings_for_terms(field, [term], with_payloads=True)
+    if "payloads" not in p.columns:
+        raise ValueError(
+            f"index stores no payloads for field {field!r} "
+            "(build with FieldSpec(payloads=True))"
+        )
+    pf = payload_floats_col()
+    avg_payload = F.coalesce(
+        F.aggregate(pf, F.lit(0.0), lambda a, x: a + x)
+        / F.size(pf),
+        F.lit(1.0),
+    )
+    kwargs = (
+        {"query_norm": s.sim.query_norm(s._sum_sq(q, stats))}
+        if s.sim.uses_coord
+        else {}
+    )
+    norm_col = F.col("norm_byte") if getattr(s.index, "quantized", True) else None
+    base = s.sim.score_col(
+        F.col("freq").cast("double"), F.col("dlq"), norm_col, idf, avgdl, 1.0,
+        **kwargs,
+    )
+    score = (base * avg_payload) if include_span_score else avg_payload
+    return (
+        p.select("doc_id", score.alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 def span_first_search(searcher, field: str, term: str, end: int,
                       k: int = 10) -> DataFrame:
     """SpanFirstQuery (Lucene spans module): the term must occur within

@@ -27,7 +27,10 @@ from pathlib import Path
 ROOT = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(ROOT))
 
-CORPUS = ROOT / ".data" / "scaling_corpus.parquet"
+def corpus_path(rows: int):
+    # the original 1M corpus keeps its legacy name; other sizes get their own
+    name = "scaling_corpus.parquet" if rows == 1_000_000 else f"scaling_corpus_{rows}.parquet"
+    return ROOT / ".data" / name
 
 QUERIES = {
     "q01_hot": "content:return",
@@ -45,13 +48,15 @@ QUERIES = {
 
 
 def ensure_corpus(rows: int):
-    if CORPUS.exists():
-        return
+    c = corpus_path(rows)
+    if c.exists():
+        return c
     from golucene_spark.corpus import make_corpus
 
-    CORPUS.parent.mkdir(parents=True, exist_ok=True)
+    c.parent.mkdir(parents=True, exist_ok=True)
     pdf = make_corpus(rows, seed=42)
-    pdf.to_parquet(CORPUS, index=False)
+    pdf.to_parquet(c, index=False)
+    return c
 
 
 def run_one(cores: int, rows: int) -> dict:
@@ -59,7 +64,7 @@ def run_one(cores: int, rows: int) -> dict:
     from golucene_spark.index import CorpusSpec, IndexBuilder, MaterializedIndex
     from golucene_spark.search import Searcher, parse_query
 
-    ensure_corpus(rows)
+    corpus = ensure_corpus(rows)
     spark = get_spark(
         app_name=f"scaling-{cores}",
         master=f"local[{cores}]",
@@ -70,7 +75,7 @@ def run_one(cores: int, rows: int) -> dict:
             "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8m",
         },
     )
-    docs = spark.read.parquet(str(CORPUS))
+    docs = spark.read.parquet(str(corpus))
     n_docs = docs.count()
     warm_sec = warm_workers(spark)
 

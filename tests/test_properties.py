@@ -1,14 +1,14 @@
 """Property-based tests (hypothesis) for pure-Python kernels: the
-sloppy-phrase offset-vector enumeration and the query parser's
-totality (any input string parses to an AST or a clause-limit error —
-never crashes)."""
+polynomial sloppy-phrase matcher (window telescoping / anchored DP)
+and the query parser's totality (any input string parses to an AST or
+a clause-limit error — never crashes)."""
 
 from itertools import product as iproduct
 
 import numpy as np
 from hypothesis import given, settings, strategies as st
 
-from golucene_spark.search.phrase import _sloppy_offset_vectors
+from golucene_spark.search.phrase import _batch_sloppy_freqs
 from golucene_spark.search.parser import parse_query
 
 
@@ -24,28 +24,31 @@ def _positions(draw, n_terms):
 
 @settings(max_examples=200, deadline=None)
 @given(st.data())
-def test_offset_vectors_equal_brute_force(data):
-    n_terms = data.draw(st.integers(2, 4))
-    slop = data.draw(st.integers(0, 3))
+def test_sloppy_matcher_equals_brute_force(data):
+    n_terms = data.draw(st.integers(2, 5))
+    slop = data.draw(st.integers(0, 4))
+    in_order = data.draw(st.booleans())
     pos = data.draw(_positions(n_terms))
     # adjusted positions (term i offset by -i), as the scorer uses them
     adj = [[p - i for p in ps] for i, ps in enumerate(pos)]
 
-    # brute force: every alignment tuple, weight 1/(1+spread)
+    # brute force: every alignment tuple, weight 1/(1+spread); ordered
+    # additionally requires non-decreasing adjusted positions
     want = 0.0
     for tup in iproduct(*adj):
         spread = max(tup) - min(tup)
-        if spread <= slop:
-            want += 1.0 / (1.0 + spread)
+        if spread > slop:
+            continue
+        if in_order and any(tup[i + 1] < tup[i] for i in range(n_terms - 1)):
+            continue
+        want += 1.0 / (1.0 + spread)
 
-    # vector enumeration: intersect shifted sets per offset vector
-    got = 0.0
-    for d, w in _sloppy_offset_vectors(n_terms, slop):
-        sets = [set(adj[0])] + [
-            {a - d[i - 1] for a in adj[i]} for i in range(1, n_terms)
-        ]
-        got += w * len(set.intersection(*sets))
-    assert np.isclose(got, want, rtol=1e-12), (pos, slop)
+    flats = [
+        (np.zeros(len(a), dtype=np.int64), np.array(sorted(a), dtype=np.int64))
+        for a in adj
+    ]
+    got = _batch_sloppy_freqs(flats, 1, slop, in_order)[0]
+    assert np.isclose(got, want, rtol=1e-12, atol=1e-12), (pos, slop, in_order)
 
 
 _QUERY_TOKENS = st.sampled_from(
