@@ -85,6 +85,10 @@ class FuzzyQuery:
     term: str
     max_edits: int = 2
     boost: float = 1.0
+    # FuzzyQuery.prefixLength (Lucene 4.10): candidate terms must share
+    # this many leading chars with the query term — pushed as a
+    # StartsWith range onto the sorted term dictionary
+    prefix_length: int = 0
 
     def rewrite(self):
         if self.max_edits <= 0:
@@ -222,7 +226,8 @@ def _boosted(q, boost: float):
     if isinstance(q, PhraseQuery):
         return PhraseQuery(q.field, q.terms, q.boost * boost, q.slop, q.in_order)
     if isinstance(q, FuzzyQuery):
-        return FuzzyQuery(q.field, q.term, q.max_edits, q.boost * boost)
+        return FuzzyQuery(q.field, q.term, q.max_edits, q.boost * boost,
+                          getattr(q, 'prefix_length', 0))
     if isinstance(q, WildcardQuery):
         return WildcardQuery(q.field, q.pattern, q.boost * boost)
     if isinstance(q, RegexpQuery):

@@ -263,7 +263,8 @@ class Searcher:
         if isinstance(q, FuzzyQuery):
             from .multiterm import expand_fuzzy
 
-            return expand_fuzzy(self.index, q.field, q.term, q.max_edits, q.boost)
+            return expand_fuzzy(self.index, q.field, q.term, q.max_edits, q.boost,
+                                prefix_length=getattr(q, "prefix_length", 0))
         if isinstance(q, RegexpQuery):
             from .multiterm import expand_regexp
 

@@ -30,11 +30,75 @@ def wildcard_to_regex(pattern: str) -> str:
     return "^" + "".join(out) + "$"
 
 
-def matching_terms(index, field: str, regex: str, max_terms: int = MAX_CLAUSE_COUNT) -> list[str]:
+def wildcard_literal_prefix(pattern: str) -> str:
+    """Chars before the first wildcard metachar — every match must start
+    with them."""
+    for i, ch in enumerate(pattern):
+        if ch in "*?":
+            return pattern[:i]
+    return pattern
+
+
+def regex_literal_prefix(pattern: str) -> str:
+    """Longest literal prefix every match of the whole-term-anchored
+    ``pattern`` must start with; "" when none can be proven.
+    Conservative: any unescaped top-level alternation disables the
+    prefix (``ab|cd`` matches need not start with 'a'), a quantifier
+    retracts the literal it applies to (``foo*`` -> prefix 'fo')."""
+    in_class = esc = False
+    depth = 0
+    for ch in pattern:
+        if esc:
+            esc = False
+            continue
+        if ch == "\\":
+            esc = True
+            continue
+        if in_class:
+            in_class = ch != "]"
+            continue
+        if ch == "[":
+            in_class = True
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth = max(0, depth - 1)
+        elif ch == "|" and depth == 0:
+            return ""
+    out: list[str] = []
+    i = 0
+    while i < len(pattern):
+        ch = pattern[i]
+        if ch == "\\" and i + 1 < len(pattern):
+            nxt = pattern[i + 1]
+            if nxt.isalnum():  # \d \w \s etc. are classes, not literals
+                break
+            out.append(nxt)
+            i += 2
+            continue
+        if ch in ".*+?()[]{}|^$":
+            if ch in "*+?{" and out:
+                out.pop()  # the quantifier applies to the last literal
+            break
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
+def matching_terms(index, field: str, regex: str, max_terms: int = MAX_CLAUSE_COUNT,
+                   prefix: str = "") -> list[str]:
+    """Dictionary terms matching ``regex``.  A non-empty ``prefix`` is
+    pushed as StringStartsWith ahead of the rlike — the sorted term
+    column's parquet min/max stats then prune row groups BEFORE any
+    regex evaluation (the automaton-intersection seek role; the linear
+    dict scan only covers the prefix range)."""
     if hasattr(index, "term_dict"):
         src = index.term_dict.filter(F.col("field") == field).select("term").distinct()
     else:
         src = index.tf.filter(F.col("field") == field).select("term").distinct()
+    if prefix:
+        src = src.filter(F.col("term").startswith(prefix))
     rows = src.filter(F.col("term").rlike(regex)).orderBy("term").limit(max_terms + 1).collect()
     if len(rows) > max_terms:
         raise ValueError(f"maxClauseCount is set to {max_terms}")
@@ -45,14 +109,16 @@ def expand_wildcard(index, field: str, pattern: str, boost: float = 1.0,
                     max_terms: int = MAX_CLAUSE_COUNT):
     """WildcardQuery -> BooleanQuery(SHOULD of TermQuery) over matching
     dictionary terms; empty boolean if nothing matches."""
-    terms = matching_terms(index, field, wildcard_to_regex(pattern), max_terms)
+    terms = matching_terms(index, field, wildcard_to_regex(pattern), max_terms,
+                           prefix=wildcard_literal_prefix(pattern))
     return BooleanQuery(
         tuple(BooleanClause(TermQuery(field, t, boost), Occur.SHOULD) for t in terms)
     ).rewrite()
 
 
 def expand_fuzzy(index, field: str, term: str, max_edits: int = 2,
-                 boost: float = 1.0, max_terms: int = MAX_CLAUSE_COUNT):
+                 boost: float = 1.0, max_terms: int = MAX_CLAUSE_COUNT,
+                 prefix_length: int = 0):
     """FuzzyQuery -> BooleanQuery(SHOULD of TermQuery) over dictionary
     terms within ``max_edits`` Levenshtein distance.
 
@@ -61,12 +127,19 @@ def expand_fuzzy(index, field: str, term: str, max_edits: int = 2,
     port needed (the reference's automaton lib at core/util/automaton/
     is never reached: queryParser.go:178-190 panics).  Each expanded
     term is down-weighted by Lucene's FuzzyTermsEnum boost
-    (1 - distance / min(len(term), len(query)))."""
+    (1 - distance / min(len(term), len(query))).
+
+    ``prefix_length`` (FuzzyQuery.prefixLength): candidates must share
+    the query's first N chars exactly — a StartsWith predicate the
+    sorted term dictionary's row-group stats turn into a range seek, so
+    the levenshtein scan covers only the prefix slice of the dict."""
     if hasattr(index, "term_dict"):
         src = index.term_dict.filter(F.col("field") == field).select("term").distinct()
     else:
         src = index.tf.filter(F.col("field") == field).select("term").distinct()
     n = len(term)
+    if prefix_length > 0:
+        src = src.filter(F.col("term").startswith(term[:prefix_length]))
     cand = (
         src.filter(F.length("term").between(n - max_edits, n + max_edits))
         .withColumn("dist", F.levenshtein(F.col("term"), F.lit(term)))
@@ -92,7 +165,8 @@ def expand_regexp(index, field: str, regex: str, boost: float = 1.0,
     (core/util/automaton/regexp.go semantics), so the pattern is
     anchored by default."""
     rx = f"^(?:{regex})$" if anchored else regex
-    terms = matching_terms(index, field, rx, max_terms)
+    terms = matching_terms(index, field, rx, max_terms,
+                           prefix=regex_literal_prefix(regex) if anchored else "")
     return BooleanQuery(
         tuple(BooleanClause(TermQuery(field, t, boost), Occur.SHOULD) for t in terms)
     ).rewrite()

@@ -141,3 +141,54 @@ def test_count_and_term_dictionary(wix):
     assert rows == [("parse", 2, 2), ("parser", 1, 1), ("parsing", 1, 1),
                     ("partial", 1, 1), ("partition", 1, 1)]
     assert term_dictionary(wix, "content", limit=2).count() == 2
+
+
+def test_literal_prefix_extraction():
+    from golucene_spark.search.multiterm import (
+        regex_literal_prefix, wildcard_literal_prefix)
+
+    assert wildcard_literal_prefix("spar*") == "spar"
+    assert wildcard_literal_prefix("sp?rk") == "sp"
+    assert wildcard_literal_prefix("*ark") == ""
+    assert wildcard_literal_prefix("plain") == "plain"
+
+    assert regex_literal_prefix("foo") == "foo"
+    assert regex_literal_prefix("fo+") == "f"      # quantifier retracts 'o'
+    assert regex_literal_prefix("foo.*bar") == "foo"
+    assert regex_literal_prefix("ab|cd") == ""     # alternation kills it
+    assert regex_literal_prefix("x(a|b)") == "x"   # parens stop collection
+    assert regex_literal_prefix(r"sp\.ark") == "sp.ark"
+    assert regex_literal_prefix(r"\dfoo") == ""    # \d is a class
+    assert regex_literal_prefix("[ab]cd") == ""
+    assert regex_literal_prefix("ba{2}") == "b"
+
+
+def test_prefix_pruned_expansion_equivalent(wix):
+    """Wildcard/regexp/fuzzy expansion results are identical with the
+    prefix pushdown in place (it only narrows the scan, never the
+    semantics)."""
+    from golucene_spark.search.multiterm import (
+        expand_fuzzy, expand_regexp, expand_wildcard, matching_terms,
+        wildcard_to_regex)
+
+    # unpruned baselines: force prefix="" through matching_terms
+    base_w = matching_terms(wix, "content", wildcard_to_regex("par*"))
+    got_w = expand_wildcard(wix, "content", "par*")
+    assert sorted(t.query.term for t in getattr(got_w, "clauses", [])) == base_w or \
+        getattr(got_w, "term", None) == (base_w[0] if len(base_w) == 1 else None)
+
+    base_r = matching_terms(wix, "content", "^(?:pa.se[rd]?)$")
+    got_r = expand_regexp(wix, "content", "pa.se[rd]?")
+    got_r_terms = sorted(
+        c.query.term for c in getattr(got_r, "clauses", [])
+    ) if hasattr(got_r, "clauses") else [got_r.term]
+    assert got_r_terms == base_r
+
+    f_no = expand_fuzzy(wix, "content", "parse", 1)
+    f_pfx = expand_fuzzy(wix, "content", "parse", 1, prefix_length=2)
+    terms_no = {c.query.term for c in getattr(f_no, "clauses", [f_no])
+                if hasattr(c, "query")} or {getattr(f_no, "term", None)}
+    terms_pfx = {c.query.term for c in getattr(f_pfx, "clauses", [f_pfx])
+                 if hasattr(c, "query")} or {getattr(f_pfx, "term", None)}
+    # prefix-constrained candidates are the subset sharing 'pa'
+    assert terms_pfx == {t for t in terms_no if t and t.startswith("pa")}
