@@ -986,6 +986,115 @@ ORDER BY score_e6 DESC, doc_id ASC LIMIT 10
 """
 
 
+# --- corpus-level exact-substring dedup + repetition signals ---------------
+
+
+def q_repeated_ngram_coverage(spark, sf_dir):
+    """ExactSubstr dedup signal (Lee et al. 2022): per-doc token
+    coverage by 8-gram spans occurring more than once in the corpus."""
+    from .text.dedup import repeated_ngram_coverage
+
+    out = repeated_ngram_coverage(_docs(spark, sf_dir), n=8, text_col="text")
+    return out.select(
+        "doc_id", "n_tokens", "dup_spans", "dup_covered",
+        F.round(F.col("dup_frac") * 1e6, 0).cast("long").alias("dup_frac_e6"),
+    ).orderBy("doc_id")
+
+
+ORACLES["repeated_ngram_coverage"] = """
+WITH tokd AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS toks
+              FROM documents),
+base AS (SELECT doc_id, len(toks)::BIGINT AS n_tokens, toks FROM tokd),
+spans AS (
+  SELECT doc_id, i - 1 AS start, md5(array_to_string(toks[i:i+7], ' ')) AS h
+  FROM base, LATERAL unnest(range(1, n_tokens - 8 + 2)) AS t(i)
+  WHERE n_tokens >= 8
+),
+dk AS (SELECT h FROM spans GROUP BY h HAVING count(*) > 1),
+ds AS (SELECT doc_id, start FROM spans JOIN dk USING (h)),
+cov AS (
+  SELECT doc_id,
+    greatest(0, (start + 8) - greatest(coalesce(
+      max(start + 8) OVER (PARTITION BY doc_id ORDER BY start
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      start), start)) AS addl
+  FROM ds
+),
+agg AS (SELECT doc_id, count(*)::BIGINT AS dup_spans, sum(addl)::BIGINT AS dup_covered
+        FROM cov GROUP BY doc_id)
+SELECT b.doc_id AS doc_id, b.n_tokens AS n_tokens,
+  coalesce(a.dup_spans, 0)::BIGINT AS dup_spans,
+  coalesce(a.dup_covered, 0)::BIGINT AS dup_covered,
+  CAST(ROUND((CASE WHEN b.n_tokens > 0
+                   THEN coalesce(a.dup_covered, 0)::DOUBLE / b.n_tokens
+                   ELSE 0 END) * 1000000.0, 0) AS BIGINT) AS dup_frac_e6
+FROM base b LEFT JOIN agg a USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+def q_repetition_signals(spark, sf_dir):
+    """Gopher-style intra-doc repetition filters: duplicate-line
+    fractions + most-frequent 2-/3-gram character coverage."""
+    from .text.quality import repetition_signals
+
+    out = repetition_signals(_docs(spark, sf_dir), text_col="text")
+    e6 = lambda c: F.round(F.col(c) * 1e6, 0).cast("long").alias(c + "_e6")
+    return out.select(
+        "doc_id", "n_tokens", "n_lines",
+        e6("dup_line_frac"), e6("dup_line_char_frac"),
+        e6("top2gram_char_frac"), e6("top3gram_char_frac"),
+    ).orderBy("doc_id")
+
+
+ORACLES["repetition_signals"] = """
+WITH tokd AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS toks
+              FROM documents),
+docs AS (SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+                coalesce(list_sum(list_transform(toks, t -> length(t))), 0)::BIGINT AS tok_chars,
+                toks
+         FROM tokd),
+lns AS (SELECT doc_id, trim(l) AS line
+        FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS l FROM documents)
+        WHERE length(trim(l)) > 0),
+lg AS (SELECT doc_id, line, count(*) AS cnt FROM lns GROUP BY 1, 2),
+ls AS (SELECT doc_id, sum(cnt)::BIGINT AS n_lines, count(*)::BIGINT AS n_uniq,
+              sum(cnt * length(line))::BIGINT AS line_chars,
+              sum(CASE WHEN cnt > 1 THEN cnt * length(line) ELSE 0 END)::BIGINT AS dup_line_chars
+       FROM lg GROUP BY 1),
+g2 AS (SELECT doc_id, gram, count(*) AS cnt FROM (
+         SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS gram
+         FROM docs, LATERAL unnest(range(1, n_tokens - 2 + 2)) t(i)
+         WHERE n_tokens >= 2) GROUP BY 1, 2),
+t2 AS (SELECT doc_id, covered FROM (
+         SELECT doc_id, cnt * (length(gram) - 1) AS covered,
+                row_number() OVER (PARTITION BY doc_id
+                  ORDER BY cnt * (length(gram) - 1) DESC, gram ASC) AS rn
+         FROM g2) WHERE rn = 1),
+g3 AS (SELECT doc_id, gram, count(*) AS cnt FROM (
+         SELECT doc_id, array_to_string(toks[i:i+2], ' ') AS gram
+         FROM docs, LATERAL unnest(range(1, n_tokens - 3 + 2)) t(i)
+         WHERE n_tokens >= 3) GROUP BY 1, 2),
+t3 AS (SELECT doc_id, covered FROM (
+         SELECT doc_id, cnt * (length(gram) - 2) AS covered,
+                row_number() OVER (PARTITION BY doc_id
+                  ORDER BY cnt * (length(gram) - 2) DESC, gram ASC) AS rn
+         FROM g3) WHERE rn = 1)
+SELECT d.doc_id AS doc_id, d.n_tokens AS n_tokens,
+  coalesce(ls.n_lines, 0)::BIGINT AS n_lines,
+  CAST(ROUND((CASE WHEN coalesce(ls.n_lines, 0) > 0
+    THEN (ls.n_lines - ls.n_uniq)::DOUBLE / ls.n_lines ELSE 0 END) * 1000000.0, 0) AS BIGINT) AS dup_line_frac_e6,
+  CAST(ROUND((CASE WHEN coalesce(ls.line_chars, 0) > 0
+    THEN coalesce(ls.dup_line_chars, 0)::DOUBLE / ls.line_chars ELSE 0 END) * 1000000.0, 0) AS BIGINT) AS dup_line_char_frac_e6,
+  CAST(ROUND((CASE WHEN d.tok_chars > 0
+    THEN coalesce(t2.covered, 0)::DOUBLE / d.tok_chars ELSE 0 END) * 1000000.0, 0) AS BIGINT) AS top2gram_char_frac_e6,
+  CAST(ROUND((CASE WHEN d.tok_chars > 0
+    THEN coalesce(t3.covered, 0)::DOUBLE / d.tok_chars ELSE 0 END) * 1000000.0, 0) AS BIGINT) AS top3gram_char_frac_e6
+FROM docs d LEFT JOIN ls USING (doc_id) LEFT JOIN t2 USING (doc_id) LEFT JOIN t3 USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 # --- SmallFloat norm quantization oracle pairing (W7) ----------------------
 # The ONLY gate built with quantize_norms=True: BM25 over the byte315-
 # quantized doc length (core/util/smallFloat.go:15 encode at index time,
@@ -3543,6 +3652,8 @@ QUERIES = {
     "quantized_norms_bm25": q_quantized_norms_bm25,
     "boost_field_bm25": q_boost_field_bm25,
     "payload_term_bm25": q_payload_term_bm25,
+    "repeated_ngram_coverage": q_repeated_ngram_coverage,
+    "repetition_signals": q_repetition_signals,
     # --- never driver-checked (round-2 additions) ---
     "term_bm25_standard": q_term_bm25_standard,
     "update_bm25": q_update_bm25,

@@ -305,3 +305,66 @@ def simhash_hamming_pairs(sig: DataFrame, id_col: str = "doc_id", max_dist: int 
     )
     dist = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return cand.select("id_a", "id_b", dist.alias("hamming")).filter(F.col("hamming") <= max_dist)
+
+
+def repeated_ngram_coverage(df: DataFrame, n: int = 8,
+                            text_col: str = "text",
+                            id_col: str = "doc_id") -> DataFrame:
+    """Corpus-level exact-substring duplication signal (the ExactSubstr
+    pass of Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better", arXiv:2107.06499 — re-expressed
+    set-oriented, no suffix array): an n-token span occurring more than
+    once ANYWHERE in the corpus (another doc, or another offset of the
+    same doc) marks its token range as duplicated; per doc we report
+    how many token positions at least one duplicated span covers.
+
+    Returns (doc_id, n_tokens, dup_spans, dup_covered, dup_frac).
+
+    Scale shape: one shingle explode (narrow, O(total tokens)), ONE
+    wide shuffle on the md5 shingle key (a hot span collapses to a
+    single counting row — no skew amplification), a semi-join back,
+    and a per-doc window for the interval union.  Linear in total
+    tokens; the 100-TB cost is the one shingle-keyed exchange.
+    """
+    from pyspark.sql import Window
+
+    toks = _tokens(text_col)
+    base = df.select(
+        F.col(id_col).alias("doc_id"), toks.alias("toks")
+    ).withColumn("n_tokens", F.size("toks"))
+    shing = F.when(
+        F.col("n_tokens") >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.col("n_tokens") - n + 1),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("toks"), i, n))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    spans = base.select("doc_id", F.posexplode(shing).alias("start", "h"))
+    dup_keys = spans.groupBy("h").count().filter(F.col("count") > 1).select("h")
+    dup_spans = spans.join(dup_keys, "h", "left_semi")
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("start")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_end = F.max(F.col("start") + n).over(w)
+    add = F.greatest(
+        F.lit(0),
+        (F.col("start") + n)
+        - F.greatest(F.coalesce(prev_end, F.col("start")), F.col("start")),
+    )
+    cov = (
+        dup_spans.withColumn("add", add)
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("dup_spans"), F.sum("add").alias("dup_covered"))
+    )
+    return base.select("doc_id", "n_tokens").join(cov, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.coalesce("dup_spans", F.lit(0)).cast("long").alias("dup_spans"),
+        F.coalesce("dup_covered", F.lit(0)).cast("long").alias("dup_covered"),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.coalesce("dup_covered", F.lit(0)).cast("double") / F.col("n_tokens"),
+        ).otherwise(F.lit(0.0)).alias("dup_frac"),
+    )

@@ -111,3 +111,91 @@ def doc_fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
         F.col(id_col),
         F.md5(F.concat_ws(" ", _tokens(text_col))).alias("fingerprint"),
     )
+
+
+def repetition_signals(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id",
+                       line_delim: str = "\n") -> DataFrame:
+    """Intra-document repetition filters in the Gopher/MassiveText style
+    (Rae et al. 2021, arXiv:2112.11446 Table A1): per doc,
+
+    - dup_line_frac: 1 - distinct_lines / lines (lines split on
+      ``line_delim``, trimmed, empties dropped)
+    - dup_line_char_frac: chars inside line-groups occurring >1 time /
+      total line chars
+    - top2gram_char_frac / top3gram_char_frac: characters covered by
+      the most frequent word n-gram (count * gram length) / total
+      token chars
+
+    Scale shape: explode + groupBy per signal family (keys are
+    (doc, line) / (doc, gram) — per-doc cardinality, no global hot
+    keys), window max for the mode, left-joins back onto the doc list.
+    No per-doc quadratic array loops.
+    """
+    from pyspark.sql import Window
+
+    toks = _tokens(text_col)
+    base = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t"),
+                     toks.alias("toks"))
+
+    # --- line signals ---
+    lines = base.select(
+        "doc_id",
+        F.explode(F.split("_t", line_delim)).alias("raw"),
+    ).select("doc_id", F.trim("raw").alias("line")).filter(F.length("line") > 0)
+    lg = lines.groupBy("doc_id", "line").agg(F.count("*").alias("cnt"))
+    line_stats = lg.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_lines"),
+        F.count("*").alias("n_uniq_lines"),
+        F.sum(F.col("cnt") * F.length("line")).alias("line_chars"),
+        F.sum(F.when(F.col("cnt") > 1, F.col("cnt") * F.length("line"))
+              .otherwise(F.lit(0))).alias("dup_line_chars"),
+    )
+
+    # --- word n-gram signals ---
+    def _top_gram(n: int, out: str):
+        grams = base.select(
+            "doc_id",
+            F.explode(
+                F.when(
+                    F.size("toks") >= n,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("toks") - n + 1),
+                        lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i, n)),
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("gram"),
+        )
+        gg = grams.groupBy("doc_id", "gram").agg(F.count("*").alias("cnt"))
+        # gram chars exclude the joining spaces: count * (len - (n-1))
+        covered = F.col("cnt") * (F.length("gram") - (n - 1))
+        w = Window.partitionBy("doc_id").orderBy(
+            F.desc(covered), F.asc("gram")
+        )
+        return (
+            gg.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("doc_id", covered.alias(out))
+        )
+
+    tok_chars = F.aggregate(
+        F.col("toks"), F.lit(0).cast("long"), lambda a, t: a + F.length(t)
+    )
+    docs = base.select("doc_id", F.size("toks").cast("long").alias("n_tokens"),
+                       tok_chars.alias("tok_chars"))
+    out = (
+        docs.join(line_stats, "doc_id", "left")
+        .join(_top_gram(2, "top2_chars"), "doc_id", "left")
+        .join(_top_gram(3, "top3_chars"), "doc_id", "left")
+    )
+    nz = lambda c: F.coalesce(c, F.lit(0))
+    frac = lambda num, den: F.when(den > 0, num.cast("double") / den).otherwise(F.lit(0.0))
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        nz(F.col("n_lines")).cast("long").alias("n_lines"),
+        frac(nz(F.col("n_lines")) - nz(F.col("n_uniq_lines")), nz(F.col("n_lines"))).alias("dup_line_frac"),
+        frac(nz(F.col("dup_line_chars")), nz(F.col("line_chars"))).alias("dup_line_char_frac"),
+        frac(nz(F.col("top2_chars")), F.col("tok_chars")).alias("top2gram_char_frac"),
+        frac(nz(F.col("top3_chars")), F.col("tok_chars")).alias("top3gram_char_frac"),
+    )

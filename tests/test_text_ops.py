@@ -273,3 +273,52 @@ def test_rrf_fuse(spark):
     t = spark.createDataFrame([(7, 1.0), (5, 1.0)], "doc_id long, score double")
     tied = {r["doc_id"]: r["rrf"] for r in rrf_fuse([t]).collect()}
     assert tied[5] == 1 / 61 and tied[7] == 1 / 62
+
+
+def test_repeated_ngram_coverage_interval_union(spark):
+    """Overlapping duplicated spans must union, not double-count, and
+    same-doc repeats count as duplication."""
+    from golucene_spark.text.dedup import repeated_ngram_coverage
+
+    common = "one two three four"  # 4-gram shared by docs 0 and 1
+    rows = [
+        (0, f"{common} filler0a filler0b"),
+        (1, f"prefix1 {common} suffix1"),
+        # doc 2 repeats its own 4-gram twice (self-duplication) with
+        # overlapping coverage: tokens 'a b c d a b c d'
+        (2, "a b c d a b c d"),
+        (3, "totally unrelated words here now"),
+        (4, "x y"),  # shorter than n: no spans
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict()
+           for r in repeated_ngram_coverage(df, n=4, text_col="text").collect()}
+    assert out[0]["dup_covered"] == 4 and out[0]["dup_spans"] == 1
+    assert out[1]["dup_covered"] == 4
+    # doc 2: every 4-gram window of 'a b c d a b c d': starts 0..4;
+    # duplicated ones cover the whole 8 tokens
+    assert out[2]["dup_covered"] == 8 and out[2]["n_tokens"] == 8
+    assert out[2]["dup_frac"] == pytest.approx(1.0)
+    assert out[3]["dup_covered"] == 0 and out[3]["dup_frac"] == 0.0
+    assert out[4]["dup_spans"] == 0 and out[4]["n_tokens"] == 2
+
+
+def test_repetition_signals_lines_and_grams(spark):
+    from golucene_spark.text.quality import repetition_signals
+
+    rows = [
+        (0, "hello world\nhello world\nunique line"),
+        (1, "spark spark spark spark"),
+        (2, "no repeats at all here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict()
+           for r in repetition_signals(df, text_col="text").collect()}
+    # doc 0: 3 lines, 2 identical -> dup_line_frac = 1/3; duplicated
+    # line chars = 2*11 over total 2*11+11 = 33
+    assert out[0]["n_lines"] == 3
+    assert out[0]["dup_line_frac"] == pytest.approx(1 / 3)
+    assert out[0]["dup_line_char_frac"] == pytest.approx(22 / 33)
+    # doc 1: top 2-gram 'spark spark' occurs 3x, covers 3*10 of 20 chars
+    assert out[1]["top2gram_char_frac"] == pytest.approx(30 / 20)
+    assert out[2]["dup_line_frac"] == 0.0
