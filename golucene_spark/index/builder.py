@@ -1109,6 +1109,22 @@ class MaterializedIndex:
         )
         return rows[0].asDict() if rows else None
 
+    def doc_values(self, column: str) -> DataFrame:
+        """Per-document values column (the NumericDocValues/
+        SortedDocValues role — core/index/defaultIndexingChain.go:386-391
+        panics in the reference; core Lucene 4.10 serves sort/facet from
+        the .dvd column store).  Here the columnar doc_meta table IS the
+        doc-values store: this returns the live (doc_id, value) frame —
+        newest version per doc under updates, tombstones applied — with
+        the column projection pushed to the parquet scan.  search_sorted
+        and facet_counts consume the same store."""
+        if column not in self.doc_meta.columns:
+            raise ValueError(f"no stored column {column!r} in doc_meta "
+                             f"(have {self.doc_meta.columns})")
+        return self.live_doc_meta().select(
+            "doc_id", F.col(column).alias("value")
+        )
+
     def term_vectors_frame(self, field: str | None = None,
                            doc_ids: list[int] | None = None) -> DataFrame:
         """Doc-major term-vector rows (doc_id, field, term, freq,

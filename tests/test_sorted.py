@@ -59,3 +59,15 @@ def test_search_filtered_predicate(six):
     for r in hits:
         assert r["score"] == rel[r["doc_id"]]
     assert s.search_filtered("text:data", "source = 'nope'", 10).count() == 0
+
+
+def test_doc_values_column(spark, six):
+    """doc_values(column): live per-doc values frame (the DocValues role
+    served from the columnar doc_meta store)."""
+    vals = {r["doc_id"]: r["value"] for r in six.doc_values("lang").collect()}
+    metas = {r["doc_id"]: r["lang"] for r in six.live_doc_meta().collect()}
+    assert vals == metas and len(vals) > 0
+    import pytest
+
+    with pytest.raises(ValueError):
+        six.doc_values("not_a_column")
