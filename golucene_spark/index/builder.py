@@ -63,11 +63,22 @@ TF_SCHEMA = T.StructType(
         T.StructField("term", T.StringType(), True),
         T.StructField("freq", T.IntegerType(), False),
         T.StructField("positions", T.BinaryType(), True),
-        T.StructField("payloads", T.BinaryType(), True),
         T.StructField("dlq", T.DoubleType(), False),
         T.StructField("norm_byte", T.IntegerType(), False),
     ]
 )
+
+# payload-carrying variant: only specs with a FieldSpec(payloads=True)
+# pay for the extra per-posting blob column
+TF_SCHEMA_PAYLOADS = T.StructType(
+    TF_SCHEMA.fields[:6]
+    + [T.StructField("payloads", T.BinaryType(), True)]
+    + TF_SCHEMA.fields[6:]
+)
+
+
+def _spec_has_payloads(spec) -> bool:
+    return any(getattr(f, "payloads", False) for f in spec.text_fields)
 
 
 @dataclass(frozen=True)
@@ -199,6 +210,7 @@ def _tf_arrow_fn(spec: CorpusSpec, analyzer_name: str, quantize: bool, index_pos
         for f in spec.text_fields
     ]
     kw_fields = [(f.name, f.column) for f in spec.keyword_fields]
+    has_payloads = _spec_has_payloads(spec)
     pa_schema = pa.schema(
         [
             ("segment_id", pa.int32()),
@@ -207,7 +219,9 @@ def _tf_arrow_fn(spec: CorpusSpec, analyzer_name: str, quantize: bool, index_pos
             ("term", pa.string()),
             ("freq", pa.int32()),
             ("positions", pa.binary()),
-            ("payloads", pa.binary()),
+        ]
+        + ([("payloads", pa.binary())] if has_payloads else [])
+        + [
             ("dlq", pa.float64()),
             ("norm_byte", pa.int32()),
         ]
@@ -223,20 +237,23 @@ def _tf_arrow_fn(spec: CorpusSpec, analyzer_name: str, quantize: bool, index_pos
 
     def _mk(seg, doc, field_arr, term_arr, freq, positions, dlq, nb,
             payloads=None):
-        return pa.RecordBatch.from_arrays(
-            [
-                pa.array(seg.astype(np.int32)),
-                pa.array(doc.astype(np.int64)),
-                field_arr,
-                term_arr,
-                pa.array(freq.astype(np.int32)),
-                positions,
-                payloads if payloads is not None else _null_positions(len(freq)),
-                pa.array(dlq.astype(np.float64)),
-                pa.array(nb.astype(np.int32)),
-            ],
-            schema=pa_schema,
-        )
+        arrays = [
+            pa.array(seg.astype(np.int32)),
+            pa.array(doc.astype(np.int64)),
+            field_arr,
+            term_arr,
+            pa.array(freq.astype(np.int32)),
+            positions,
+        ]
+        if has_payloads:
+            arrays.append(
+                payloads if payloads is not None else _null_positions(len(freq))
+            )
+        arrays += [
+            pa.array(dlq.astype(np.float64)),
+            pa.array(nb.astype(np.int32)),
+        ]
+        return pa.RecordBatch.from_arrays(arrays, schema=pa_schema)
 
     # Cap the NumPy working-set per slice: this sandbox's page-fault path
     # is slow and globally serialized, so each worker keeps a small
@@ -393,8 +410,9 @@ def tokenize_tf(docs: DataFrame, spec: CorpusSpec, analyzer: str = "standard",
         | {f.column for f in spec.keyword_fields}
         | {f.boost_col for f in spec.text_fields if getattr(f, "boost_col", None)}
     )
+    schema = TF_SCHEMA_PAYLOADS if _spec_has_payloads(spec) else TF_SCHEMA
     return docs.select(*cols).mapInArrow(
-        _tf_arrow_fn(spec, analyzer, quantize, index_positions), TF_SCHEMA
+        _tf_arrow_fn(spec, analyzer, quantize, index_positions), schema
     )
 
 
@@ -511,13 +529,17 @@ def blocked_postings(tf: DataFrame, block_size: int = BLOCK_SIZE,
         # certifies — the top-k threshold then seeds from metadata with
         # no posting decode
         F.array_max(dlqs).alias("block_max_dlq"),
-        F.size(F.filter(freqs, lambda x: x == F.array_max(freqs)))
-        .alias("block_max_freq_cnt"),
         F.element_at(doc_ids, 1).alias("block_first_doc"),
         F.element_at(doc_ids, -1).alias("block_last_doc"),
         F.when(F.col("field").startswith(DOC_SENTINEL_FIELD), "doc")
         .otherwise("post")
         .alias("kind"),
+    ).withColumn(
+        # separate projection so the comparison reuses the computed
+        # block_max_freq column instead of re-evaluating array_max per
+        # element inside the lambda
+        "block_max_freq_cnt",
+        F.size(F.filter(F.col("freqs"), lambda x: x == F.col("block_max_freq"))),
     )
 
 
