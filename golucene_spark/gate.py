@@ -986,6 +986,60 @@ ORDER BY score_e6 DESC, doc_id ASC LIMIT 10
 """
 
 
+# --- MultiPhraseQuery (synonym phrase) oracle pairing ----------------------
+
+
+def q_multi_phrase_bm25(spark, sf_dir):
+    """MultiPhraseQuery: slot 0 admits 'data' OR 'query', slot 1 is
+    'join' — every matching alignment (either alternative followed by
+    'join') counts toward phraseFreq; idf sums over all three terms
+    (MultiPhraseWeight idfExplain(allTerms))."""
+    from .search.ast import MultiPhraseQuery
+
+    s = Searcher(_index_pos(spark, sf_dir), "bm25")
+    frame = s.score_frame(MultiPhraseQuery("text", (("data", "query"), ("join",))))
+    return (
+        frame.withColumn("score_e6", F.round(F.col("score") * 1e6, 0).cast("long"))
+        .orderBy(F.desc("score_e6"), F.asc("doc_id"))
+        .limit(10)
+        .select("doc_id", "score_e6")
+    )
+
+
+ORACLES["multi_phrase_bm25"] = f"""{BASE_CTE},
+otok AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS term,
+         generate_subscripts(regexp_extract_all(lower(text), '{TOKEN_PATTERN}'), 1) AS ord
+  FROM documents
+),
+kpos AS (
+  SELECT doc_id, term, row_number() OVER (PARTITION BY doc_id ORDER BY ord) - 1 AS pos
+  FROM otok WHERE term NOT IN ({STOP_SQL})
+),
+pf AS (
+  SELECT a.doc_id, count(*)::BIGINT AS freq
+  FROM kpos a JOIN kpos b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  WHERE a.term IN ('data', 'query') AND b.term = 'join'
+  GROUP BY a.doc_id
+),
+ts0 AS (SELECT count(*)::BIGINT AS df FROM tf WHERE term = 'data'),
+ts1 AS (SELECT count(*)::BIGINT AS df FROM tf WHERE term = 'query'),
+ts2 AS (SELECT count(*)::BIGINT AS df FROM tf WHERE term = 'join'),
+idfp AS (
+  SELECT ln(1 + (stats.n_docs - ts0.df + 0.5) / (ts0.df + 0.5))
+       + ln(1 + (stats.n_docs - ts1.df + 0.5) / (ts1.df + 0.5))
+       + ln(1 + (stats.n_docs - ts2.df + 0.5) / (ts2.df + 0.5)) AS idf
+  FROM stats, ts0, ts1, ts2
+)
+SELECT pf.doc_id AS doc_id,
+  CAST(ROUND((idfp.idf * {K1 + 1.0}
+       * pf.freq / (pf.freq + {K1} * (1 - {B} + {B} * dl.dl / (stats.sum_dl / stats.n_docs)))) * 1000000.0, 0) AS BIGINT) AS score_e6
+FROM pf JOIN dl USING (doc_id), stats, idfp
+ORDER BY score_e6 DESC, doc_id ASC LIMIT 10
+"""
+
+
 # --- corpus-level exact-substring dedup + repetition signals ---------------
 
 
@@ -3654,6 +3708,7 @@ QUERIES = {
     "payload_term_bm25": q_payload_term_bm25,
     "repeated_ngram_coverage": q_repeated_ngram_coverage,
     "repetition_signals": q_repetition_signals,
+    "multi_phrase_bm25": q_multi_phrase_bm25,
     # --- never driver-checked (round-2 additions) ---
     "term_bm25_standard": q_term_bm25_standard,
     "update_bm25": q_update_bm25,

@@ -6,6 +6,7 @@ from .ast import (
     Occur,
     MatchAllQuery,
     PhraseQuery,
+    MultiPhraseQuery,
     FuzzyQuery,
     WildcardQuery,
     RegexpQuery,
@@ -32,6 +33,7 @@ __all__ = [
     "Occur",
     "MatchAllQuery",
     "PhraseQuery",
+    "MultiPhraseQuery",
     "FuzzyQuery",
     "WildcardQuery",
     "RegexpQuery",

@@ -76,6 +76,31 @@ class PhraseQuery:
 
 
 @dataclass(frozen=True)
+class MultiPhraseQuery:
+    """MultiPhraseQuery (core Lucene 4.10; absent from the reference):
+    a phrase where each position admits ANY of a set of terms — the
+    analyzer-synonym phrase.  Matching generalizes PhraseQuery: slot i
+    matches at adjusted position p when any of its terms occurs at
+    p + i; freq counts alignments (sloppy weighting identical to
+    PhraseQuery's when slop > 0).  idf sums over ALL terms of all
+    slots (Lucene's MultiPhraseWeight idfExplain(allTerms))."""
+
+    field: str
+    term_sets: tuple  # tuple[tuple[str, ...], ...]
+    boost: float = 1.0
+    slop: int = 0
+    in_order: bool = False
+
+    def rewrite(self):
+        if all(len(s) == 1 for s in self.term_sets):
+            return PhraseQuery(
+                self.field, tuple(s[0] for s in self.term_sets),
+                self.boost, self.slop, self.in_order,
+            ).rewrite()
+        return self
+
+
+@dataclass(frozen=True)
 class FuzzyQuery:
     """Deferred multi-term query: expanded against the term dictionary
     with a Levenshtein predicate (queryParser.go:178-190 panics in the

@@ -33,6 +33,7 @@ from .ast import (
     MatchAllQuery,
     Occur,
     PhraseQuery,
+    MultiPhraseQuery,
     RegexpQuery,
     TermQuery,
     TermRangeQuery,
@@ -54,6 +55,10 @@ def _collect_terms(q, out):
     elif isinstance(q, PhraseQuery):
         for t in q.terms:
             out.add((q.field, t))
+    elif isinstance(q, MultiPhraseQuery):
+        for ts in q.term_sets:
+            for t in ts:
+                out.add((q.field, t))
     elif isinstance(q, BooleanQuery):
         for c in q.clauses:
             _collect_terms(c.query, out)
@@ -131,6 +136,14 @@ class Searcher:
             st = stats[(q.field, q.term)]
             cs = self._collection_stats(q.field)
             idf = self.sim.idf(st.df, cs["max_doc"])
+            return self.sim.value_for_normalization(idf, q.boost)
+        if isinstance(q, MultiPhraseQuery):
+            # MultiPhraseWeight: idfExplain over ALL terms of all slots
+            cs = self._collection_stats(q.field)
+            idf = sum(
+                self.sim.idf(stats[(q.field, t)].df, cs["max_doc"])
+                for ts in q.term_sets for t in ts
+            )
             return self.sim.value_for_normalization(idf, q.boost)
         if isinstance(q, PhraseQuery):
             # PhraseWeight sums the terms' idfs (Similarity.idfExplain)
@@ -212,6 +225,39 @@ class Searcher:
         )
         return frame.select("doc_id", score.alias("score"))
 
+    def _multi_phrase_frame(self, q: MultiPhraseQuery, stats,
+                            query_norm: float) -> DataFrame | None:
+        """Scored frame for a MultiPhraseQuery: per-slot union of the
+        slot terms' positions, same matcher as the phrase scorer; idf
+        sums over ALL terms of all slots (MultiPhraseWeight)."""
+        from .phrase import multi_phrase_freq_frame
+
+        # drop df=0 terms from each slot (they cannot match); an empty
+        # slot means the phrase cannot match at all
+        live_sets = tuple(
+            tuple(t for t in ts if stats[(q.field, t)].df > 0)
+            for ts in q.term_sets
+        )
+        if any(not ts for ts in live_sets):
+            return None
+        cs = self._collection_stats(q.field)
+        idf = sum(
+            self.sim.idf(stats[(q.field, t)].df, cs["max_doc"])
+            for ts in q.term_sets for t in ts
+        )
+        avgdl = self.sim.avgdl(cs["sum_ttf"], cs["max_doc"])
+        frame = multi_phrase_freq_frame(
+            self.index, q.field, live_sets, q.slop,
+            in_order=getattr(q, "in_order", False),
+        )
+        norm_col = F.col("norm_byte") if getattr(self.index, "quantized", True) else None
+        kwargs = {"query_norm": query_norm} if self.sim.uses_coord else {}
+        score = self.sim.score_col(
+            F.col("freq").cast("double"), F.col("dlq"), norm_col,
+            idf, avgdl, q.boost, **kwargs,
+        )
+        return frame.select("doc_id", score.alias("score"))
+
     def _dismax_frame(self, q: DisjunctionMaxQuery, stats, query_norm: float) -> DataFrame | None:
         """score = max(sub scores) + tie_breaker * (sum of the other
         matching subs) — one union + one groupBy(max, sum); the
@@ -239,6 +285,8 @@ class Searcher:
             return self._dismax_frame(q, stats, query_norm)
         if isinstance(q, PhraseQuery):
             return self._phrase_frame(q, stats, query_norm)
+        if isinstance(q, MultiPhraseQuery):
+            return self._multi_phrase_frame(q, stats, query_norm)
         if isinstance(q, MatchAllQuery):
             return self.index.doc_stats.select("doc_id").distinct().select(
                 "doc_id", F.lit(float(q.boost)).alias("score")

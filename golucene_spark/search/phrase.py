@@ -160,10 +160,51 @@ def _conjunction_base(index, field: str, terms: list[str]):
     return base
 
 
+def _multi_conjunction_base(index, field: str, term_sets):
+    """MultiPhraseQuery conjunction: slot i matches a doc when ANY of
+    its terms occurs — per-slot union of the terms' postings with the
+    doc's matching position blobs CONCATENATED (packed order is
+    irrelevant, the matcher sorts), inner-joined across slots."""
+    base = None
+    for i, ts in enumerate(term_sets):
+        p = index.postings_for_terms(field, list(ts), with_positions=True)
+        slot = p.groupBy("doc_id").agg(
+            F.aggregate(
+                F.collect_list("positions"),
+                F.lit(b"").cast("binary"),
+                lambda a, x: F.concat(a, F.coalesce(x, F.lit(b""))),
+            ).alias(f"pos{i}"),
+            *(
+                [F.first("dlq").alias("dlq"),
+                 F.first("norm_byte").alias("norm_byte")]
+                if i == 0 else []
+            ),
+        )
+        base = slot if base is None else base.join(slot, "doc_id")
+    return base
+
+
+def multi_phrase_freq_frame(index, field: str, term_sets, slop: int = 0,
+                            in_order: bool = False) -> DataFrame:
+    """(doc_id, freq, dlq, norm_byte) for docs matching a
+    MultiPhraseQuery: same matcher as phrase_freq_frame, with each
+    slot's candidate positions the union of its terms' occurrences."""
+    base = _multi_conjunction_base(index, field, term_sets)
+    n = len(term_sets)
+    if slop or in_order:
+        return _sloppy_from_base(base, n, slop, in_order)
+    return _exact_from_base(base, n)
+
+
 def _sloppy_freq_frame(index, field: str, terms: list[str], slop: int,
                        in_order: bool = False) -> DataFrame:
-    base = _conjunction_base(index, field, terms)
-    n = len(terms)
+    return _sloppy_from_base(
+        _conjunction_base(index, field, terms), len(terms), slop, in_order
+    )
+
+
+def _sloppy_from_base(base, n: int, slop: int,
+                      in_order: bool = False) -> DataFrame:
     schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType()),
@@ -195,8 +236,10 @@ def _sloppy_freq_frame(index, field: str, terms: list[str], slop: int,
 
 def _exact_freq_frame(index, field: str, terms: list[str]) -> DataFrame:
     """(doc_id, freq, dlq, norm_byte) for docs matching the exact phrase."""
-    base = _conjunction_base(index, field, terms)
-    n = len(terms)
+    return _exact_from_base(_conjunction_base(index, field, terms), len(terms))
+
+
+def _exact_from_base(base, n: int) -> DataFrame:
     schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType()),

@@ -258,3 +258,26 @@ def test_batch_sloppy_freqs_random_vs_brute():
                     want += 1.0 / (1.0 + spread)
             assert got[r] == pytest.approx(want, rel=1e-12, abs=1e-12), (
                 trial, r, n_terms, slop, in_order)
+
+
+def test_multi_phrase_query(pix):
+    """MultiPhraseQuery: per-slot term alternatives (synonym phrase)."""
+    from golucene_spark.search import MultiPhraseQuery, PhraseQuery, Searcher
+
+    s = Searcher(pix, "bm25")
+    # ("quick"|"brown") then "fox": doc0 'brown fox', doc1 'quick fox',
+    # doc2 'brown fox', doc3 'brown fox'
+    q = MultiPhraseQuery("content", (("quick", "brown"), ("fox",)))
+    hits = {r["doc_id"] for r in s.search(q, 10).collect()}
+    assert hits == {0, 1, 2, 3}
+    # single-term slots collapse to PhraseQuery (identical scores)
+    a = {r["doc_id"]: r["score"]
+         for r in s.search(MultiPhraseQuery("content", (("quick",), ("brown",))), 10).collect()}
+    b = {r["doc_id"]: r["score"]
+         for r in s.search(PhraseQuery("content", ("quick", "brown")), 10).collect()}
+    assert a == b
+    # a slot with only unknown terms matches nothing
+    assert s.search(MultiPhraseQuery("content", (("quick",), ("zzzz",))), 10).count() == 0
+    # sloppy multi-phrase goes through the polynomial matcher
+    qs = MultiPhraseQuery("content", (("quick", "brown"), ("dog", "fox")), slop=2)
+    assert s.search(qs, 10).count() >= 4
