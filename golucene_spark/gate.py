@@ -986,6 +986,93 @@ ORDER BY score_e6 DESC, doc_id ASC LIMIT 10
 """
 
 
+# --- FunctionScoreQuery + SpanNotQuery oracle pairing ----------------------
+
+
+def q_function_score_bm25(spark, sf_dir):
+    """FunctionScoreQuery (queries/expressions role): BM25 relevance
+    multiplied by a per-doc function of the stored doc-values columns
+    (dyadic multipliers keep the product float-exact)."""
+    import shutil
+
+    from .index import IndexBuilder, MaterializedIndex
+
+    ixdir = "/root/repo/.data/gate_fs_ix"
+    shutil.rmtree(ixdir, ignore_errors=True)
+    IndexBuilder(
+        spark, CorpusSpec.documents(), analyzer="simple",
+        quantize_norms=False, num_segments=4,
+    ).build(_docs(spark, sf_dir), ixdir)
+    s = Searcher(MaterializedIndex(spark, ixdir), "bm25")
+    top = s.function_score(
+        "text:data", "case when lang = 'de' then 2.0 else 0.5 end", k=10
+    )
+    return (
+        top.withColumn("score_e6", F.round(F.col("score") * 1e6, 0).cast("long"))
+        .orderBy(F.desc("score_e6"), F.asc("doc_id"))
+        .select("doc_id", "score_e6")
+    )
+
+
+ORACLES["function_score_bm25"] = f"""{BASE_CTE},
+ts AS (SELECT count(*)::BIGINT AS df FROM tf WHERE term = 'data')
+SELECT tf.doc_id AS doc_id,
+  CAST(ROUND(((ln(1 + (stats.n_docs - ts.df + 0.5) / (ts.df + 0.5)) * {K1 + 1.0}
+       * tf.freq / (tf.freq + {K1} * (1 - {B} + {B} * dl.dl / (stats.sum_dl / stats.n_docs))))
+       * (CASE WHEN d.lang = 'de' THEN 2.0 ELSE 0.5 END)) * 1000000.0, 0) AS BIGINT) AS score_e6
+FROM tf JOIN dl USING (doc_id) JOIN documents d USING (doc_id), stats, ts
+WHERE tf.term = 'data'
+ORDER BY score_e6 DESC, doc_id ASC LIMIT 10
+"""
+
+
+def q_span_not_bm25(spark, sf_dir):
+    """SpanNotQuery: 'data' occurrences with no 'query' within +-2
+    positions; freq = qualifying occurrences, scored with data's idf."""
+    from .search.phrase import span_not_search
+
+    s = Searcher(_index_pos(spark, sf_dir), "bm25")
+    frame = span_not_search(s, "text", "data", "query", pre=2, post=2,
+                            k=1_000_000)
+    return (
+        frame.withColumn("score_e6", F.round(F.col("score") * 1e6, 0).cast("long"))
+        .orderBy(F.desc("score_e6"), F.asc("doc_id"))
+        .limit(10)
+        .select("doc_id", "score_e6")
+    )
+
+
+ORACLES["span_not_bm25"] = f"""{BASE_CTE},
+otok AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS term,
+         generate_subscripts(regexp_extract_all(lower(text), '{TOKEN_PATTERN}'), 1) AS ord
+  FROM documents
+),
+kpos AS (
+  SELECT doc_id, term, row_number() OVER (PARTITION BY doc_id ORDER BY ord) - 1 AS pos
+  FROM otok WHERE term NOT IN ({STOP_SQL})
+),
+qf AS (
+  SELECT a.doc_id, count(*)::BIGINT AS freq
+  FROM kpos a
+  WHERE a.term = 'data'
+    AND NOT EXISTS (
+      SELECT 1 FROM kpos b
+      WHERE b.doc_id = a.doc_id AND b.term = 'query'
+        AND b.pos BETWEEN a.pos - 2 AND a.pos + 2
+    )
+  GROUP BY a.doc_id
+),
+ts AS (SELECT count(*)::BIGINT AS df FROM tf WHERE term = 'data')
+SELECT qf.doc_id AS doc_id,
+  CAST(ROUND((ln(1 + (stats.n_docs - ts.df + 0.5) / (ts.df + 0.5)) * {K1 + 1.0}
+       * qf.freq / (qf.freq + {K1} * (1 - {B} + {B} * dl.dl / (stats.sum_dl / stats.n_docs)))) * 1000000.0, 0) AS BIGINT) AS score_e6
+FROM qf JOIN dl USING (doc_id), stats, ts
+ORDER BY score_e6 DESC, doc_id ASC LIMIT 10
+"""
+
+
 # --- MultiPhraseQuery (synonym phrase) oracle pairing ----------------------
 
 
@@ -3709,6 +3796,8 @@ QUERIES = {
     "repeated_ngram_coverage": q_repeated_ngram_coverage,
     "repetition_signals": q_repetition_signals,
     "multi_phrase_bm25": q_multi_phrase_bm25,
+    "function_score_bm25": q_function_score_bm25,
+    "span_not_bm25": q_span_not_bm25,
     # --- never driver-checked (round-2 additions) ---
     "term_bm25_standard": q_term_bm25_standard,
     "update_bm25": q_update_bm25,

@@ -23,7 +23,7 @@ from .multiterm import suggest_terms
 from .grouping import group_search
 from .join import join_search
 from .cache import CachingSearcher
-from .phrase import span_near_search, span_first_search, payload_term_search
+from .phrase import span_near_search, span_first_search, span_not_search, payload_term_search
 
 __all__ = [
     "TermQuery",
@@ -46,6 +46,7 @@ __all__ = [
     "Searcher",
     "span_near_search",
     "span_first_search",
+    "span_not_search",
     "payload_term_search",
     "highlight",
     "facet_counts",

@@ -772,6 +772,39 @@ class Searcher:
             .limit(k)
         )
 
+    def function_score(self, query, value_expr: str, mode: str = "multiply",
+                       k: int = 10) -> DataFrame:
+        """FunctionScoreQuery (Lucene queries/expressions module; absent
+        from the reference, which has no function queries at all):
+        combine the relevance score with a per-document function over
+        the stored doc-values columns.  ``value_expr`` is a SQL
+        expression over doc_meta columns (evaluated JVM-side against
+        the columnar store — the DoubleValuesSource role);
+        ``mode='multiply'`` is the boost-by-value composition,
+        ``mode='sum'`` the additive one.  The plan is the score frame
+        joined to the pruned doc_meta projection, then
+        TakeOrderedAndProject — one hash join, no extra shuffle."""
+        if isinstance(query, str):
+            from .parser import parse_query
+
+            query = parse_query(query)
+        if not hasattr(self.index, "doc_meta"):
+            raise ValueError("function_score needs a materialized index with doc_meta")
+        if mode not in ("multiply", "sum"):
+            raise ValueError(f"unknown mode {mode!r}")
+        frame = self.score_frame(query)
+        meta = self._live_meta().drop("segment_id")
+        val = F.expr(value_expr).cast("double")
+        combined = (
+            (F.col("score") * val) if mode == "multiply" else (F.col("score") + val)
+        )
+        return (
+            frame.join(meta, "doc_id")
+            .select("doc_id", combined.alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
     def search_sorted(self, query, sort, k: int = 10) -> DataFrame:
         """Top-k ordered by stored doc_meta fields instead of relevance —
         the Sort/TopFieldCollector API of core Lucene 4.10 (absent from

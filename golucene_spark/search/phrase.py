@@ -405,6 +405,63 @@ def span_first_search(searcher, field: str, term: str, end: int,
     )
 
 
+def span_not_search(searcher, field: str, include: str, exclude: str,
+                    pre: int = 0, post: int = 0, k: int = 10) -> DataFrame:
+    """SpanNotQuery (Lucene spans module): occurrences of ``include``
+    qualify only when no ``exclude`` occurrence sits within
+    [pos - pre, pos + post]; the doc is scored by the similarity with
+    freq = number of qualifying positions and the INCLUDE term's idf
+    (SpanNotQuery scores from the include span).  Pure Catalyst: both
+    position blobs decode JVM-side; the qualification test is a nested
+    exists over the (bounded per-doc) exclude positions."""
+    from .ast import TermQuery
+
+    s = searcher
+    q = TermQuery(field, include)
+    stats = s._term_stats(q)
+    st = stats[(field, include)]
+    if st.df == 0:
+        from .executor import RESULT_SCHEMA
+
+        return s.index.spark.createDataFrame([], RESULT_SCHEMA)
+    cs = s._collection_stats(field)
+    idf = s.sim.idf(st.df, cs["max_doc"])
+    avgdl = s.sim.avgdl(cs["sum_ttf"], cs["max_doc"])
+    inc = s.index.postings_for_terms(field, [include], with_positions=True)
+    exc = s.index.postings_for_terms(field, [exclude], with_positions=True).select(
+        "doc_id", F.col("positions").alias("ex_positions")
+    )
+    joined = inc.join(exc, "doc_id", "left")
+    inc_pos = positions_array_col("positions")
+    ex_pos = F.coalesce(
+        positions_array_col("ex_positions"), F.array().cast("array<int>")
+    )
+    qfreq = F.size(
+        F.filter(
+            inc_pos,
+            lambda p: ~F.exists(
+                ex_pos, lambda e: (e >= p - pre) & (e <= p + post)
+            ),
+        )
+    )
+    kwargs = (
+        {"query_norm": s.sim.query_norm(s._sum_sq(q, stats))}
+        if s.sim.uses_coord
+        else {}
+    )
+    norm_col = F.col("norm_byte") if getattr(s.index, "quantized", True) else None
+    score = s.sim.score_col(
+        qfreq.cast("double"), F.col("dlq"), norm_col, idf, avgdl, 1.0, **kwargs
+    )
+    return (
+        joined.withColumn("_qf", qfreq)
+        .filter(F.col("_qf") > 0)
+        .select("doc_id", score.alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 def span_near_search(searcher, field: str, terms: list[str], slop: int = 0,
                      k: int = 10) -> DataFrame:
     """Ordered SpanNearQuery (Lucene spans module; inOrder=true): terms

@@ -281,3 +281,33 @@ def test_multi_phrase_query(pix):
     # sloppy multi-phrase goes through the polynomial matcher
     qs = MultiPhraseQuery("content", (("quick", "brown"), ("dog", "fox")), slop=2)
     assert s.search(qs, 10).count() >= 4
+
+
+def test_span_not_exclusion_window(spark):
+    """SpanNotQuery: include occurrences qualify only when no exclude
+    occurrence sits within [pos-pre, pos+post]."""
+    from golucene_spark.index import CorpusSpec, FieldSpec, LogicalIndex
+    from golucene_spark.search import Searcher, span_not_search
+
+    rows = [
+        (0, "alpha beta alpha"),     # both alphas adjacent to beta
+        (1, "alpha gamma delta"),    # clean
+        (2, "beta beta alpha"),      # alpha@2, beta@1 inside pre=1
+        (3, "alpha x x x beta"),     # beta 4 away: outside the window
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    spec = CorpusSpec(text_fields=[FieldSpec("text", "text", True)],
+                      keyword_fields=[], key_cols=["doc_id"],
+                      id_col="doc_id", meta_cols=[])
+    ix = LogicalIndex(df, spec, analyzer="simple", quantize_norms=False,
+                      index_positions=True)
+    s = Searcher(ix, "bm25")
+    hits = {r["doc_id"]
+            for r in span_not_search(s, "text", "alpha", "beta",
+                                     pre=1, post=1, k=10).collect()}
+    assert hits == {1, 3}
+    # no exclude occurrences anywhere: behaves like the plain term
+    hits_all = {r["doc_id"]
+                for r in span_not_search(s, "text", "alpha", "zzzz",
+                                         pre=1, post=1, k=10).collect()}
+    assert hits_all == {0, 1, 2, 3}

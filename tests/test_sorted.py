@@ -71,3 +71,27 @@ def test_doc_values_column(spark, six):
 
     with pytest.raises(ValueError):
         six.doc_values("not_a_column")
+
+
+def test_function_score_modes(spark, six):
+    """FunctionScoreQuery: relevance combined with a doc-values
+    expression, multiply and sum modes."""
+    from golucene_spark.search import Searcher
+
+    s = Searcher(six, "bm25")
+    base = {r["doc_id"]: r["score"] for r in s.search("text:data", 50).collect()}
+    mult = {r["doc_id"]: r["score"]
+            for r in s.function_score(
+                "text:data", "case when lang = 'de' then 2.0 else 0.5 end",
+                k=50).collect()}
+    metas = {r["doc_id"]: r["lang"] for r in six.live_doc_meta().collect()}
+    for d, v in mult.items():
+        want = base[d] * (2.0 if metas[d] == "de" else 0.5)
+        assert v == pytest.approx(want, rel=1e-12)
+    add = {r["doc_id"]: r["score"]
+           for r in s.function_score("text:data", "doc_id * 0.25",
+                                     mode="sum", k=50).collect()}
+    for d, v in add.items():
+        assert v == pytest.approx(base[d] + d * 0.25, rel=1e-12)
+    with pytest.raises(ValueError):
+        s.function_score("text:data", "1.0", mode="nope")
