@@ -132,10 +132,36 @@ class WhitespaceAnalyzer:
         )
 
 
+class FoldingAnalyzer(SimpleAnalyzer):
+    """ASCIIFoldingFilter role (core Lucene analysis/miscellaneous,
+    unported by the reference): NFKD-decompose and strip combining
+    marks BEFORE the simple chain, so accented variants match their
+    ASCII forms (résumé == resume).  SQL twin:
+    ``regexp_extract_all(strip_accents(lower(text)), '[a-z0-9_]+')``
+    — exact for Latin diacritics (both sides reduce to the base
+    letter)."""
+
+    name = "folding"
+
+    def analyze_batch(self, texts):
+        import unicodedata
+
+        folded = [
+            "".join(
+                c
+                for c in unicodedata.normalize("NFKD", t or "")
+                if not unicodedata.combining(c)
+            )
+            for t in texts
+        ]
+        return super().analyze_batch(folded)
+
+
 _ANALYZERS = {
     "standard": StandardAnalyzer,
     "simple": SimpleAnalyzer,
     "whitespace": WhitespaceAnalyzer,
+    "folding": FoldingAnalyzer,
 }
 
 

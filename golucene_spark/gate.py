@@ -986,6 +986,98 @@ ORDER BY score_e6 DESC, doc_id ASC LIMIT 10
 """
 
 
+# --- ASCII-folding analyzer oracle pairing ---------------------------------
+
+
+def q_folding_term_bm25(spark, sf_dir):
+    """ASCIIFoldingFilter: a derived corpus with Latin diacritics
+    injected (translate aeio -> accented forms) indexes through the
+    folding analyzer and must score IDENTICALLY to the plain corpus —
+    the query term 'data' matches the folded 'dátá' tokens."""
+    docs = _docs(spark, sf_dir).withColumn(
+        "ptext", F.translate(F.lower(F.col("text")), "aeio", "áéíó")
+    )
+    spec = CorpusSpec(
+        text_fields=[FieldSpec("ptext", "ptext", True)],
+        keyword_fields=[], key_cols=["doc_id"], id_col="doc_id", meta_cols=[],
+    )
+    ix = LogicalIndex(docs, spec, analyzer="folding", quantize_norms=False)
+    s = Searcher(ix, "bm25")
+    frame = s.score_frame(parse_query("ptext:data", default_field="ptext",
+                                      analyzer="folding"))
+    return (
+        frame.withColumn("score_e6", F.round(F.col("score") * 1e6, 0).cast("long"))
+        .orderBy(F.desc("score_e6"), F.asc("doc_id"))
+        .limit(10)
+        .select("doc_id", "score_e6")
+    )
+
+
+ORACLES["folding_term_bm25"] = f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(
+           strip_accents(translate(lower(text), 'aeio', 'áéíó')),
+           '{TOKEN_PATTERN}')) AS term
+  FROM documents
+),
+kept AS (SELECT doc_id, term FROM tok WHERE term NOT IN ({STOP_SQL})),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS freq FROM kept GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM kept GROUP BY 1),
+stats AS (SELECT (SELECT count(*) FROM documents)::BIGINT AS n_docs,
+                 (SELECT sum(dl) FROM dl)::BIGINT AS sum_dl),
+ts AS (SELECT count(*)::BIGINT AS df FROM tf WHERE term = 'data')
+SELECT tf.doc_id AS doc_id,
+  CAST(ROUND((ln(1 + (stats.n_docs - ts.df + 0.5) / (ts.df + 0.5)) * {K1 + 1.0}
+       * tf.freq / (tf.freq + {K1} * (1 - {B} + {B} * dl.dl / (stats.sum_dl / stats.n_docs)))) * 1000000.0, 0) AS BIGINT) AS score_e6
+FROM tf JOIN dl USING (doc_id), stats, ts
+WHERE tf.term = 'data'
+ORDER BY score_e6 DESC, doc_id ASC LIMIT 10
+"""
+
+
+# --- CommonTermsQuery oracle pairing ---------------------------------------
+
+
+def q_common_terms_bm25(spark, sf_dir):
+    """CommonTermsQuery: 'data' (df 395/500 > 0.3 cutoff) demoted to
+    boost 0.25, 'dup' (df 25/500) at full weight — a 2-term weighted OR
+    whose float sum is order-independent (a+b commutes exactly)."""
+    from .search.multiterm import common_terms_query
+
+    s = Searcher(_index(spark, sf_dir), "bm25")
+    q = common_terms_query(s, "text", ["data", "dup"])
+    return (
+        s.score_frame(q)
+        .withColumn("score_e6", F.round(F.col("score") * 1e6, 0).cast("long"))
+        .orderBy(F.desc("score_e6"), F.asc("doc_id"))
+        .limit(10)
+        .select("doc_id", "score_e6")
+    )
+
+
+ORACLES["common_terms_bm25"] = f"""{BASE_CTE},
+ts0 AS (SELECT count(*)::BIGINT AS df FROM tf WHERE term = 'data'),
+ts1 AS (SELECT count(*)::BIGINT AS df FROM tf WHERE term = 'dup'),
+c0 AS (
+  SELECT tf.doc_id,
+    ln(1 + (stats.n_docs - ts0.df + 0.5) / (ts0.df + 0.5)) * 0.25 * {K1 + 1.0}
+    * tf.freq / (tf.freq + {K1} * (1 - {B} + {B} * dl.dl / (stats.sum_dl / stats.n_docs))) AS s
+  FROM tf JOIN dl USING (doc_id), stats, ts0 WHERE tf.term = 'data'
+),
+c1 AS (
+  SELECT tf.doc_id,
+    ln(1 + (stats.n_docs - ts1.df + 0.5) / (ts1.df + 0.5)) * {K1 + 1.0}
+    * tf.freq / (tf.freq + {K1} * (1 - {B} + {B} * dl.dl / (stats.sum_dl / stats.n_docs))) AS s
+  FROM tf JOIN dl USING (doc_id), stats, ts1 WHERE tf.term = 'dup'
+),
+u AS (SELECT * FROM c0 UNION ALL SELECT * FROM c1),
+summed AS (SELECT doc_id, sum(s) AS score FROM u GROUP BY doc_id)
+SELECT doc_id, CAST(ROUND(score * 1000000.0, 0) AS BIGINT) AS score_e6
+FROM summed ORDER BY score_e6 DESC, doc_id ASC LIMIT 10
+"""
+
+
 # --- FunctionScoreQuery + SpanNotQuery oracle pairing ----------------------
 
 
@@ -3798,6 +3890,8 @@ QUERIES = {
     "multi_phrase_bm25": q_multi_phrase_bm25,
     "function_score_bm25": q_function_score_bm25,
     "span_not_bm25": q_span_not_bm25,
+    "common_terms_bm25": q_common_terms_bm25,
+    "folding_term_bm25": q_folding_term_bm25,
     # --- never driver-checked (round-2 additions) ---
     "term_bm25_standard": q_term_bm25_standard,
     "update_bm25": q_update_bm25,

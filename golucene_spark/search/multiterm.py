@@ -197,6 +197,37 @@ def expand_term_range(index, field: str, lower: str | None, upper: str | None,
     ).rewrite()
 
 
+def common_terms_query(searcher, field: str, terms: list[str],
+                       max_term_frequency: float = 0.3,
+                       low_freq_boost: float = 1.0,
+                       high_freq_boost: float = 0.25):
+    """CommonTermsQuery (Lucene queries module; absent from the
+    reference): terms whose document frequency exceeds
+    ``max_term_frequency`` * maxDoc are demoted into a down-boosted
+    SHOULD group, while rare (selective) terms keep full weight — the
+    stopword-free way to keep hot terms from drowning the scoring.
+    Returns the composed BooleanQuery (executes through the normal
+    flat-OR single-scan plan; the df split costs one memoized
+    term-stats lookup, no extra Spark jobs when warm)."""
+    from .ast import BooleanClause, BooleanQuery, Occur, TermQuery as TQ
+
+    stats = searcher._term_stats(
+        BooleanQuery(tuple(
+            BooleanClause(TQ(field, t), Occur.SHOULD) for t in terms
+        ))
+    )
+    max_doc = searcher._collection_stats(field)["max_doc"]
+    cutoff = max_term_frequency * max_doc
+    clauses = []
+    for t in terms:
+        df = stats[(field, t)].df
+        if df == 0:
+            continue
+        boost = high_freq_boost if df > cutoff else low_freq_boost
+        clauses.append(BooleanClause(TQ(field, t, boost), Occur.SHOULD))
+    return BooleanQuery(tuple(clauses)).rewrite()
+
+
 def suggest_terms(index, field: str, term: str, k: int = 5, max_edits: int = 2):
     """Did-you-mean suggestions (the Lucene suggest/spellchecker module
     role, absent from the reference): dictionary terms within

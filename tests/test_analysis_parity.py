@@ -104,3 +104,17 @@ def test_max_token_length_position_gap():
     terms, rows, pos = an.analyze_batch([text])
     assert terms.tolist() == ["next"]
     assert pos.tolist() == [1]
+
+
+def test_folding_analyzer_strips_diacritics():
+    import numpy as np
+
+    from golucene_spark.analysis import get_analyzer
+
+    an = get_analyzer("folding")
+    terms, rows, pos = an.analyze_batch(["Résumé naïve Café dátá", None, "çà"])
+    assert terms.tolist() == ["resume", "naive", "cafe", "data", "ca"]
+    assert rows.tolist() == [0, 0, 0, 0, 2]
+    # stop words removed after folding
+    t2, _, _ = an.analyze_batch(["thé quick"])  # 'thé' folds to stopword 'the'
+    assert t2.tolist() == ["quick"]

@@ -192,3 +192,15 @@ def test_prefix_pruned_expansion_equivalent(wix):
                  if hasattr(c, "query")} or {getattr(f_pfx, "term", None)}
     # prefix-constrained candidates are the subset sharing 'pa'
     assert terms_pfx == {t for t in terms_no if t and t.startswith("pa")}
+
+
+def test_common_terms_query_demotes_hot_terms(wix):
+    from golucene_spark.search import Searcher
+    from golucene_spark.search.multiterm import common_terms_query
+
+    s = Searcher(wix, "bm25")
+    # 'parse' appears in 2/4 docs (df ratio 0.5 > 0.3 -> demoted);
+    # 'tokenize' in 1/4 (full weight)
+    q = common_terms_query(s, "content", ["parse", "tokenize", "zzzz"])
+    by_term = {c.query.term: c.query.boost for c in q.clauses}
+    assert by_term == {"parse": 0.25, "tokenize": 1.0}  # zzzz (df 0) dropped
