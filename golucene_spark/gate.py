@@ -986,6 +986,108 @@ ORDER BY score_e6 DESC, doc_id ASC LIMIT 10
 """
 
 
+# --- product-quantization ANN oracle pairing -------------------------------
+
+
+def _pq_codebook_parquet(m: int = 8, k: int = 16) -> str:
+    """Golden PQ codebooks: deterministic per-subspace Lloyd k-means
+    (pure NumPy, seed 42) on the sf0.01 embeddings; the DuckDB twin
+    replays encode + ADC from the same parquet."""
+    out = os.path.join("/root/repo/.data", f"pq_codebooks_{m}x{k}.parquet")
+    if os.path.exists(out):
+        return out
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from .text.ann import train_pq
+
+    t = pq.read_table("/root/testdata/sf0.01/embeddings.parquet")
+    X = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    B = train_pq(X, m=m, k=k, iters=10, seed=42)
+    rows_s, rows_j, rows_c = [], [], []
+    for s in range(m):
+        for j in range(k):
+            rows_s.append(s)
+            rows_j.append(j)
+            rows_c.append([float(x) for x in B[s, j]])
+    os.makedirs("/root/repo/.data", exist_ok=True)
+    pq.write_table(
+        pa.table({
+            "s": pa.array(rows_s, pa.int32()),
+            "j": pa.array(rows_j, pa.int32()),
+            "centroid": pa.array(rows_c, pa.list_(pa.float64())),
+        }),
+        out,
+    )
+    return out
+
+
+def q_ann_pq_topk(spark, sf_dir):
+    """Product-quantization ANN (Jegou et al. 2011): 64-dim vectors
+    compress to 8 sub-codes (8x16 codebooks); the query's LUT folds
+    into one projection over the code arrays — the scan never touches
+    the stored vectors (the memory-at-100TB path beyond IVF/LSH)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from .text.ann import pq_adc_topk, pq_encode
+
+    t = pq.read_table(_pq_codebook_parquet())
+    m, k = 8, 16
+    B = np.zeros((m, k, 8), dtype=np.float64)
+    for s, j, c in zip(t.column("s").to_pylist(), t.column("j").to_pylist(),
+                       t.column("centroid").to_pylist()):
+        B[s, j] = c
+    emb = _emb(spark, sf_dir)
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    out = pq_adc_topk(pq_encode(emb, B), B, qv, 10, exclude_id=0)
+    return (
+        out.withColumn("adist_e6", F.round(F.col("adist") * 1e6, 0).cast("long"))
+        .select("vec_id", "adist_e6")
+        .orderBy(F.asc("adist_e6"), F.asc("vec_id"))
+    )
+
+
+_PQB = _pq_codebook_parquet()
+ORACLES["ann_pq_topk"] = f"""
+WITH cb AS (SELECT s, j, centroid FROM '{_PQB}'),
+eb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sub AS (
+  SELECT eb.vec_id, sp.s, eb.v[sp.s * 8 + 1 : sp.s * 8 + 8] AS vs
+  FROM eb, (SELECT DISTINCT s FROM cb) sp
+),
+dists AS (
+  SELECT sub.vec_id, sub.s, cb.j,
+    list_dot_product(
+      list_transform(sub.vs, (x, i) -> x - cb.centroid[i]),
+      list_transform(sub.vs, (x, i) -> x - cb.centroid[i])) AS d
+  FROM sub JOIN cb ON sub.s = cb.s
+),
+asg AS (
+  SELECT vec_id, s, j FROM (
+    SELECT vec_id, s, j,
+           row_number() OVER (PARTITION BY vec_id, s ORDER BY d ASC, j ASC) AS rn
+    FROM dists
+  ) WHERE rn = 1
+),
+lut AS (SELECT s, j, d FROM dists WHERE vec_id = 0),
+terms AS (
+  SELECT asg.vec_id, asg.s, lut.d
+  FROM asg JOIN lut ON asg.s = lut.s AND asg.j = lut.j
+  WHERE asg.vec_id != 0
+),
+adist AS (
+  SELECT vec_id, list_aggregate(list(d ORDER BY s), 'sum') AS adist
+  FROM terms GROUP BY vec_id
+)
+SELECT vec_id::BIGINT AS vec_id,
+       CAST(ROUND(adist * 1000000.0, 0) AS BIGINT) AS adist_e6
+FROM adist
+ORDER BY adist_e6 ASC, vec_id ASC LIMIT 10
+"""
+
+
 # --- ASCII-folding analyzer oracle pairing ---------------------------------
 
 
@@ -3892,6 +3994,7 @@ QUERIES = {
     "span_not_bm25": q_span_not_bm25,
     "common_terms_bm25": q_common_terms_bm25,
     "folding_term_bm25": q_folding_term_bm25,
+    "ann_pq_topk": q_ann_pq_topk,
     # --- never driver-checked (round-2 additions) ---
     "term_bm25_standard": q_term_bm25_standard,
     "update_bm25": q_update_bm25,

@@ -320,3 +320,81 @@ def quantize_embeddings(emb: DataFrame, col: str = "embedding",
         mx.alias("scale"),
         q.alias("qvec"),
     )
+
+
+def train_pq(vectors: np.ndarray, m: int = 8, k: int = 16, iters: int = 10,
+             seed: int = 42) -> np.ndarray:
+    """Deterministic product-quantization codebooks (Jegou et al. 2011,
+    "Product Quantization for Nearest Neighbor Search"): split the
+    dimension into ``m`` subspaces and run plain Lloyd k-means per
+    subspace (seeded init, fixed iterations).  Returns (m, k, dsub)
+    float64.  Train on a driver-side sample — codebooks need thousands
+    of vectors, not the corpus."""
+    X = np.asarray(vectors, dtype=np.float64)
+    n, d = X.shape
+    assert d % m == 0, f"dim {d} not divisible into {m} subspaces"
+    dsub = d // m
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, k, dsub), dtype=np.float64)
+    for s in range(m):
+        Xs = X[:, s * dsub:(s + 1) * dsub]
+        C = Xs[rng.choice(n, size=k, replace=False)].copy()
+        for _ in range(iters):
+            d2 = ((Xs[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(k):
+                msk = assign == c
+                if msk.any():
+                    C[c] = Xs[msk].mean(axis=0)
+        books[s] = C
+    return books
+
+
+def pq_encode(emb: DataFrame, codebooks: np.ndarray,
+              vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """``pq_code``: array<int> of m sub-codes — per subspace the argmin
+    squared-L2 centroid (ties -> smaller code).  Pure JVM expressions
+    (one (x-c)^2 fold per centroid inside whole-stage codegen); at
+    100 TB each stored vector shrinks from 4*dim bytes to m codes."""
+    v = F.col(vec_col).cast("array<double>")
+    m, k, dsub = codebooks.shape
+    codes = []
+    for s in range(m):
+        sub = F.slice(v, s * dsub + 1, dsub)
+        cands = []
+        for j in range(k):
+            carr = F.array(*[F.lit(float(x)) for x in codebooks[s, j]])
+            diff = F.zip_with(sub, carr, lambda x, c: (x - c) * (x - c))
+            dist = F.aggregate(diff, F.lit(0.0), lambda a, x: a + x)
+            cands.append(F.struct(dist.alias("d"), F.lit(j).cast("int").alias("j")))
+        codes.append(F.array_min(F.array(*cands))["j"])
+    return emb.select(F.col(id_col), F.array(*codes).alias("pq_code"))
+
+
+def pq_adc_topk(encoded: DataFrame, codebooks: np.ndarray, query_vec,
+                k: int = 10, id_col: str = "vec_id",
+                exclude_id=None) -> DataFrame:
+    """Asymmetric distance computation: the query's per-subspace
+    distance table LUT[s][j] = ||q_s - c_sj||^2 is computed driver-side
+    (m*k floats) and folded into ONE projection over the stored code
+    arrays — the scan reads only the m-int codes, never the vectors.
+    Returns (vec_id, adist) ascending (approximate L2 nearest)."""
+    q = np.asarray([float(x) for x in query_vec], dtype=np.float64)
+    m, kk, dsub = codebooks.shape
+    expr = None
+    for s in range(m):
+        qs = q[s * dsub:(s + 1) * dsub]
+        lut = [float(((qs - codebooks[s, j]) ** 2).sum()) for j in range(kk)]
+        term = F.element_at(
+            F.array(*[F.lit(x) for x in lut]),
+            F.element_at(F.col("pq_code"), s + 1) + 1,
+        )
+        expr = term if expr is None else (expr + term)
+    out = encoded
+    if exclude_id is not None:
+        out = out.filter(F.col(id_col) != exclude_id)
+    return (
+        out.select(F.col(id_col), expr.alias("adist"))
+        .orderBy(F.asc("adist"), F.asc(id_col))
+        .limit(k)
+    )

@@ -322,3 +322,39 @@ def test_repetition_signals_lines_and_grams(spark):
     # doc 1: top 2-gram 'spark spark' occurs 3x, covers 3*10 of 20 chars
     assert out[1]["top2gram_char_frac"] == pytest.approx(30 / 20)
     assert out[2]["dup_line_frac"] == 0.0
+
+
+def test_pq_encode_and_adc(spark):
+    """PQ: JVM encode matches NumPy argmin; ADC distance equals the
+    LUT recomputation; approximate top-k overlaps exact L2 top-k."""
+    import numpy as np
+
+    from golucene_spark.text.ann import pq_adc_topk, pq_encode, train_pq
+
+    rng = np.random.RandomState(3)
+    X = rng.randn(120, 16).astype(np.float64)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(len(X))],
+        "vec_id long, embedding array<double>",
+    )
+    B = train_pq(X, m=4, k=8, iters=5, seed=42)
+    enc = {r["vec_id"]: r["pq_code"] for r in pq_encode(df, B).collect()}
+    # NumPy reference encode
+    for i in (0, 7, 63):
+        want = []
+        for s in range(4):
+            d2 = ((X[i, s * 4:(s + 1) * 4] - B[s]) ** 2).sum(axis=1)
+            want.append(int(np.argmin(d2)))
+        assert enc[i] == want, i
+    q = X[0]
+    top = pq_adc_topk(pq_encode(df, B), B, q, k=10, exclude_id=0).collect()
+    for r in top:
+        want = sum(
+            float(((q[s * 4:(s + 1) * 4] - B[s, enc[r["vec_id"]][s]]) ** 2).sum())
+            for s in range(4)
+        )
+        assert abs(r["adist"] - want) < 1e-9
+    # recall sanity: approximate top-10 shares most of the exact top-10
+    exact = np.argsort(((X - q) ** 2).sum(axis=1))[1:11]
+    approx = {r["vec_id"] for r in top}
+    assert len(approx & set(int(x) for x in exact)) >= 5
