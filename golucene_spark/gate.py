@@ -986,6 +986,103 @@ ORDER BY score_e6 DESC, doc_id ASC LIMIT 10
 """
 
 
+# --- unigram log-perplexity quality signal ---------------------------------
+
+
+def q_unigram_logppl(spark, sf_dir):
+    """CCNet-style perplexity bucketing signal via the SQL-exact unigram
+    MLE: logppl = -(1/n) sum ln P(token|corpus), position-ordered fold."""
+    from .text.quality import unigram_logppl
+
+    out = unigram_logppl(_docs(spark, sf_dir), text_col="text")
+    return out.select(
+        "doc_id", "n_tokens",
+        F.round(F.col("logppl") * 1e6, 0).cast("long").alias("logppl_e6"),
+    ).orderBy("doc_id")
+
+
+ORACLES["unigram_logppl"] = f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS term,
+         generate_subscripts(regexp_extract_all(lower(text), '{TOKEN_PATTERN}'), 1) AS pos
+  FROM documents
+),
+lm AS (SELECT term, count(*)::BIGINT AS tf FROM tok GROUP BY 1),
+tot AS (SELECT sum(tf)::BIGINT AS total FROM lm),
+lnp AS (
+  SELECT t.doc_id, t.pos, ln(lm.tf::DOUBLE / tot.total) AS lnp
+  FROM tok t JOIN lm USING (term), tot
+),
+agg AS (
+  SELECT doc_id, count(*)::BIGINT AS n_tokens,
+         list_aggregate(list(lnp ORDER BY pos), 'sum') AS s
+  FROM lnp GROUP BY doc_id
+)
+SELECT d.doc_id AS doc_id,
+       coalesce(agg.n_tokens, 0)::BIGINT AS n_tokens,
+       CAST(ROUND((CASE WHEN agg.n_tokens > 0 THEN -(agg.s / agg.n_tokens)
+                        ELSE 0 END) * 1000000.0, 0) AS BIGINT) AS logppl_e6
+FROM documents d LEFT JOIN agg USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+# --- LM Dirichlet similarity oracle pairing --------------------------------
+
+
+def q_term_lm_dirichlet(spark, sf_dir):
+    """LMDirichletSimilarity (Lucene 4.10 language-model scoring):
+    score = max(0, ln(1 + tf/(mu*P(t|C))) + ln(mu/(dl+mu))), mu=2000,
+    P(t|C) = (ttf+1)/(sumTotalTermFreq+1)."""
+    return _topk_e6(Searcher(_index(spark, sf_dir), "lm_dirichlet"), "text:data")
+
+
+ORACLES["term_lm_dirichlet"] = f"""{BASE_CTE},
+ts AS (SELECT sum(freq)::BIGINT AS ttf FROM tf WHERE term = 'data'),
+p AS (SELECT (ts.ttf + 1.0) / (stats.sum_dl + 1.0) AS cp FROM ts, stats)
+SELECT tf.doc_id AS doc_id,
+  CAST(ROUND(greatest(0.0,
+         ln(1 + tf.freq / (p.cp * 2000.0)) + ln(2000.0 / (dl.dl + 2000.0))
+       ) * 1000000.0, 0) AS BIGINT) AS score_e6
+FROM tf JOIN dl USING (doc_id), p
+WHERE tf.term = 'data'
+ORDER BY score_e6 DESC, doc_id ASC LIMIT 10
+"""
+
+
+def q_bool_or_lm_dirichlet(spark, sf_dir):
+    """LM scoring through the flat-OR single-scan path: the per-doc
+    score is the sum of the two terms' LM contributions (2-term sums
+    commute exactly in IEEE doubles)."""
+    return _topk_e6(
+        Searcher(_index(spark, sf_dir), "lm_dirichlet"),
+        "text:data OR text:query",
+    )
+
+
+ORACLES["bool_or_lm_dirichlet"] = f"""{BASE_CTE},
+t0 AS (SELECT sum(freq)::BIGINT AS ttf FROM tf WHERE term = 'data'),
+t1 AS (SELECT sum(freq)::BIGINT AS ttf FROM tf WHERE term = 'query'),
+p0 AS (SELECT (t0.ttf + 1.0) / (stats.sum_dl + 1.0) AS cp FROM t0, stats),
+p1 AS (SELECT (t1.ttf + 1.0) / (stats.sum_dl + 1.0) AS cp FROM t1, stats),
+c0 AS (
+  SELECT tf.doc_id, greatest(0.0,
+    ln(1 + tf.freq / (p0.cp * 2000.0)) + ln(2000.0 / (dl.dl + 2000.0))) AS s
+  FROM tf JOIN dl USING (doc_id), p0 WHERE tf.term = 'data'
+),
+c1 AS (
+  SELECT tf.doc_id, greatest(0.0,
+    ln(1 + tf.freq / (p1.cp * 2000.0)) + ln(2000.0 / (dl.dl + 2000.0))) AS s
+  FROM tf JOIN dl USING (doc_id), p1 WHERE tf.term = 'query'
+),
+u AS (SELECT * FROM c0 UNION ALL SELECT * FROM c1),
+summed AS (SELECT doc_id, sum(s) AS score FROM u GROUP BY doc_id)
+SELECT doc_id, CAST(ROUND(score * 1000000.0, 0) AS BIGINT) AS score_e6
+FROM summed ORDER BY score_e6 DESC, doc_id ASC LIMIT 10
+"""
+
+
 # --- product-quantization ANN oracle pairing -------------------------------
 
 
@@ -3995,6 +4092,9 @@ QUERIES = {
     "common_terms_bm25": q_common_terms_bm25,
     "folding_term_bm25": q_folding_term_bm25,
     "ann_pq_topk": q_ann_pq_topk,
+    "term_lm_dirichlet": q_term_lm_dirichlet,
+    "bool_or_lm_dirichlet": q_bool_or_lm_dirichlet,
+    "unigram_logppl": q_unigram_logppl,
     # --- never driver-checked (round-2 additions) ---
     "term_bm25_standard": q_term_bm25_standard,
     "update_bm25": q_update_bm25,

@@ -130,6 +130,14 @@ class Searcher:
                 )
         return {(f, t): self._tstats_cache[(f, t)] for f, t in terms}
 
+    def _term_scalar(self, st, cs) -> float:
+        """Per-term scoring scalar: idf for BM25/classic, the Dirichlet
+        collection probability for LM (similarities that define
+        term_scalar override the idf channel)."""
+        if hasattr(self.sim, "term_scalar"):
+            return self.sim.term_scalar(st, cs)
+        return self.sim.idf(st.df, cs["max_doc"])
+
     # -- weight normalization (search.go:154-171) ------------------------
     def _sum_sq(self, q, stats) -> float:
         if isinstance(q, TermQuery):
@@ -176,7 +184,7 @@ class Searcher:
         if st.df == 0:
             return None
         cs = self._collection_stats(q.field)
-        idf = self.sim.idf(st.df, cs["max_doc"])
+        idf = self._term_scalar(st, cs)
         avgdl = self.sim.avgdl(cs["sum_ttf"], cs["max_doc"])
         p = self.index.postings_for_terms(q.field, [q.term])
         norm_col = F.col("norm_byte") if getattr(self.index, "quantized", True) else None
@@ -363,7 +371,7 @@ class Searcher:
         idf_map, boost_map, must_map = {}, {}, {}
         for c in live:
             st = stats[(field, c.query.term)]
-            idf_map[c.query.term] = self.sim.idf(st.df, cs["max_doc"])
+            idf_map[c.query.term] = self._term_scalar(st, cs)
             boost_map[c.query.term] = c.query.boost
             must_map[c.query.term] = 1 if c.is_required else 0
         p = self.index.postings_for_terms(field, terms)
@@ -394,7 +402,7 @@ class Searcher:
 
         st = stats[(q.field, q.term)]
         cs = self._collection_stats(q.field)
-        idf = self.sim.idf(st.df, cs["max_doc"])
+        idf = self._term_scalar(st, cs)
         avgdl = self.sim.avgdl(cs["sum_ttf"], cs["max_doc"])
         nb = np.array([124]) if getattr(self.index, "quantized", True) else None
         kwargs = {"query_norm": query_norm} if self.sim.uses_coord else {}

@@ -114,9 +114,63 @@ class ClassicSimilarity:
         return overlap / max_overlap  # search.go:467-469
 
 
+class LMDirichletSimilarity:
+    """LMDirichletSimilarity of Lucene 4.10 (language-model scoring with
+    Bayesian Dirichlet smoothing; absent from the reference):
+
+        score = boost * max(0, log(1 + freq / (mu * P(t|C)))
+                               + log(mu / (dl + mu)))
+
+    with P(t|C) = (totalTermFreq + 1) / (sumTotalTermFreq + 1)
+    (LMSimilarity.fillBasicStats) and mu = 2000 by default.  The
+    per-term scalar channel carries P(t|C) instead of idf
+    (Searcher._term_scalar); dl is the (quantized-decoded) doc length,
+    exactly the norm Lucene's LM implementations read back."""
+
+    name = "lm_dirichlet"
+    uses_coord = False
+
+    def __init__(self, mu: float = 2000.0):
+        self.mu = mu
+
+    # per-term scalar: collection probability (needs ttf, not df)
+    def term_scalar(self, st, cs) -> float:
+        return (st.ttf + 1.0) / (cs["sum_ttf"] + 1.0)
+
+    # fallback for generic callers; not a meaningful LM quantity on its
+    # own, kept so shared code paths (explain summaries) don't crash
+    def idf(self, df: int, max_doc: int) -> float:
+        return 1.0
+
+    def avgdl(self, sum_ttf: int, max_doc: int) -> float:
+        return 1.0 if sum_ttf <= 0 or max_doc <= 0 else sum_ttf / max_doc
+
+    def score_col(self, freq: Column, dlq: Column, norm_byte: Column,
+                  p, avgdl: float, boost=1.0) -> Column:
+        raw = (
+            F.log(1.0 + freq / (_c(p) * self.mu))
+            + F.log(F.lit(self.mu) / (dlq + self.mu))
+        )
+        return _c(boost) * F.greatest(F.lit(0.0), raw)
+
+    def score_np(self, freq, dlq, norm_byte, p, avgdl, boost=1.0):
+        freq = np.asarray(freq, dtype=np.float64)
+        dlq = np.asarray(dlq, dtype=np.float64)
+        raw = np.log(1.0 + freq / (p * self.mu)) + np.log(self.mu / (dlq + self.mu))
+        return boost * np.maximum(0.0, raw)
+
+    def query_norm(self, sum_sq: float) -> float:
+        return 1.0
+
+    def value_for_normalization(self, p: float, boost: float) -> float:
+        return boost ** 2
+
+
 def get_similarity(name: str):
     if name in ("bm25", None):
         return BM25Similarity()
     if name in ("classic", "tfidf", "default"):
         return ClassicSimilarity()
+    if name in ("lm_dirichlet", "lm", "dirichlet"):
+        return LMDirichletSimilarity()
     raise ValueError(f"unknown similarity {name!r}")

@@ -199,3 +199,51 @@ def repetition_signals(df: DataFrame, text_col: str = "text",
         frac(nz(F.col("top2_chars")), F.col("tok_chars")).alias("top2gram_char_frac"),
         frac(nz(F.col("top3_chars")), F.col("tok_chars")).alias("top3gram_char_frac"),
     )
+
+
+def unigram_logppl(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Unigram language-model perplexity proxy — the CCNet-style
+    quality bucketing signal (Wenzek et al. 2020, arXiv:1911.00359,
+    which buckets Common Crawl by LM perplexity; the unigram MLE is the
+    SQL-exact stand-in for the KenLM there):
+
+        logppl(doc) = -(1/n) * sum_i ln P(t_i | corpus),
+        P(t|corpus) = corpus_tf(t) / total_tokens.
+
+    Lower = more typical text; token-dup-heavy or boilerplate docs
+    score low, rare-garbage docs high.  Scale shape: one token explode,
+    one groupBy(term) for the corpus LM (hot terms collapse to one
+    row), a broadcast-friendly term join back, and one per-doc
+    aggregation whose ln-prob fold is POSITION-ORDERED (sort_array +
+    sequential aggregate) so the float sum is deterministic and
+    twin-exact."""
+    toks = _tokens(text_col)
+    tok_rows = df.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(toks).alias("pos", "term")
+    )
+    lm = tok_rows.groupBy("term").agg(F.count("*").alias("tf"))
+    total = lm.agg(F.sum("tf").alias("total"))
+    lnp = (
+        tok_rows.join(lm, "term")
+        .crossJoin(F.broadcast(total))
+        .withColumn("lnp", F.log(F.col("tf").cast("double") / F.col("total")))
+    )
+    per_doc = lnp.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("pos", "lnp"))),
+            F.lit(0.0),
+            lambda a, x: a + x["lnp"],
+        ).alias("s"),
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.when(F.col("n_tokens") > 0, -(F.col("s") / F.col("n_tokens")))
+            .otherwise(F.lit(0.0)).alias("logppl"),
+        )
+    )

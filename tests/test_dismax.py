@@ -118,3 +118,23 @@ def test_multi_field_keeps_keyword_fields_raw():
     body_terms = {c.query for sub in q.queries if hasattr(sub, "clauses")
                   for c in sub.clauses}
     assert body_terms == {TermQuery("body", "py"), TermQuery("body", "3")}
+
+
+def test_lm_dirichlet_term_scoring(dix):
+    """LMDirichletSimilarity: exact formula against hand math."""
+    import math
+
+    from golucene_spark.search import Searcher, TermQuery
+
+    s = Searcher(dix, "lm_dirichlet")
+    cs = s._collection_stats("body")
+    st = s._term_stats(TermQuery("body", "spark"))[("body", "spark")]
+    p = (st.ttf + 1.0) / (cs["sum_ttf"] + 1.0)
+    got = {r["doc_id"]: r["score"]
+           for r in s.search(TermQuery("body", "spark"), 10).collect()}
+    rows = {r["doc_id"]: (r["freq"], r["dlq"]) for r in
+            dix.postings_for_terms("body", ["spark"]).collect()}
+    for d, (freq, dl) in rows.items():
+        want = max(0.0, math.log(1 + freq / (p * 2000.0))
+                   + math.log(2000.0 / (dl + 2000.0)))
+        assert got[d] == pytest.approx(want, rel=1e-12), d

@@ -358,3 +358,25 @@ def test_pq_encode_and_adc(spark):
     exact = np.argsort(((X - q) ** 2).sum(axis=1))[1:11]
     approx = {r["vec_id"] for r in top}
     assert len(approx & set(int(x) for x in exact)) >= 5
+
+
+def test_unigram_logppl_values(spark):
+    import math
+
+    from golucene_spark.text.quality import unigram_logppl
+
+    rows = [
+        (0, "common common common"),
+        (1, "common rare"),
+        (2, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict() for r in unigram_logppl(df, "text").collect()}
+    # corpus: common x4, rare x1, total 5
+    p_common, p_rare = 4 / 5, 1 / 5
+    assert out[0]["logppl"] == pytest.approx(-math.log(p_common))
+    assert out[1]["logppl"] == pytest.approx(
+        -(math.log(p_common) + math.log(p_rare)) / 2)
+    assert out[2]["n_tokens"] == 0 and out[2]["logppl"] == 0.0
+    # the rare-token doc is "more surprising"
+    assert out[1]["logppl"] > out[0]["logppl"]
