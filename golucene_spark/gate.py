@@ -986,6 +986,75 @@ ORDER BY score_e6 DESC, doc_id ASC LIMIT 10
 """
 
 
+# --- QueryRescorer oracle pairing ------------------------------------------
+
+
+def q_rescore_phrase_bm25(spark, sf_dir):
+    """QueryRescorer: BM25 term first pass (top-100) reranked by the
+    exact-phrase query at weight 2.0 — combined = first + 2*phrase for
+    phrase matches, first alone otherwise (QueryRescorer.combine)."""
+    from .search import rescore
+    from .search.ast import PhraseQuery
+
+    s = Searcher(_index_pos(spark, sf_dir), "bm25")
+    out = rescore(s, "text:data", PhraseQuery("text", PHRASE),
+                  top_n=100, weight=2.0, k=10)
+    return (
+        out.withColumn("score_e6", F.round(F.col("score") * 1e6, 0).cast("long"))
+        .orderBy(F.desc("score_e6"), F.asc("doc_id"))
+        .select("doc_id", "score_e6")
+    )
+
+
+ORACLES["rescore_phrase_bm25"] = f"""{BASE_CTE},
+ts AS (SELECT count(*)::BIGINT AS df FROM tf WHERE term = 'data'),
+first AS (
+  SELECT tf.doc_id,
+    ln(1 + (stats.n_docs - ts.df + 0.5) / (ts.df + 0.5)) * {K1 + 1.0}
+    * tf.freq / (tf.freq + {K1} * (1 - {B} + {B} * dl.dl / (stats.sum_dl / stats.n_docs))) AS fs
+  FROM tf JOIN dl USING (doc_id), stats, ts WHERE tf.term = 'data'
+),
+cand AS (
+  SELECT doc_id, fs FROM (
+    SELECT doc_id, fs, row_number() OVER (ORDER BY fs DESC, doc_id ASC) AS rn
+    FROM first) WHERE rn <= 100
+),
+otok AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS term,
+         generate_subscripts(regexp_extract_all(lower(text), '{TOKEN_PATTERN}'), 1) AS ord
+  FROM documents
+),
+kpos AS (
+  SELECT doc_id, term, row_number() OVER (PARTITION BY doc_id ORDER BY ord) - 1 AS pos
+  FROM otok WHERE term NOT IN ({STOP_SQL})
+),
+pf AS (
+  SELECT a.doc_id, count(*)::BIGINT AS freq
+  FROM kpos a JOIN kpos b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  WHERE a.term = '{PHRASE[0]}' AND b.term = '{PHRASE[1]}'
+  GROUP BY a.doc_id
+),
+ts0 AS (SELECT count(*)::BIGINT AS df FROM tf WHERE term = '{PHRASE[0]}'),
+ts1 AS (SELECT count(*)::BIGINT AS df FROM tf WHERE term = '{PHRASE[1]}'),
+idfp AS (
+  SELECT ln(1 + (stats.n_docs - ts0.df + 0.5) / (ts0.df + 0.5))
+       + ln(1 + (stats.n_docs - ts1.df + 0.5) / (ts1.df + 0.5)) AS idf
+  FROM stats, ts0, ts1
+),
+second AS (
+  SELECT pf.doc_id,
+    idfp.idf * {K1 + 1.0}
+    * pf.freq / (pf.freq + {K1} * (1 - {B} + {B} * dl.dl / (stats.sum_dl / stats.n_docs))) AS ss
+  FROM pf JOIN dl USING (doc_id), stats, idfp
+)
+SELECT cand.doc_id AS doc_id,
+  CAST(ROUND((cand.fs + 2.0 * coalesce(second.ss, 0.0)) * 1000000.0, 0) AS BIGINT) AS score_e6
+FROM cand LEFT JOIN second USING (doc_id)
+ORDER BY score_e6 DESC, doc_id ASC LIMIT 10
+"""
+
+
 # --- unigram log-perplexity quality signal ---------------------------------
 
 
@@ -4095,6 +4164,7 @@ QUERIES = {
     "term_lm_dirichlet": q_term_lm_dirichlet,
     "bool_or_lm_dirichlet": q_bool_or_lm_dirichlet,
     "unigram_logppl": q_unigram_logppl,
+    "rescore_phrase_bm25": q_rescore_phrase_bm25,
     # --- never driver-checked (round-2 additions) ---
     "term_bm25_standard": q_term_bm25_standard,
     "update_bm25": q_update_bm25,

@@ -23,6 +23,7 @@ from .multiterm import suggest_terms
 from .grouping import group_search
 from .join import join_search
 from .cache import CachingSearcher
+from .rescore import rescore
 from .phrase import span_near_search, span_first_search, span_not_search, payload_term_search
 
 __all__ = [
@@ -56,4 +57,5 @@ __all__ = [
     "group_search",
     "join_search",
     "CachingSearcher",
+    "rescore",
 ]

@@ -65,3 +65,29 @@ def test_cached_pagination_reuses_frame(searcher):
         (r["doc_id"], r["score"]) for r in full
     ]
     cs.clear()
+
+
+def test_rescore_combines_first_and_second(searcher):
+    """QueryRescorer.combine: first + weight*second for second-pass
+    matches, first alone otherwise."""
+    from golucene_spark.search import rescore
+
+    s = searcher.searcher if hasattr(searcher, "searcher") else searcher
+    first = {r["doc_id"]: r["score"]
+             for r in s.score_frame(__import__("golucene_spark.search.parser",
+                                               fromlist=["parse_query"])
+                                    .parse_query("content:parse")).collect()}
+    second_q = "content:tokenize"
+    second = {r["doc_id"]: r["score"]
+              for r in s.score_frame(__import__("golucene_spark.search.parser",
+                                                fromlist=["parse_query"])
+                                     .parse_query(second_q)).collect()}
+    got = {r["doc_id"]: r["score"]
+           for r in rescore(s, "content:parse", second_q,
+                            top_n=10, weight=0.5, k=10).collect()}
+    assert set(got) == set(first)
+    import pytest as _pt
+
+    for d, v in got.items():
+        want = first[d] + 0.5 * second.get(d, 0.0)
+        assert v == _pt.approx(want, rel=1e-12), d
