@@ -986,6 +986,46 @@ ORDER BY score_e6 DESC, doc_id ASC LIMIT 10
 """
 
 
+# --- range faceting oracle pairing -----------------------------------------
+
+
+def q_range_facets(spark, sf_dir):
+    """LongRangeFacetCounts role: doc_id interval counts over the
+    text:data matches, one conditional-sum pass for all ranges."""
+    import shutil
+
+    from .index import IndexBuilder, MaterializedIndex
+    from .search.facets import range_facet_counts
+
+    ixdir = "/root/repo/.data/gate_rfacet_ix"
+    shutil.rmtree(ixdir, ignore_errors=True)
+    IndexBuilder(
+        spark, CorpusSpec.documents(), analyzer="simple",
+        quantize_norms=False, num_segments=4,
+    ).build(_docs(spark, sf_dir), ixdir)
+    s = Searcher(MaterializedIndex(spark, ixdir), "bm25")
+    out = range_facet_counts(
+        s, "text:data", "doc_id",
+        [("lo", 0, 150), ("mid", 150, 350), ("hi", 350, None), ("empty", 10_000, None)],
+    )
+    return out.select("range", F.col("count").cast("long").alias("count"))
+
+
+ORACLES["range_facets"] = f"""{BASE_CTE},
+hits AS (SELECT DISTINCT doc_id FROM tf WHERE term = 'data')
+SELECT r.range AS range, coalesce(c.count, 0)::BIGINT AS count
+FROM (VALUES ('lo'), ('mid'), ('hi'), ('empty')) AS r(range)
+LEFT JOIN (
+  SELECT CASE WHEN doc_id >= 0 AND doc_id < 150 THEN 'lo'
+              WHEN doc_id >= 150 AND doc_id < 350 THEN 'mid'
+              WHEN doc_id >= 350 THEN 'hi' END AS range,
+         count(*)::BIGINT AS count
+  FROM hits GROUP BY 1
+) c USING (range)
+ORDER BY CASE r.range WHEN 'lo' THEN 0 WHEN 'mid' THEN 1 WHEN 'hi' THEN 2 ELSE 3 END
+"""
+
+
 # --- QueryRescorer oracle pairing ------------------------------------------
 
 
@@ -4165,6 +4205,7 @@ QUERIES = {
     "bool_or_lm_dirichlet": q_bool_or_lm_dirichlet,
     "unigram_logppl": q_unigram_logppl,
     "rescore_phrase_bm25": q_rescore_phrase_bm25,
+    "range_facets": q_range_facets,
     # --- never driver-checked (round-2 additions) ---
     "term_bm25_standard": q_term_bm25_standard,
     "update_bm25": q_update_bm25,

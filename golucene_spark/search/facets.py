@@ -59,3 +59,50 @@ def facet_counts(searcher, query, facet_field: str, k: int = 10,
         .orderBy(F.desc("count"), F.asc("value"))
         .limit(k)
     )
+
+
+def range_facet_counts(searcher, query, value_expr: str,
+                       ranges: list[tuple]) -> DataFrame:
+    """Range faceting (the Lucene facet module's LongRangeFacetCounts /
+    DoubleRangeFacetCounts role): per named interval, the count of
+    matching docs whose doc-values expression falls inside it.
+
+    ``ranges`` is a list of (label, lo, hi) with lo inclusive and hi
+    exclusive; None bounds are open.  ``value_expr`` is a SQL expression
+    over the stored doc_meta columns.  One hash join of the match frame
+    to the pruned doc_meta projection, one conditional-sum aggregate —
+    every range is counted in the same single pass (no per-range scans),
+    and empty ranges still report 0."""
+    if isinstance(query, str):
+        from .parser import parse_query
+
+        query = parse_query(query)
+    if not hasattr(searcher.index, "doc_meta"):
+        raise ValueError("range_facet_counts needs a materialized index with doc_meta")
+    docs = searcher.score_frame(query).select("doc_id")
+    meta = searcher._live_meta()
+    val = F.expr(value_expr).cast("double")
+    joined = docs.join(meta, "doc_id").select(val.alias("_v"))
+    aggs = []
+    for label, lo, hi in ranges:
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (F.col("_v") >= float(lo))
+        if hi is not None:
+            cond = cond & (F.col("_v") < float(hi))
+        aggs.append(
+            F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(str(label))
+        )
+    wide = joined.agg(*aggs)
+    # unpivot to (range, count) rows, preserving the given range order
+    pairs = []
+    for i, (label, _lo, _hi) in enumerate(ranges):
+        pairs.append(F.struct(F.lit(i).alias("ord"), F.lit(str(label)).alias("range"),
+                              F.col(str(label)).alias("count")))
+    return (
+        wide.select(F.explode(F.array(*pairs)).alias("e"))
+        .select(F.col("e.range").alias("range"), F.col("e.count").alias("count"),
+                F.col("e.ord").alias("ord"))
+        .orderBy("ord")
+        .drop("ord")
+    )
