@@ -17,9 +17,9 @@ from .parser import parse_query, parse_multi_field
 from .similarity import BM25Similarity, ClassicSimilarity
 from .executor import Searcher
 from .highlight import highlight
-from .facets import facet_counts
+from .facets import facet_counts, range_facet_counts
 from .mlt import more_like_this, interesting_terms
-from .multiterm import suggest_terms
+from .multiterm import suggest_terms, common_terms_query
 from .grouping import group_search
 from .join import join_search
 from .cache import CachingSearcher
@@ -51,6 +51,8 @@ __all__ = [
     "payload_term_search",
     "highlight",
     "facet_counts",
+    "range_facet_counts",
+    "common_terms_query",
     "more_like_this",
     "interesting_terms",
     "suggest_terms",
