@@ -548,7 +548,7 @@ class Searcher:
         if isinstance(q, TermQuery):
             st = stats[(q.field, q.term)]
             cs = self._collection_stats(q.field)
-            idf = self.sim.idf(st.df, cs["max_doc"])
+            idf = self._term_scalar(st, cs)
             avgdl = self.sim.avgdl(cs["sum_ttf"], cs["max_doc"])
             rows = (
                 self.index.postings_for_terms(q.field, [q.term])

@@ -76,6 +76,12 @@ def wand_topk(searcher: Searcher, query, k: int = 10,
     index = searcher.index
     if tqs is None or searcher.sim.name != "bm25" or not hasattr(index, "postings"):
         return searcher.search(q, k)
+    if getattr(index, "_tombstones", None) is not None:
+        # the metadata threshold certifies docs that may be tombstoned:
+        # a dead max-freq doc would push theta above the true k-th LIVE
+        # score and wrongly prune blocks holding live hits — deleted
+        # indexes take the (exact, liveDocs-filtered) exhaustive plan
+        return searcher.search(q, k)
 
     field = tqs[0].field
     stats = searcher._term_stats(q)

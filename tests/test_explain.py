@@ -75,3 +75,14 @@ def test_explain_matchall_and_resolved_multiterm(ix):
     # wildcard resolves to a boolean before explanation
     exw = s.explain(WildcardQuery("content", "ba*"), 1)
     assert exw["match"] and exw["value"] > 0
+
+
+def test_lm_dirichlet_explain_matches_score(ix):
+    from golucene_spark.search import Searcher, TermQuery
+
+    s = Searcher(ix, "lm_dirichlet")
+    q = TermQuery("content", "bar")
+    scores = {r["doc_id"]: r["score"] for r in s.search(q, 10).collect()}
+    for d, v in scores.items():
+        ex = s.explain(q, d)
+        assert ex["match"] and ex["value"] == v, d

@@ -68,3 +68,33 @@ def test_wand_actually_prunes_decode_work(spark, tmp_path_factory):
     assert stats["blocks_total"] == 8  # 1024 docs / 128
     assert stats["blocks_surviving"] < stats["blocks_total"]
     assert stats["blocks_decoded_rescore"] < stats["blocks_total"]
+
+
+def test_wand_with_deletes_matches_exhaustive(spark, tmp_path_factory):
+    """With tombstones present the metadata threshold could certify dead
+    docs; wand_topk must stay exact (it falls back to the liveDocs-
+    filtered exhaustive plan)."""
+    rows = []
+    for i in range(64):
+        rows.append((i, "hot " * 40 + " ".join(f"pad{j}" for j in range(10))))
+    for i in range(64, 512):
+        rows.append((i, "hot " + " ".join(f"pad{j}" for j in range(49))))
+    df = spark.createDataFrame(rows, "doc_id long, content string")
+    from golucene_spark.index import CorpusSpec, FieldSpec
+    from golucene_spark.index.deletes import delete_docs
+
+    spec = CorpusSpec(
+        text_fields=[FieldSpec("content", "content", True)],
+        keyword_fields=[], key_cols=["doc_id"], id_col="doc_id", meta_cols=[],
+    )
+    ixdir = str(tmp_path_factory.mktemp("ixdel"))
+    IndexBuilder(spark, spec, num_segments=1).build(df, ixdir)
+    # delete most of the hot block, incl. what would certify theta
+    delete_docs(spark, ixdir, list(range(0, 60)))
+    s = Searcher(MaterializedIndex(spark, ixdir), "bm25")
+    q = parse_query("content:hot")
+    exact = [(r["doc_id"], round(r["score"], 9)) for r in s.search(q, 10).collect()]
+    pruned = [(r["doc_id"], round(r["score"], 9))
+              for r in wand_topk(s, q, 10).collect()]
+    assert exact == pruned
+    assert all(d >= 60 for d, _ in exact[:4])  # deleted docs really gone
