@@ -1311,8 +1311,9 @@ def q_folding_term_bm25(spark, sf_dir):
     )
     ix = LogicalIndex(docs, spec, analyzer="folding", quantize_norms=False)
     s = Searcher(ix, "bm25")
-    frame = s.score_frame(parse_query("ptext:data", default_field="ptext",
-                                      analyzer="folding"))
+    frame = s.score_frame(parse_query("ptext:dátá", default_field="ptext",
+                                      analyzer="folding",
+                                      tokenized_fields=("ptext",)))
     return (
         frame.withColumn("score_e6", F.round(F.col("score") * 1e6, 0).cast("long"))
         .orderBy(F.desc("score_e6"), F.asc("doc_id"))

@@ -912,7 +912,7 @@ class LogicalIndex:
         cols = ["term", "doc_id", "freq", "dlq", "norm_byte"]
         if with_positions:
             cols.append("positions")
-        if with_payloads:
+        if with_payloads and "payloads" in self.tf.columns:
             cols.append("payloads")
         return self.tf.filter((F.col("field") == field) & F.col("term").isin(terms)).select(*cols)
 
