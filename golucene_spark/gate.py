@@ -986,6 +986,45 @@ ORDER BY score_e6 DESC, doc_id ASC LIMIT 10
 """
 
 
+# --- SpanOrQuery oracle pairing --------------------------------------------
+
+
+def q_span_or_bm25(spark, sf_dir):
+    """SpanOrQuery: spans of 'data' and 'query' union into ONE scorer —
+    freq = total occurrences of either term, idf = summed idfs (unlike
+    BooleanQuery's per-term score sum)."""
+    from .search.phrase import span_or_search
+
+    s = Searcher(_index(spark, sf_dir), "bm25")
+    frame = span_or_search(s, "text", ["data", "query"], k=1_000_000)
+    return (
+        frame.withColumn("score_e6", F.round(F.col("score") * 1e6, 0).cast("long"))
+        .orderBy(F.desc("score_e6"), F.asc("doc_id"))
+        .limit(10)
+        .select("doc_id", "score_e6")
+    )
+
+
+ORACLES["span_or_bm25"] = f"""{BASE_CTE},
+uf AS (
+  SELECT doc_id, sum(freq)::BIGINT AS freq
+  FROM tf WHERE term IN ('data', 'query') GROUP BY doc_id
+),
+ts0 AS (SELECT count(*)::BIGINT AS df FROM tf WHERE term = 'data'),
+ts1 AS (SELECT count(*)::BIGINT AS df FROM tf WHERE term = 'query'),
+idfs AS (
+  SELECT ln(1 + (stats.n_docs - ts0.df + 0.5) / (ts0.df + 0.5))
+       + ln(1 + (stats.n_docs - ts1.df + 0.5) / (ts1.df + 0.5)) AS idf
+  FROM stats, ts0, ts1
+)
+SELECT uf.doc_id AS doc_id,
+  CAST(ROUND((idfs.idf * {K1 + 1.0}
+       * uf.freq / (uf.freq + {K1} * (1 - {B} + {B} * dl.dl / (stats.sum_dl / stats.n_docs)))) * 1000000.0, 0) AS BIGINT) AS score_e6
+FROM uf JOIN dl USING (doc_id), stats, idfs
+ORDER BY score_e6 DESC, doc_id ASC LIMIT 10
+"""
+
+
 # --- range faceting oracle pairing -----------------------------------------
 
 
@@ -4207,6 +4246,7 @@ QUERIES = {
     "unigram_logppl": q_unigram_logppl,
     "rescore_phrase_bm25": q_rescore_phrase_bm25,
     "range_facets": q_range_facets,
+    "span_or_bm25": q_span_or_bm25,
     # --- never driver-checked (round-2 additions) ---
     "term_bm25_standard": q_term_bm25_standard,
     "update_bm25": q_update_bm25,

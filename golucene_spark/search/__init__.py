@@ -24,7 +24,7 @@ from .grouping import group_search
 from .join import join_search
 from .cache import CachingSearcher
 from .rescore import rescore
-from .phrase import span_near_search, span_first_search, span_not_search, payload_term_search
+from .phrase import span_near_search, span_first_search, span_not_search, span_or_search, payload_term_search
 
 __all__ = [
     "TermQuery",
@@ -48,6 +48,7 @@ __all__ = [
     "span_near_search",
     "span_first_search",
     "span_not_search",
+    "span_or_search",
     "payload_term_search",
     "highlight",
     "facet_counts",

@@ -405,6 +405,46 @@ def span_first_search(searcher, field: str, term: str, end: int,
     )
 
 
+def span_or_search(searcher, field: str, terms: list[str],
+                   k: int = 10) -> DataFrame:
+    """SpanOrQuery over term spans (Lucene spans module): the clause
+    spans union, so a doc's frequency is the TOTAL number of
+    occurrences of any listed term (one scorer over the merged span
+    stream — unlike BooleanQuery's per-term score sum), scored with the
+    summed idf of the clauses (SpanWeight stats over all terms).  One
+    pruned postings scan (In(term,...) pushdown) + one groupBy(doc)."""
+    from .ast import BooleanClause, BooleanQuery, Occur, TermQuery
+
+    s = searcher
+    terms = list(dict.fromkeys(terms))
+    stats = s._term_stats(BooleanQuery(tuple(
+        BooleanClause(TermQuery(field, t), Occur.SHOULD) for t in terms
+    )))
+    live = [t for t in terms if stats[(field, t)].df > 0]
+    if not live:
+        from .executor import RESULT_SCHEMA
+
+        return s.index.spark.createDataFrame([], RESULT_SCHEMA)
+    cs = s._collection_stats(field)
+    idf = sum(s.sim.idf(stats[(field, t)].df, cs["max_doc"]) for t in live)
+    avgdl = s.sim.avgdl(cs["sum_ttf"], cs["max_doc"])
+    p = s.index.postings_for_terms(field, live)
+    merged = p.groupBy("doc_id").agg(
+        F.sum("freq").cast("double").alias("freq"),
+        F.first("dlq").alias("dlq"),
+        F.first("norm_byte").alias("norm_byte"),
+    )
+    norm_col = F.col("norm_byte") if getattr(s.index, "quantized", True) else None
+    score = s.sim.score_col(
+        F.col("freq"), F.col("dlq"), norm_col, idf, avgdl, 1.0
+    )
+    return (
+        merged.select("doc_id", score.alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 def span_not_search(searcher, field: str, include: str, exclude: str,
                     pre: int = 0, post: int = 0, k: int = 10) -> DataFrame:
     """SpanNotQuery (Lucene spans module): occurrences of ``include``

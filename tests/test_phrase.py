@@ -311,3 +311,31 @@ def test_span_not_exclusion_window(spark):
                 for r in span_not_search(s, "text", "alpha", "zzzz",
                                          pre=1, post=1, k=10).collect()}
     assert hits_all == {0, 1, 2, 3}
+
+
+def test_span_or_merges_spans_into_one_scorer(pix):
+    """SpanOr: freq = total occurrences of any clause term — a single
+    scorer, NOT the BooleanQuery per-term score sum."""
+    import math
+
+    from golucene_spark.search import Searcher, span_or_search
+
+    s = Searcher(pix, "bm25")
+    got = {r["doc_id"]: r["score"]
+           for r in span_or_search(s, "content", ["quick", "brown"], 10).collect()}
+    cs = s._collection_stats("content")
+    from golucene_spark.search import TermQuery
+
+    st_q = s._term_stats(TermQuery("content", "quick"))[("content", "quick")]
+    st_b = s._term_stats(TermQuery("content", "brown"))[("content", "brown")]
+    idf = (s.sim.idf(st_q.df, cs["max_doc"]) + s.sim.idf(st_b.df, cs["max_doc"]))
+    avgdl = cs["sum_ttf"] / cs["max_doc"]
+    rows = {}
+    for r in pix.postings_for_terms("content", ["quick", "brown"]).collect():
+        f, dl = rows.get(r["doc_id"], (0, r["dlq"]))
+        rows[r["doc_id"]] = (f + r["freq"], r["dlq"])
+    for d, (freq, dl) in rows.items():
+        want = idf * 2.2 * freq / (freq + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        assert got[d] == pytest.approx(want, rel=1e-12), d
+    # unknown terms drop out; all-unknown returns empty
+    assert span_or_search(s, "content", ["zzzz"], 10).count() == 0
