@@ -157,11 +157,43 @@ class FoldingAnalyzer(SimpleAnalyzer):
         return super().analyze_batch(folded)
 
 
+class ShingleAnalyzer(SimpleAnalyzer):
+    """ShingleFilter over the simple chain (core Lucene
+    analysis/shingle; unported by the reference): emits the unigrams
+    AND space-joined word bigrams, so common phrases become single
+    dictionary terms — at scale a phrase query over shingled fields is
+    ONE term-pruned scan instead of a position intersection.  Position
+    of a bigram = position of its first word (ShingleFilter semantics);
+    SQL twin: unigrams UNION ALL pairwise-concatenated adjacent
+    tokens."""
+
+    name = "shingle"
+
+    def analyze_batch(self, texts):
+        terms, rows, pos = super().analyze_batch(texts)
+        if not len(terms):
+            return terms, rows, pos
+        # adjacent pairs within the same row form bigrams
+        same_row = rows[1:] == rows[:-1]
+        import numpy as np
+
+        left = np.flatnonzero(same_row)
+        bigrams = np.array(
+            [f"{terms[i]} {terms[i + 1]}" for i in left], dtype=object
+        )
+        out_terms = np.concatenate((terms, bigrams))
+        out_rows = np.concatenate((rows, rows[left]))
+        out_pos = np.concatenate((pos, pos[left]))
+        order = np.argsort(out_rows, kind="stable")
+        return out_terms[order], out_rows[order], out_pos[order]
+
+
 _ANALYZERS = {
     "standard": StandardAnalyzer,
     "simple": SimpleAnalyzer,
     "whitespace": WhitespaceAnalyzer,
     "folding": FoldingAnalyzer,
+    "shingle": ShingleAnalyzer,
 }
 
 

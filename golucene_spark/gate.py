@@ -986,6 +986,60 @@ ORDER BY score_e6 DESC, doc_id ASC LIMIT 10
 """
 
 
+# --- shingle analyzer oracle pairing ---------------------------------------
+
+
+def q_shingle_term_bm25(spark, sf_dir):
+    """ShingleFilter: the index stores unigrams AND word bigrams, so the
+    phrase 'data query' is ONE dictionary term — a single term-pruned
+    scan replaces the position intersection (the phrase-as-term scale
+    trick).  Doc length counts all emitted tokens (unigrams+bigrams),
+    mirrored by the twin."""
+    from .search.ast import TermQuery
+
+    ix = LogicalIndex(_docs(spark, sf_dir), CorpusSpec.documents(),
+                      analyzer="shingle", quantize_norms=False)
+    s = Searcher(ix, "bm25")
+    frame = s.score_frame(TermQuery("text", "data query"))
+    return (
+        frame.withColumn("score_e6", F.round(F.col("score") * 1e6, 0).cast("long"))
+        .orderBy(F.desc("score_e6"), F.asc("doc_id"))
+        .limit(10)
+        .select("doc_id", "score_e6")
+    )
+
+
+ORACLES["shingle_term_bm25"] = f"""
+WITH otok AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS term,
+         generate_subscripts(regexp_extract_all(lower(text), '{TOKEN_PATTERN}'), 1) AS ord
+  FROM documents
+),
+kpos AS (
+  SELECT doc_id, term, row_number() OVER (PARTITION BY doc_id ORDER BY ord) - 1 AS pos
+  FROM otok WHERE term NOT IN ({STOP_SQL})
+),
+alltok AS (
+  SELECT doc_id, term FROM kpos
+  UNION ALL
+  SELECT a.doc_id, a.term || ' ' || b.term AS term
+  FROM kpos a JOIN kpos b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS freq FROM alltok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM alltok GROUP BY 1),
+stats AS (SELECT (SELECT count(*) FROM documents)::BIGINT AS n_docs,
+                 (SELECT sum(dl) FROM dl)::BIGINT AS sum_dl),
+ts AS (SELECT count(*)::BIGINT AS df FROM tf WHERE term = 'data query')
+SELECT tf.doc_id AS doc_id,
+  CAST(ROUND((ln(1 + (stats.n_docs - ts.df + 0.5) / (ts.df + 0.5)) * {K1 + 1.0}
+       * tf.freq / (tf.freq + {K1} * (1 - {B} + {B} * dl.dl / (stats.sum_dl / stats.n_docs)))) * 1000000.0, 0) AS BIGINT) AS score_e6
+FROM tf JOIN dl USING (doc_id), stats, ts
+WHERE tf.term = 'data query'
+ORDER BY score_e6 DESC, doc_id ASC LIMIT 10
+"""
+
+
 # --- SpanOrQuery oracle pairing --------------------------------------------
 
 
@@ -4247,6 +4301,7 @@ QUERIES = {
     "rescore_phrase_bm25": q_rescore_phrase_bm25,
     "range_facets": q_range_facets,
     "span_or_bm25": q_span_or_bm25,
+    "shingle_term_bm25": q_shingle_term_bm25,
     # --- never driver-checked (round-2 additions) ---
     "term_bm25_standard": q_term_bm25_standard,
     "update_bm25": q_update_bm25,

@@ -118,3 +118,20 @@ def test_folding_analyzer_strips_diacritics():
     # stop words removed after folding
     t2, _, _ = an.analyze_batch(["thé quick"])  # 'thé' folds to stopword 'the'
     assert t2.tolist() == ["quick"]
+
+
+def test_shingle_analyzer_emits_unigrams_and_bigrams():
+    from golucene_spark.analysis import get_analyzer
+
+    an = get_analyzer("shingle")
+    terms, rows, pos = an.analyze_batch(["quick brown fox", "", "solo"])
+    got = sorted(zip(rows.tolist(), pos.tolist(), terms.tolist()))
+    assert got == [
+        (0, 0, "quick"), (0, 0, "quick brown"),
+        (0, 1, "brown"), (0, 1, "brown fox"),
+        (0, 2, "fox"),
+        (2, 0, "solo"),
+    ]
+    # stop words removed BEFORE shingling ('the' vanishes, gap closes)
+    t2, r2, p2 = an.analyze_batch(["the quick fox"])
+    assert sorted(t2.tolist()) == ["fox", "quick", "quick fox"]
