@@ -986,6 +986,66 @@ ORDER BY score_e6 DESC, doc_id ASC LIMIT 10
 """
 
 
+# --- URL canonicalization oracle pairing -----------------------------------
+
+
+def q_url_canonicalize(spark, sf_dir):
+    """Crawl-pipeline URL dedup key: deterministic URLs injected into
+    the corpus (mixed case hosts, default ports, tracking params,
+    fragments, trailing slashes) canonicalize and group — the twin
+    replays the identical regex chain."""
+    from .text.prep import extract_urls
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "ptext",
+        F.concat_ws(
+            "",
+            F.col("text"), F.lit(" https://Ex"),
+            F.pmod(F.col("doc_id"), F.lit(5)).cast("string"),
+            F.lit(".Site.com:443/p"),
+            F.pmod(F.col("doc_id"), F.lit(3)).cast("string"),
+            F.lit("/?utm_source=x&id="), F.col("doc_id").cast("string"),
+            F.lit("#f"),
+        ),
+    )
+    urls = extract_urls(docs, text_col="ptext")
+    return (
+        urls.groupBy("canonical")
+        .agg(F.count("*").cast("long").alias("n"),
+             F.min("doc_id").cast("long").alias("min_doc"))
+        .orderBy("canonical")
+    )
+
+
+ORACLES["url_canonicalize"] = r"""
+WITH d AS (
+  SELECT doc_id,
+         text || ' https://Ex' || (doc_id % 5) || '.Site.com:443/p'
+              || (doc_id % 3) || '/?utm_source=x&id=' || doc_id || '#f' AS ptext
+  FROM documents
+),
+urls AS (SELECT doc_id, unnest(regexp_extract_all(ptext, 'https?://\S+')) AS url FROM d),
+c1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS u FROM urls),
+c2 AS (SELECT doc_id, regexp_replace(u, '(utm_[a-zA-Z]+|fbclid|gclid|ref)=[^&#]*', '', 'g') AS u FROM c1),
+c3 AS (SELECT doc_id, regexp_replace(u, '&{2,}', '&', 'g') AS u FROM c2),
+c4 AS (SELECT doc_id, regexp_replace(u, '\?&', '?', 'g') AS u FROM c3),
+c5 AS (SELECT doc_id, regexp_replace(u, '[?&]+$', '') AS u FROM c4),
+c6 AS (SELECT doc_id, u, lower(regexp_extract(u, '^[a-zA-Z]+://[^/?#]+')) AS h FROM c5),
+c7 AS (SELECT doc_id, h, substring(u, length(h) + 1) AS r FROM c6),
+c8 AS (
+  SELECT doc_id,
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(h, '^(http)://([^:/]+):80$', '\1://\2'),
+        '^(https)://([^:/]+):443$', '\1://\2') || r,
+      '/$', '') AS canonical
+  FROM c7
+)
+SELECT canonical AS canonical, count(*)::BIGINT AS n, min(doc_id)::BIGINT AS min_doc
+FROM c8 GROUP BY 1 ORDER BY 1
+"""
+
+
 # --- shingle analyzer oracle pairing ---------------------------------------
 
 
@@ -4302,6 +4362,7 @@ QUERIES = {
     "range_facets": q_range_facets,
     "span_or_bm25": q_span_or_bm25,
     "shingle_term_bm25": q_shingle_term_bm25,
+    "url_canonicalize": q_url_canonicalize,
     # --- never driver-checked (round-2 additions) ---
     "term_bm25_standard": q_term_bm25_standard,
     "update_bm25": q_update_bm25,

@@ -210,3 +210,42 @@ def hash_split(
         bucket.alias("bucket"),
         split.alias("split"),
     )
+
+
+def extract_urls(docs: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, url, canonical): URLs found in the text plus their
+    canonical form — the URL-dedup key a crawl pipeline groups on:
+
+    - fragment dropped
+    - tracking query params removed (utm_*, fbclid, gclid, ref),
+      dangling '?'/'&' tidied
+    - scheme://host lowercased (path/query case preserved)
+    - default ports stripped (:80 for http, :443 for https)
+    - single trailing slash trimmed
+
+    Pure JVM regex chain, identical expressions in the DuckDB twin.
+    """
+    # Column-typed pattern avoids SQL string-literal backslash mangling
+    s = F.explode(
+        F.regexp_extract_all(F.col(text_col), F.lit(URL_RE), F.lit(0))
+    ).alias("url")
+    base = docs.select(F.col(id_col).alias("doc_id"), s)
+    u = F.col("url")
+    u = F.regexp_replace(u, r"#.*$", "")                       # fragment
+    u = F.regexp_replace(u, r"(utm_[a-zA-Z]+|fbclid|gclid|ref)=[^&#]*", "")
+    u = F.regexp_replace(u, r"&{2,}", "&")                     # collapse &&
+    u = F.regexp_replace(u, r"\?&", "?")                       # ?& -> ?
+    u = F.regexp_replace(u, r"[?&]+$", "")                     # dangling
+    head = F.regexp_extract(u, r"^[a-zA-Z]+://[^/?#]+", 0)
+    canon = (
+        base.withColumn("_c", u)
+        .withColumn("_h", F.lower(head))
+        # rest offset uses the ORIGINAL head length (before port strip)
+        .withColumn("_r", F.expr("substring(_c, length(_h) + 1)"))
+        .withColumn("_h", F.regexp_replace("_h", r"^(http)://([^:/]+):80$", "$1://$2"))
+        .withColumn("_h", F.regexp_replace("_h", r"^(https)://([^:/]+):443$", "$1://$2"))
+        .withColumn("canonical",
+                    F.regexp_replace(F.concat("_h", "_r"), r"/$", ""))
+    )
+    return canon.select("doc_id", "url", "canonical")

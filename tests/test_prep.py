@@ -106,3 +106,23 @@ def test_cap_per_group_nested_deterministic(spark):
     assert small <= big                  # raising the cap only adds docs
     again = {r["doc_id"] for r in cap_per_group(df, max_docs=5).collect()}
     assert again == small                # content-hash lottery is stable
+
+
+def test_extract_urls_canonicalization(spark):
+    from golucene_spark.text.prep import extract_urls
+
+    rows = [
+        (0, "see https://EXample.com:443/Path/?utm_source=x&id=7#frag end"),
+        (1, "plain http://Host.org:80/a/ and http://host.org/a"),
+        (2, "no urls here"),
+        (3, "https://site.io/?utm_campaign=z&fbclid=abc"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    by = {}
+    for r in extract_urls(df).collect():
+        by.setdefault(r["doc_id"], []).append(r["canonical"])
+    assert by[0] == ["https://example.com/Path/?id=7"]
+    # default-port + trailing-slash variants collapse to one key
+    assert sorted(by[1]) == ["http://host.org/a", "http://host.org/a"]
+    assert 2 not in by
+    assert by[3] == ["https://site.io"]
