@@ -56,14 +56,26 @@ def select_merges(segments: dict[int, int], max_merged_docs: int = 5_000_000) ->
     return merges
 
 
+# merged-segment ids live above every epoch-derived id (streams at
+# 1_000_000 + epoch, updates at 2_000_000 + epoch): max(used)+1 alone
+# could equal a FUTURE stream/update epoch's deterministic id — e.g.
+# merging stream segments {1_000_000, 1_000_001} would allocate
+# 1_000_002, exactly stream epoch 2's id, and the next micro-batch
+# would alias the merged segment.  Merge ids are labels only (doc ids
+# never derive from them), so the high base is safe.
+MERGE_ID_BASE = 10_000_000
+
+
 def _allocate_segment_id(index_dir: str, segment_ids: list[int]) -> int:
-    """A segment id not used by ANY segment recorded in the manifest.
+    """A segment id not used by ANY segment recorded in the manifest,
+    and outside the epoch-derived stream/update id ranges.
 
     Defaulting to min(segment_ids) (or any merged-away id) is wrong:
     dead_segments() discards new_segment_id from the dead set, so the
     original chunk's rows for that id would stay visible alongside the
     merged copies (duplicated postings, inflated df/ttf)."""
-    used = set(int(s) for s in segment_ids)
+    used = {MERGE_ID_BASE - 1}
+    used.update(int(s) for s in segment_ids)
     mdir = os.path.join(index_dir, "manifest")
     if os.path.isdir(mdir):
         for fn in os.listdir(mdir):

@@ -139,3 +139,35 @@ def test_update_and_stream_epoch_no_collision(spark, tmp_path_factory):
     assert {r["doc_id"] for r in s.search(TermQuery("content", "replaced"), 10).collect()} == {1}
     assert {r["doc_id"] for r in s.search(TermQuery("content", "original"), 10).collect()} == {0}
     assert {r["doc_id"] for r in s.search(TermQuery("content", "streamed"), 10).collect()} == {2}
+
+
+def test_merge_id_never_collides_with_future_stream_epoch(spark, tmp_path_factory):
+    """A merge of stream segments must not allocate the id a FUTURE
+    stream epoch will deterministically use (1_000_000 + epoch)."""
+    from golucene_spark.index.merge import MERGE_ID_BASE, merge_segments
+    from golucene_spark.streaming import incremental_index_batch
+
+    base = tmp_path_factory.mktemp("nrt_merge")
+    ixdir = str(base / "index")
+    spec = doc_spec()
+    for epoch, (i, w) in enumerate([(0, "alpha early"), (1, "beta early")]):
+        b = spark.createDataFrame(
+            [(i, "r", "p", "py", w)],
+            "doc_id long, repo string, path string, lang string, content string",
+        )
+        incremental_index_batch(b, epoch, ixdir, spec, analyzer="simple",
+                                quantize_norms=False)
+    rec = merge_segments(spark, ixdir, [1_000_000, 1_000_001])
+    assert rec["new_segment_id"] >= MERGE_ID_BASE
+    # the next stream epoch's deterministic id is now guaranteed free
+    b2 = spark.createDataFrame(
+        [(2, "r", "p", "py", "gamma later")],
+        "doc_id long, repo string, path string, lang string, content string",
+    )
+    rec2 = incremental_index_batch(b2, 2, ixdir, spec, analyzer="simple",
+                                   quantize_norms=False)
+    assert rec2["segment_id"] == 1_000_002 != rec["new_segment_id"]
+    s = Searcher(MaterializedIndex(spark, ixdir), "bm25")
+    for term, want in [("early", {0, 1}), ("later", {2})]:
+        got = {r["doc_id"] for r in s.search(TermQuery("content", term), 10).collect()}
+        assert got == want, (term, got)
