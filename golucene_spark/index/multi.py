@@ -38,16 +38,23 @@ class MultiIndex:
         return df.withColumn("doc_id", F.col("doc_id") + F.lit(self.doc_base(i)))
 
     def _union(self, frames: list[DataFrame]) -> DataFrame:
+        # allowMissingColumns: sub-indexes may differ in optional columns
+        # (e.g. one stores payloads, another predates them) — absent
+        # columns read as null, matching a single mixed-chunk index
         out = frames[0]
         for f in frames[1:]:
-            out = out.unionByName(f)
+            out = out.unionByName(f, allowMissingColumns=True)
         return out
 
     # -- Searcher surface -------------------------------------------------
     def postings_for_terms(self, field: str, terms: list[str],
-                           with_positions: bool = False) -> DataFrame:
+                           with_positions: bool = False,
+                           with_payloads: bool = False) -> DataFrame:
         return self._union([
-            self._shift(ix.postings_for_terms(field, terms, with_positions=with_positions), i)
+            self._shift(
+                ix.postings_for_terms(field, terms,
+                                      with_positions=with_positions,
+                                      with_payloads=with_payloads), i)
             for i, ix in enumerate(self.indexes)
         ])
 
