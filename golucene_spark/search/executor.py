@@ -49,6 +49,19 @@ RESULT_SCHEMA = T.StructType(
 )
 
 
+def empty_results(spark) -> DataFrame:
+    """Empty (doc_id, score) frame as a zero-row LocalRelation.
+    createDataFrame([], schema) round-trips an empty RDD through Py4J
+    and costs ~0.35s PER COLLECT in this sandbox; the WHERE-false SQL
+    plan collapses at optimization time (<10ms), so miss queries cost
+    what they should — nothing."""
+    return spark.sql(
+        "SELECT CAST(1 AS BIGINT) AS doc_id, CAST(0.0 AS DOUBLE) AS score "
+        "WHERE 1 = 0"
+    )
+
+
+
 def _collect_terms(q, out):
     if isinstance(q, TermQuery):
         out.add((q.field, q.term))
@@ -530,8 +543,7 @@ class Searcher:
         qn = self.sim.query_norm(self._sum_sq(q, stats))
         f = self._frame(q, stats, qn)
         if f is None:
-            spark = self.index.spark
-            return spark.createDataFrame([], RESULT_SCHEMA)
+            return empty_results(self.index.spark)
         return f.select(F.col("doc_id").cast("long"), F.col("score").cast("double"))
 
     def explain(self, query, doc_id: int) -> dict:
@@ -583,7 +595,7 @@ class Searcher:
         if isinstance(q, PhraseQuery):
             rows = (
                 self._phrase_frame(q, stats, query_norm) or
-                self.index.spark.createDataFrame([], RESULT_SCHEMA)
+                empty_results(self.index.spark)
             ).filter(F.col("doc_id") == doc_id).collect()
             if not rows:
                 return {"match": False, "value": 0.0,

@@ -76,9 +76,9 @@ def more_like_this(
         searcher, field, text, max_query_terms, min_term_freq, min_doc_freq, analyzer
     )
     if not sel:
-        from .executor import RESULT_SCHEMA
+        from .executor import empty_results
 
-        return searcher.index.spark.createDataFrame([], RESULT_SCHEMA)
+        return empty_results(searcher.index.spark)
     best = sel[0]["score"]
     clauses = tuple(
         BooleanClause(

@@ -327,9 +327,9 @@ def payload_term_search(searcher, field: str, term: str, k: int = 10,
     stats = s._term_stats(q)
     st = stats[(field, term)]
     if st.df == 0:
-        from .executor import RESULT_SCHEMA
+        from .executor import empty_results
 
-        return s.index.spark.createDataFrame([], RESULT_SCHEMA)
+        return empty_results(s.index.spark)
     cs = s._collection_stats(field)
     idf = s.sim.idf(st.df, cs["max_doc"])
     avgdl = s.sim.avgdl(cs["sum_ttf"], cs["max_doc"])
@@ -378,9 +378,9 @@ def span_first_search(searcher, field: str, term: str, end: int,
     stats = s._term_stats(q)
     st = stats[(field, term)]
     if st.df == 0:
-        from .executor import RESULT_SCHEMA
+        from .executor import empty_results
 
-        return s.index.spark.createDataFrame([], RESULT_SCHEMA)
+        return empty_results(s.index.spark)
     cs = s._collection_stats(field)
     idf = s.sim.idf(st.df, cs["max_doc"])
     avgdl = s.sim.avgdl(cs["sum_ttf"], cs["max_doc"])
@@ -422,9 +422,9 @@ def span_or_search(searcher, field: str, terms: list[str],
     )))
     live = [t for t in terms if stats[(field, t)].df > 0]
     if not live:
-        from .executor import RESULT_SCHEMA
+        from .executor import empty_results
 
-        return s.index.spark.createDataFrame([], RESULT_SCHEMA)
+        return empty_results(s.index.spark)
     cs = s._collection_stats(field)
     idf = sum(s.sim.idf(stats[(field, t)].df, cs["max_doc"]) for t in live)
     avgdl = s.sim.avgdl(cs["sum_ttf"], cs["max_doc"])
@@ -461,9 +461,9 @@ def span_not_search(searcher, field: str, include: str, exclude: str,
     stats = s._term_stats(q)
     st = stats[(field, include)]
     if st.df == 0:
-        from .executor import RESULT_SCHEMA
+        from .executor import empty_results
 
-        return s.index.spark.createDataFrame([], RESULT_SCHEMA)
+        return empty_results(s.index.spark)
     cs = s._collection_stats(field)
     idf = s.sim.idf(st.df, cs["max_doc"])
     avgdl = s.sim.avgdl(cs["sum_ttf"], cs["max_doc"])
@@ -517,9 +517,9 @@ def phrase_search(searcher, field: str, terms: list[str], k: int = 10) -> DataFr
     """Top-k BM25/classic scoring of an exact phrase (the PhraseQuery
     path through the Searcher — same stats/weights machinery as every
     other query)."""
-    from .executor import RESULT_SCHEMA
+    from .executor import empty_results
 
     terms = list(terms)
     if not terms:
-        return searcher.index.spark.createDataFrame([], RESULT_SCHEMA)
+        return empty_results(searcher.index.spark)
     return searcher.search(PhraseQuery(field, tuple(terms)), k)
