@@ -126,3 +126,24 @@ def test_extract_urls_canonicalization(spark):
     assert sorted(by[1]) == ["http://host.org/a", "http://host.org/a"]
     assert 2 not in by
     assert by[3] == ["https://site.io"]
+
+
+def test_canonical_urls_are_idempotent(spark):
+    """Canonicalizing an already-canonical URL is a no-op — the dedup
+    key is a fixed point of the chain."""
+    from golucene_spark.text.prep import extract_urls
+
+    rows = [
+        (0, "x https://EXample.com:443/Path/?utm_source=x&id=7#frag y"),
+        (1, "http://Host.org:80/a/ http://host.org/a?ref=z"),
+        (2, "https://site.io/?utm_campaign=z&fbclid=abc"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    first = extract_urls(df).select("doc_id", "canonical").collect()
+    redo = spark.createDataFrame(
+        [(r["doc_id"], r["canonical"]) for r in first], "doc_id long, text string"
+    )
+    second = {(r["doc_id"], r["url"]): r["canonical"]
+              for r in extract_urls(redo, text_col="text").collect()}
+    for r in first:
+        assert second[(r["doc_id"], r["canonical"])] == r["canonical"]
