@@ -4343,7 +4343,16 @@ ORDER BY doc_id, term
 # the round-1 gates (all driver-green in CORRECTNESS_r01/r02) follow.
 # Rotate again next round.
 QUERIES = {
-    # --- new this round ---
+    # --- the 8 gates never yet sampled by the driver's 50-slot window ---
+    "gapfill_interpolate": q_gapfill_interpolate,
+    "assign_shards": q_assign_shards,
+    "embedding_quantize": q_embedding_quantize,
+    "hybrid_rrf": q_hybrid_rrf,
+    "cms_heavy_hitters": q_cms_heavy_hitters,
+    "cap_per_group": q_cap_per_group,
+    "funnel": q_funnel,
+    "cohort_retention": q_cohort_retention,
+    # --- round-3 additions (driver-green r03) ---
     "quantized_norms_bm25": q_quantized_norms_bm25,
     "boost_field_bm25": q_boost_field_bm25,
     "payload_term_bm25": q_payload_term_bm25,
@@ -4395,14 +4404,6 @@ QUERIES = {
     "kmv_distinct": q_kmv_distinct,
     "pipeline_prep": q_pipeline_prep,
     "span_first_bm25": q_span_first_bm25,
-    "gapfill_interpolate": q_gapfill_interpolate,
-    "assign_shards": q_assign_shards,
-    "embedding_quantize": q_embedding_quantize,
-    "hybrid_rrf": q_hybrid_rrf,
-    "cms_heavy_hitters": q_cms_heavy_hitters,
-    "cap_per_group": q_cap_per_group,
-    "funnel": q_funnel,
-    "cohort_retention": q_cohort_retention,
     # --- code paths touched this round (regression re-checks) ---
     "expunge_merge_bm25": q_expunge_merge_bm25,
     "deletes_term_bm25": q_deletes_term_bm25,
