@@ -119,7 +119,11 @@ class FieldSpec:
     # the form ``term|<float>`` are split DelimitedPayloadTokenFilter-
     # style ('|' delimiter, float encoder; bare tokens get 1.0) and the
     # per-occurrence float32 payloads are stored packed alongside the
-    # positions blob.  Requires positions indexing (prox-stream data).
+    # positions blob.  Requires positions indexing (prox-stream data)
+    # AND the ``whitespace`` analyzer for this field: every other
+    # analyzer tokenizes '|' away (the delimiter would be destroyed
+    # BEFORE the payload split, silently indexing junk numeric terms
+    # with payload 1.0) — tokenize_tf validates this at build time.
     payloads: bool = False
 
 
@@ -405,6 +409,16 @@ def _tf_arrow_fn(spec: CorpusSpec, analyzer_name: str, quantize: bool, index_pos
 def tokenize_tf(docs: DataFrame, spec: CorpusSpec, analyzer: str = "standard",
                 quantize: bool = True, index_positions: bool = True) -> DataFrame:
     """docs (with doc_id, segment_id) -> flat TF rows (incl. sentinels)."""
+    for f in spec.text_fields:
+        if getattr(f, "payloads", False):
+            eff = getattr(f, "analyzer", None) or analyzer
+            if eff != "whitespace":
+                raise ValueError(
+                    f"FieldSpec(name={f.name!r}, payloads=True) requires the "
+                    f"'whitespace' analyzer (got {eff!r}): other analyzers "
+                    "tokenize the '|' payload delimiter away before the "
+                    "DelimitedPayload split can see it"
+                )
     cols = ["segment_id", "doc_id"] + sorted(
         {f.column for f in spec.text_fields}
         | {f.column for f in spec.keyword_fields}
@@ -950,7 +964,13 @@ class LogicalIndex:
 
 
 def dead_segments(index_dir: str) -> set[int]:
-    """Segment ids superseded by merge records in the manifest."""
+    """Segment ids superseded by merge records in the manifest.
+
+    Order-independent: a segment is dead iff SOME merge consumed it.
+    (_allocate_segment_id guarantees a merge's output id is never among
+    its own inputs, so no per-record discard is needed — a discard keyed
+    on manifest listing order would resurrect a merge output that a
+    later merge consumed, duplicating every doc it holds.)"""
     dead: set[int] = set()
     mdir = os.path.join(index_dir, "manifest")
     if os.path.isdir(mdir):
@@ -959,8 +979,7 @@ def dead_segments(index_dir: str) -> set[int]:
                 with open(os.path.join(mdir, fn)) as f:
                     rec = json.load(f)
                 if rec.get("kind") == "merge":
-                    dead.update(rec.get("merged_from_segments", []))
-                    dead.discard(rec.get("new_segment_id"))
+                    dead.update(int(s) for s in rec.get("merged_from_segments", []))
     return dead
 
 
@@ -973,10 +992,17 @@ class MaterializedIndex:
     def __init__(self, spark: SparkSession, index_dir: str):
         self.spark = spark
         self.index_dir = index_dir
-        self.postings = spark.read.parquet(os.path.join(index_dir, "postings"))
+        # mergeSchema: mixed old/new chunks (e.g. pre-/post-WAND-metadata,
+        # merge outputs) must resolve to the UNION schema deterministically,
+        # not to whichever file Spark happens to sample first.
+        self.postings = spark.read.option("mergeSchema", "true").parquet(
+            os.path.join(index_dir, "postings")
+        )
         if "kind" in self.postings.columns:
             self.postings = self.postings.filter(F.col("kind") == "post").drop("kind")
-        self.term_dict = spark.read.parquet(os.path.join(index_dir, "term_dict"))
+        self.term_dict = spark.read.option("mergeSchema", "true").parquet(
+            os.path.join(index_dir, "term_dict")
+        )
         self.doc_stats = spark.read.parquet(os.path.join(index_dir, "doc_stats"))
         self.doc_meta = spark.read.parquet(os.path.join(index_dir, "doc_meta"))
         self._dead = sorted(int(x) for x in dead_segments(index_dir))

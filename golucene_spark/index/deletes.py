@@ -61,16 +61,46 @@ def _append_tombstones(spark, index_dir, df: DataFrame, info: dict,
 
 
 def tombstones(spark: SparkSession, index_dir: str) -> DataFrame | None:
-    """(doc_id, before_segment): before_segment NULL kills every
-    version of the doc (plain delete); a value V kills only versions
-    in segments < V (updateDocument supersede)."""
+    """(doc_id, before_segment, exact_segment):
+
+    - before_segment NULL (and exact NULL) kills every version of the
+      doc (plain delete);
+    - before_segment = V kills only versions in segments < V
+      (updateDocument supersede);
+    - exact_segment = M kills the doc's versions in exactly segment M —
+      synthesized here for MERGED segments: merge relabels inputs to a
+      MERGE_ID_BASE+ id that is not ordinally comparable with V, so a
+      scoped tombstone is translated through the manifest's
+      merged_from_segments: if every transitive original input of M is
+      < V, the doc's copies inside M are superseded versions and die.
+      (A merged segment whose inputs straddle V cannot exist with live
+      stale versions: merge_segments routes such merges through the
+      scoped-expunge path, which applies the then-existing scoped
+      tombstones physically.)"""
     d = _tombstone_dir(index_dir)
     if not os.path.isdir(d):
         return None
     t = spark.read.option("mergeSchema", "true").parquet(d)
     if "before_segment" not in t.columns:  # pre-update-era tombstones
         t = t.withColumn("before_segment", F.lit(None).cast("long"))
-    return t.select("doc_id", "before_segment").distinct()
+    t = t.select("doc_id", "before_segment").distinct()
+    t = t.withColumn("exact_segment", F.lit(None).cast("long"))
+    from .merge import merged_origin_ranges
+
+    origin = merged_origin_ranges(index_dir)
+    if origin:
+        m = spark.createDataFrame(
+            [(int(k), int(v[1])) for k, v in origin.items()],
+            "m_seg long, m_maxorig long",
+        )
+        scoped = t.filter(F.col("before_segment").isNotNull())
+        exact = scoped.join(
+            F.broadcast(m), scoped["before_segment"] > m["m_maxorig"]
+        ).select(
+            "doc_id", "before_segment", F.col("m_seg").alias("exact_segment")
+        )
+        t = t.unionByName(exact)
+    return t
 
 
 def filter_live(frame: DataFrame, tomb: DataFrame | None,
@@ -82,14 +112,22 @@ def filter_live(frame: DataFrame, tomb: DataFrame | None,
     versions always survive."""
     if tomb is None:
         return frame
+    if "exact_segment" not in tomb.columns:  # externally built tomb frames
+        tomb = tomb.withColumn("exact_segment", F.lit(None).cast("long"))
     if seg_col not in frame.columns:
-        full = tomb.filter(F.col("before_segment").isNull()).select("doc_id")
+        full = tomb.filter(
+            F.col("before_segment").isNull() & F.col("exact_segment").isNull()
+        ).select("doc_id")
         return frame.join(full, "doc_id", "left_anti")
     t = tomb.select(
-        F.col("doc_id").alias("_t_doc"), F.col("before_segment").alias("_t_seg")
+        F.col("doc_id").alias("_t_doc"),
+        F.col("before_segment").alias("_t_seg"),
+        F.col("exact_segment").alias("_t_exact"),
     )
     cond = (frame["doc_id"] == t["_t_doc"]) & (
-        t["_t_seg"].isNull() | (frame[seg_col] < t["_t_seg"])
+        (t["_t_seg"].isNull() & t["_t_exact"].isNull())
+        | (t["_t_exact"].isNull() & (frame[seg_col] < t["_t_seg"]))
+        | (frame[seg_col] == t["_t_exact"])
     )
     return frame.join(t, cond, "left_anti")
 

@@ -61,9 +61,50 @@ def select_merges(segments: dict[int, int], max_merged_docs: int = 5_000_000) ->
 # could equal a FUTURE stream/update epoch's deterministic id — e.g.
 # merging stream segments {1_000_000, 1_000_001} would allocate
 # 1_000_002, exactly stream epoch 2's id, and the next micro-batch
-# would alias the merged segment.  Merge ids are labels only (doc ids
-# never derive from them), so the high base is safe.
+# would alias the merged segment.  Merge ids are NOT ordinally
+# comparable with epoch-derived ids (filter_live's scoped-tombstone
+# comparison is ordinal), so tombstones() translates them back through
+# the manifest's merged_from_segments via merged_origin_ranges().
 MERGE_ID_BASE = 10_000_000
+
+
+def merged_origin_ranges(index_dir: str) -> dict[int, tuple[int, int]]:
+    """new_segment_id -> (min, max) over the ORIGINAL (pre-merge)
+    segment ids the merged segment transitively contains.
+
+    Merged ids (MERGE_ID_BASE+) are labels outside the epoch-ordered id
+    space, so any ordinal test against an epoch-derived segment id
+    (update-tombstone scoping, merge routing) must be made on these
+    effective original ids instead."""
+    mdir = os.path.join(index_dir, "manifest")
+    if not os.path.isdir(mdir):
+        return {}
+    children: dict[int, list[int]] = {}
+    for fn in os.listdir(mdir):
+        if not fn.endswith(".json"):
+            continue
+        with open(os.path.join(mdir, fn)) as f:
+            rec = json.load(f)
+        if rec.get("kind") == "merge" and rec.get("new_segment_id") is not None:
+            children[int(rec["new_segment_id"])] = [
+                int(s) for s in rec.get("merged_from_segments", [])
+            ]
+
+    def expand(s: int, seen: set[int]) -> list[int]:
+        if s in children and s not in seen:
+            seen.add(s)
+            out: list[int] = []
+            for c in children[s]:
+                out.extend(expand(c, seen))
+            return out
+        return [s]
+
+    ranges = {}
+    for m in children:
+        orig = expand(m, set())
+        if orig:
+            ranges[m] = (min(orig), max(orig))
+    return ranges
 
 
 def _allocate_segment_id(index_dir: str, segment_ids: list[int]) -> int:
@@ -121,7 +162,14 @@ def merge_segments(
     from .deletes import tombstones
 
     tomb = tombstones(spark, index_dir)
-    if tomb is not None and min(int(s) for s in segment_ids) < (
+    # routing must compare EFFECTIVE (pre-merge original) ids: a merged
+    # input segment sits at MERGE_ID_BASE+ but may contain versions from
+    # original segments below an existing before_segment.
+    origin = merged_origin_ranges(index_dir)
+    eff_min = min(
+        origin.get(int(s), (int(s), int(s)))[0] for s in segment_ids
+    )
+    if tomb is not None and eff_min < (
         tomb.agg(F.max("before_segment")).collect()[0][0] or -(1 << 62)
     ):
         return _merge_expunge(
@@ -131,7 +179,7 @@ def merge_segments(
     t0 = time.time()
     new_id = new_segment_id if new_segment_id is not None else _allocate_segment_id(index_dir, segment_ids)
     out_chunk = out_chunk or f"merge-{new_id}-{len(segment_ids)}"
-    post = spark.read.parquet(os.path.join(index_dir, "postings")).filter(
+    post = spark.read.option("mergeSchema", "true").parquet(os.path.join(index_dir, "postings")).filter(
         F.col("segment_id").isin(segment_ids)
     )
     has_kind = "kind" in post.columns
@@ -162,7 +210,7 @@ def merge_segments(
         os.path.join(index_dir, "postings", f"chunk={out_chunk}")
     )
 
-    td = spark.read.parquet(os.path.join(index_dir, "term_dict")).filter(
+    td = spark.read.option("mergeSchema", "true").parquet(os.path.join(index_dir, "term_dict")).filter(
         F.col("segment_id").isin(segment_ids)
     )
     has_spread = "bmf_min" in td.columns
@@ -232,7 +280,7 @@ def _merge_expunge(spark, index_dir, segment_ids, new_segment_id, out_chunk,
         f"merge-{new_id}-{len(segment_ids)}" if scoped_only
         else f"expunge-{new_id}-{len(segment_ids)}"
     )
-    post = spark.read.parquet(os.path.join(index_dir, "postings")).filter(
+    post = spark.read.option("mergeSchema", "true").parquet(os.path.join(index_dir, "postings")).filter(
         F.col("segment_id").isin(segment_ids)
     )
     zcols = ["doc_ids", "freqs", "dlqs", "norm_bytes"]
@@ -240,6 +288,10 @@ def _merge_expunge(spark, index_dir, segment_ids, new_segment_id, out_chunk,
         zcols.append("positions")
     if "payloads" in post.columns:
         zcols.append("payloads")
+    # NOTE: a payloads column is emitted ONLY when the source postings
+    # carry one — fabricating a NULL payloads column here would leak a
+    # 'payloads' schema into payload-less indexes (and payload scoring
+    # would silently default instead of raising).
     flat = post.select(
         "segment_id", "field", "term", F.explode(F.arrays_zip(*zcols)).alias("e")
     ).select(
@@ -249,7 +301,7 @@ def _merge_expunge(spark, index_dir, segment_ids, new_segment_id, out_chunk,
         "term",
         F.col("e.freqs").alias("freq"),
         (F.col("e.positions") if "positions" in zcols else F.lit(None).cast("binary")).alias("positions"),
-        (F.col("e.payloads") if "payloads" in zcols else F.lit(None).cast("binary")).alias("payloads"),
+        *( [F.col("e.payloads").alias("payloads")] if "payloads" in zcols else [] ),
         F.col("e.dlqs").alias("dlq"),
         F.col("e.norm_bytes").alias("norm_byte"),
     )

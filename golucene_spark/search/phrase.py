@@ -193,7 +193,10 @@ def multi_phrase_freq_frame(index, field: str, term_sets, slop: int = 0,
     n = len(term_sets)
     if slop or in_order:
         return _sloppy_from_base(base, n, slop, in_order)
-    return _exact_from_base(base, n)
+    # slots are UNIONS of term position blobs: two terms of one slot may
+    # occupy the same position (e.g. a shingle and its first unigram), so
+    # keys within a slot are not unique — dedupe before intersecting.
+    return _exact_from_base(base, n, unique=False)
 
 
 def _sloppy_freq_frame(index, field: str, terms: list[str], slop: int,
@@ -239,7 +242,7 @@ def _exact_freq_frame(index, field: str, terms: list[str]) -> DataFrame:
     return _exact_from_base(_conjunction_base(index, field, terms), len(terms))
 
 
-def _exact_from_base(base, n: int) -> DataFrame:
+def _exact_from_base(base, n: int, unique: bool = True) -> DataFrame:
     schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType()),
@@ -255,10 +258,14 @@ def _exact_from_base(base, n: int) -> DataFrame:
             if m == 0:
                 continue
             match = _flat_positions(pdf["pos0"], 0, m)
+            if not unique:
+                match = np.unique(match)
             for i in range(1, n):
                 if match.size == 0:
                     break
                 nxt = _flat_positions(pdf[f"pos{i}"], i, m)
+                if not unique:
+                    nxt = np.unique(nxt)
                 match = np.intersect1d(match, nxt, assume_unique=True)
             freqs = np.bincount(
                 (match >> 32).astype(np.int64), minlength=m

@@ -90,3 +90,31 @@ def test_payloads_survive_materialized_build_and_merge(spark, docs, tmp_path):
     rows2 = ix2.postings_for_terms("text", ["alpha"], with_payloads=True).collect()
     by_doc2 = {r["doc_id"]: np.frombuffer(r["payloads"], "<f4").tolist() for r in rows2}
     assert by_doc2 == by_doc
+
+
+def test_payload_field_requires_whitespace_analyzer(spark, tmp_path):
+    """ADVICE r3: standard/simple analyzers tokenize the '|' delimiter
+    away, silently indexing junk terms with payload 1.0 — build must
+    refuse instead."""
+    import pytest as _pytest
+
+    from golucene_spark.index import CorpusSpec, FieldSpec, IndexBuilder
+
+    df = spark.createDataFrame([(0, "alpha|2.0 beta|0.5")], "doc_id long, text string")
+    spec = CorpusSpec(
+        text_fields=[FieldSpec("text", "text", True, payloads=True)],
+        keyword_fields=[], key_cols=["doc_id"], id_col="doc_id", meta_cols=[],
+    )
+    with _pytest.raises(ValueError, match="whitespace"):
+        IndexBuilder(spark, spec, analyzer="standard", num_segments=1).build(
+            df, str(tmp_path / "pix")
+        )
+    # per-field override to whitespace is accepted even under a
+    # non-whitespace index analyzer
+    spec_ok = CorpusSpec(
+        text_fields=[FieldSpec("text", "text", True, payloads=True, analyzer="whitespace")],
+        keyword_fields=[], key_cols=["doc_id"], id_col="doc_id", meta_cols=[],
+    )
+    IndexBuilder(spark, spec_ok, analyzer="standard", num_segments=1).build(
+        df, str(tmp_path / "pix_ok")
+    )

@@ -339,3 +339,29 @@ def test_span_or_merges_spans_into_one_scorer(pix):
         assert got[d] == pytest.approx(want, rel=1e-12), d
     # unknown terms drop out; all-unknown returns empty
     assert span_or_search(s, "content", ["zzzz"], 10).count() == 0
+
+
+def test_multi_phrase_duplicate_slot_terms(pix):
+    """ADVICE r3: duplicate keys inside one slot's position union (a term
+    repeated in a term_set, or synonym terms sharing a position) must not
+    produce false matches / overcounted freq through
+    intersect1d(assume_unique=True)."""
+    from golucene_spark.search import MultiPhraseQuery, Searcher
+
+    s = Searcher(pix, "bm25")
+    base = {r["doc_id"]: r["score"] for r in
+            s.search(MultiPhraseQuery("content", (("quick",), ("brown",))), 10).collect()}
+    dup = {r["doc_id"]: r["score"] for r in
+           s.search(MultiPhraseQuery("content", (("quick", "quick"), ("brown",))), 10).collect()}
+    # Lucene's MultiPhraseWeight sums idf over ALL slot terms, duplicates
+    # included, so the WEIGHT scales by exactly 3/2 here ('quick' and
+    # 'brown' share the same df) — but hits and phrase FREQ must be
+    # unchanged, i.e. the tf part of every score is identical.
+    assert set(dup) == set(base)
+    for d in base:
+        assert dup[d] == pytest.approx(base[d] * 1.5, rel=1e-12)
+    dup2 = {r["doc_id"]: r["score"] for r in
+            s.search(MultiPhraseQuery("content", (("quick", "quick"), ("brown", "brown", "brown"))), 10).collect()}
+    assert set(dup2) == set(base)
+    for d in base:
+        assert dup2[d] == pytest.approx(base[d] * 2.5, rel=1e-12)

@@ -150,3 +150,92 @@ def test_plain_merge_all_segments_with_update(spark, uix):
     assert {r["doc_id"] for r in s.search(TermQuery("text", "original"), 10).collect()} == {0}
     assert {r["doc_id"] for r in s.search(TermQuery("text", "replaced"), 10).collect()} == {1}
     assert s.count(TermQuery("text", "gamma")) == 1
+
+
+def test_merge_then_update_supersedes(spark, uix):
+    """ADVICE r3 (high): merge FIRST, update AFTER.  Merged segments sit
+    at MERGE_ID_BASE (10M+) which is never < a later update tombstone's
+    before_segment (~2M+epoch); the scoped tombstone must be translated
+    through merged_from_segments so the stale version inside the merged
+    segment dies."""
+    from golucene_spark.index.merge import merge_segments
+
+    spec = CorpusSpec.documents()
+    ix = MaterializedIndex(spark, uix)
+    segs = sorted(
+        r["segment_id"] for r in ix.term_dict.select("segment_id").distinct().collect()
+    )
+    merge_segments(spark, uix, segs)
+    new = spark.createDataFrame(
+        [(1, "beta replaced contents", "en", "web")],
+        "doc_id long, text string, lang string, source string",
+    )
+    update_documents(spark, uix, new, spec, analyzer="simple", quantize_norms=False)
+    s = Searcher(MaterializedIndex(spark, uix), "bm25")
+    # exactly ONE live version of doc 1: old content dead, new content live
+    assert {r["doc_id"] for r in s.search(TermQuery("text", "original"), 10).collect()} == {0}
+    assert {r["doc_id"] for r in s.search(TermQuery("text", "replaced"), 10).collect()} == {1}
+    assert s.count(TermQuery("text", "beta")) == 1  # not two live versions
+    assert s.count(TermQuery("text", "gamma")) == 1
+
+
+def test_merge_of_merge_then_update(spark, uix):
+    """Nested merges: tombstone translation must expand merged inputs
+    transitively, and a second merge containing a prior merge must route
+    through the scoped-expunge path (effective-id comparison)."""
+    from golucene_spark.index.merge import merge_segments
+
+    spec = CorpusSpec.documents()
+    ix = MaterializedIndex(spark, uix)
+    segs = sorted(
+        r["segment_id"] for r in ix.term_dict.select("segment_id").distinct().collect()
+    )
+    merge_segments(spark, uix, segs)  # M1 = merge of all base segments
+    # update doc 1 AFTER the first merge
+    new = spark.createDataFrame(
+        [(1, "beta replaced contents", "en", "web")],
+        "doc_id long, text string, lang string, source string",
+    )
+    update_documents(spark, uix, new, spec, analyzer="simple", quantize_norms=False)
+    # second merge: M1 (stale v1 inside) + the update segment together
+    ix2 = MaterializedIndex(spark, uix)
+    segs2 = sorted(
+        r["segment_id"] for r in ix2.term_dict.select("segment_id").distinct().collect()
+    )
+    assert any(s >= 10_000_000 for s in segs2)
+    merge_segments(spark, uix, segs2)
+    s = Searcher(MaterializedIndex(spark, uix), "bm25")
+    assert {r["doc_id"] for r in s.search(TermQuery("text", "replaced"), 10).collect()} == {1}
+    assert s.count(TermQuery("text", "original")) == 1  # only doc 0's
+    assert s.count(TermQuery("text", "beta")) == 1
+    # and a THIRD update after the nested merge still supersedes
+    v3 = spark.createDataFrame(
+        [(1, "beta final form", "en", "web")],
+        "doc_id long, text string, lang string, source string",
+    )
+    update_documents(spark, uix, v3, spec, analyzer="simple", quantize_norms=False)
+    s3 = Searcher(MaterializedIndex(spark, uix), "bm25")
+    assert s3.count(TermQuery("text", "replaced")) == 0
+    assert {r["doc_id"] for r in s3.search(TermQuery("text", "final"), 10).collect()} == {1}
+    assert s3.count(TermQuery("text", "beta")) == 1
+
+
+def test_expunge_merge_then_update(spark, uix):
+    """Same direction through the expunge path: physically merged
+    segment, then an update — the update must win."""
+    from golucene_spark.index.merge import merge_segments
+
+    spec = CorpusSpec.documents()
+    ix = MaterializedIndex(spark, uix)
+    segs = sorted(
+        r["segment_id"] for r in ix.term_dict.select("segment_id").distinct().collect()
+    )
+    merge_segments(spark, uix, segs, expunge_deletes=True)
+    new = spark.createDataFrame(
+        [(1, "beta replaced contents", "en", "web")],
+        "doc_id long, text string, lang string, source string",
+    )
+    update_documents(spark, uix, new, spec, analyzer="simple", quantize_norms=False)
+    s = Searcher(MaterializedIndex(spark, uix), "bm25")
+    assert {r["doc_id"] for r in s.search(TermQuery("text", "replaced"), 10).collect()} == {1}
+    assert s.count(TermQuery("text", "beta")) == 1
