@@ -644,7 +644,7 @@ def q_wand_term_bm25(spark, sf_dir):
     shutil.rmtree(ixdir, ignore_errors=True)
     IndexBuilder(
         spark, CorpusSpec.documents(), analyzer="simple",
-        quantize_norms=False, num_segments=4,
+        quantize_norms=False, num_segments=4, wand_layout=True,
     ).build(_docs(spark, sf_dir), ixdir)
     s = Searcher(MaterializedIndex(spark, ixdir), "bm25")
     q = parse_query("text:data", default_field="text", analyzer="simple")

@@ -432,7 +432,8 @@ def tokenize_tf(docs: DataFrame, spec: CorpusSpec, analyzer: str = "standard",
 
 def blocked_postings(tf: DataFrame, block_size: int = BLOCK_SIZE,
                      salt_range: int | None = None,
-                     include_sentinels: bool = False) -> DataFrame:
+                     include_sentinels: bool = False,
+                     wand_metadata: bool = False) -> DataFrame:
     """Flat TF rows -> per-(segment,field,term) 128-doc posting blocks with
     block-max metadata.  Pure Catalyst (whole-stage codegen), one shuffle.
 
@@ -519,7 +520,7 @@ def blocked_postings(tf: DataFrame, block_size: int = BLOCK_SIZE,
     nbs = F.transform("chunk", lambda x: x["norm_byte"])
     poss = F.transform("chunk", lambda x: x["positions"])
     pays = F.transform("chunk", lambda x: x["payloads"]) if has_payloads else None
-    return e.select(
+    out = e.select(
         "segment_id",
         "field",
         "term",
@@ -536,25 +537,30 @@ def blocked_postings(tf: DataFrame, block_size: int = BLOCK_SIZE,
         F.size("chunk").alias("block_len"),
         F.array_max(freqs).cast("int").alias("block_max_freq"),
         F.array_min(dlqs).alias("block_min_dlq"),
-        # block-max WAND companions: with the block's max dlq, metadata
-        # alone yields a LOWER bound on the best docs inside the block
-        # (every max-freq doc has dlq <= block_max_dlq), and the count
-        # of docs attaining max freq says how many docs that bound
-        # certifies — the top-k threshold then seeds from metadata with
-        # no posting decode
-        F.array_max(dlqs).alias("block_max_dlq"),
+        # block-max WAND companions (pay-as-you-go, ``wand_metadata``):
+        # with the block's max dlq, metadata alone yields a LOWER bound
+        # on the best docs inside the block (every max-freq doc has
+        # dlq <= block_max_dlq), and the count of docs attaining max
+        # freq says how many docs that bound certifies — the top-k
+        # threshold then seeds from metadata with no posting decode.
+        # Every build pays block_max_freq/block_min_dlq (term-dict
+        # spreads need them); only WAND-layout builds pay the rest.
+        *([F.array_max(dlqs).alias("block_max_dlq")] if wand_metadata else []),
         F.element_at(doc_ids, 1).alias("block_first_doc"),
         F.element_at(doc_ids, -1).alias("block_last_doc"),
         F.when(F.col("field").startswith(DOC_SENTINEL_FIELD), "doc")
         .otherwise("post")
         .alias("kind"),
-    ).withColumn(
+    )
+    if wand_metadata:
         # separate projection so the comparison reuses the computed
         # block_max_freq column instead of re-evaluating array_max per
         # element inside the lambda
-        "block_max_freq_cnt",
-        F.size(F.filter(F.col("freqs"), lambda x: x == F.col("block_max_freq"))),
-    )
+        out = out.withColumn(
+            "block_max_freq_cnt",
+            F.size(F.filter(F.col("freqs"), lambda x: x == F.col("block_max_freq"))),
+        )
+    return out
 
 
 def _collect_term_ranges(index_dir: str, chunk: int | str) -> dict[str, list] | None:
@@ -665,6 +671,7 @@ class IndexBuilder:
         range_layout: bool = False,
         range_partitions: int | None = None,
         store_term_vectors: bool = False,
+        wand_layout: bool = False,
     ):
         self.spark = spark
         self.spec = spec or CorpusSpec.source_code()
@@ -689,6 +696,12 @@ class IndexBuilder:
         # here the per-doc seek (.tvx) is Parquet row-group min/max stats
         # on doc_id after repartitionByRange(doc_id).
         self.store_term_vectors = store_term_vectors
+        # wand_layout: also write per-block block_max_dlq +
+        # block_max_freq_cnt (the block-max WAND v2 metadata).
+        # Pay-as-you-go: every build paid ~15% wall for it in round 3
+        # even when WAND was never used; without it wand_topk falls back
+        # to the exact exhaustive plan.
+        self.wand_layout = wand_layout
 
     # -- manifest helpers (the segments_N generation protocol analogue) --
     @staticmethod
@@ -768,7 +781,8 @@ class IndexBuilder:
                 part, self.spec, self.analyzer, self.quantize_norms, self.index_positions
             )
             post = blocked_postings(
-                tf, self.block_size, self.salt_range, include_sentinels=True
+                tf, self.block_size, self.salt_range, include_sentinels=True,
+                wand_metadata=self.wand_layout,
             )
             if self.range_layout:
                 # explicit partition count: AQE coalescing would merge a
@@ -827,7 +841,10 @@ class IndexBuilder:
                 write_term_vectors_chunk(written, index_dir, str(chunk))
                 _mark("term_vectors_write")
 
-            # lineage metrics from the (small) derived doc_stats table
+            # lineage metrics: the freshly written (small) doc_stats
+            # chunk, read back once — rereading the chunk is cheaper than
+            # recomputing ds's parent (the full postings read), and scans
+            # only this chunk's files
             seg_counts = {
                 int(r["segment_id"]): int(r["cnt"])
                 for r in self.spark.read.parquet(
@@ -852,6 +869,7 @@ class IndexBuilder:
                     "quantize_norms": self.quantize_norms,
                     "block_size": self.block_size,
                     "salt_range": self.salt_range,
+                    "wand_layout": self.wand_layout,
                     "num_segments": nseg,
                     "num_chunks": num_chunks,
                     "wall_sec": round(time.time() - t0, 3),

@@ -315,7 +315,12 @@ def _merge_expunge(spark, index_dir, segment_ids, new_segment_id, out_chunk,
 
         flat = filter_live(flat, tomb)
     flat = flat.withColumn("segment_id", F.lit(new_id).cast("int"))
-    merged = blocked_postings(flat, include_sentinels=True)
+    # preserve the source index's layout: WAND-v2 metadata is rebuilt
+    # iff the source postings carried it
+    merged = blocked_postings(
+        flat, include_sentinels=True,
+        wand_metadata="block_max_dlq" in post.columns,
+    )
     merged.write.mode("overwrite").partitionBy("kind").parquet(
         os.path.join(index_dir, "postings", f"chunk={out_chunk}")
     )

@@ -68,8 +68,19 @@ def incremental_index_batch(
     spark = batch_df.sparkSession
 
     # same single-pass layout as IndexBuilder: one partitioned write,
-    # term_dict/doc_stats derived from the written parquet
-    (blocked_postings(tf, include_sentinels=True)
+    # term_dict/doc_stats derived from the written parquet.  WAND-v2
+    # metadata is inherited from the base index's layout (manifest
+    # wand_layout records) so mixed chunks keep a uniform schema.
+    wand_meta = False
+    mdir0 = os.path.join(index_dir, "manifest")
+    if os.path.isdir(mdir0):
+        for fn in os.listdir(mdir0):
+            if fn.endswith(".json"):
+                with open(os.path.join(mdir0, fn)) as f:
+                    if json.load(f).get("wand_layout"):
+                        wand_meta = True
+                        break
+    (blocked_postings(tf, include_sentinels=True, wand_metadata=wand_meta)
      .write.mode("overwrite").partitionBy("kind")
      .parquet(os.path.join(index_dir, "postings", f"chunk={chunk}")))
     written = spark.read.parquet(os.path.join(index_dir, "postings", f"chunk={chunk}"))

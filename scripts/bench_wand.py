@@ -96,7 +96,7 @@ def main():
     t0 = time.time()
     # the hot term appears in EVERY doc: doc-range salting keeps any
     # single reducer's collect_list bounded (the skew-defusal path)
-    IndexBuilder(spark, spec, num_segments=8, salt_range=131072).build(df, ixdir)
+    IndexBuilder(spark, spec, num_segments=8, salt_range=131072, wand_layout=True).build(df, ixdir)
     out["skew_build_sec"] = round(time.time() - t0, 1)
     ix = MaterializedIndex(spark, ixdir)
     ix.postings = ix.postings.cache(); ix.postings.count()
@@ -117,7 +117,7 @@ def main():
     shutil.rmtree(ixdir2, ignore_errors=True)
     df2 = spark.createDataFrame(make_corpus(N)).repartition(32)
     t0 = time.time()
-    IndexBuilder(spark, CorpusSpec.source_code(), num_segments=8).build(df2, ixdir2)
+    IndexBuilder(spark, CorpusSpec.source_code(), num_segments=8, wand_layout=True).build(df2, ixdir2)
     out["zipf_build_sec"] = round(time.time() - t0, 1)
     ix2 = MaterializedIndex(spark, ixdir2)
     ix2.postings = ix2.postings.cache(); ix2.postings.count()

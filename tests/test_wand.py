@@ -13,7 +13,7 @@ def mat_index(spark, tmp_path_factory):
     pdf = make_corpus(600, seed=42)
     df = spark.createDataFrame(pdf).repartition(4)
     ixdir = str(tmp_path_factory.mktemp("ixw"))
-    IndexBuilder(spark, CorpusSpec.source_code(), num_segments=4).build(df, ixdir)
+    IndexBuilder(spark, CorpusSpec.source_code(), num_segments=4, wand_layout=True).build(df, ixdir)
     return MaterializedIndex(spark, ixdir)
 
 
@@ -57,7 +57,7 @@ def test_wand_actually_prunes_decode_work(spark, tmp_path_factory):
         keyword_fields=[], key_cols=["doc_id"], id_col="doc_id", meta_cols=[],
     )
     ixdir = str(tmp_path_factory.mktemp("ixskew"))
-    IndexBuilder(spark, spec, num_segments=1).build(df, ixdir)
+    IndexBuilder(spark, spec, num_segments=1, wand_layout=True).build(df, ixdir)
     s = Searcher(MaterializedIndex(spark, ixdir), "bm25")
     q = parse_query("content:hot")
     stats = {}
@@ -88,7 +88,7 @@ def test_wand_with_deletes_matches_exhaustive(spark, tmp_path_factory):
         keyword_fields=[], key_cols=["doc_id"], id_col="doc_id", meta_cols=[],
     )
     ixdir = str(tmp_path_factory.mktemp("ixdel"))
-    IndexBuilder(spark, spec, num_segments=1).build(df, ixdir)
+    IndexBuilder(spark, spec, num_segments=1, wand_layout=True).build(df, ixdir)
     # delete most of the hot block, incl. what would certify theta
     delete_docs(spark, ixdir, list(range(0, 60)))
     s = Searcher(MaterializedIndex(spark, ixdir), "bm25")
