@@ -36,16 +36,6 @@ def _flat_rows_adj(col, term_offset: int, n_rows: int):
     return rows, flat - term_offset
 
 
-def _flat_positions(col, term_offset: int, n_rows: int):
-    """As above but packed into sorted int64 keys (row << 32) + adj,
-    invalid (negative) shifts dropped."""
-    rows, adj = _flat_rows_adj(col, term_offset, n_rows)
-    if term_offset:
-        valid = adj >= 0
-        rows, adj = rows[valid], adj[valid]
-    return (rows << 32) + adj
-
-
 def _batch_sloppy_freqs(flats, m: int, slop: int, in_order: bool) -> np.ndarray:
     """Per-row sloppy frequencies for a whole batch — polynomial in the
     number of positions, never in (2*slop+1)^(n-1).
@@ -85,21 +75,23 @@ def _batch_sloppy_freqs(flats, m: int, slop: int, in_order: bool) -> np.ndarray:
     S = slop + 1
     weights = 1.0 / (1.0 + np.arange(S, dtype=np.float64))
 
+    offs = np.arange(S, dtype=np.int64)
+
     if in_order:
         rows0, adj0 = flats[0]
         cand_key = (rows0 << 32) + (adj0 + shift)
         cand_rows = rows0
         D = np.zeros((cand_key.size, S), dtype=np.float64)
         D[:, 0] = 1.0
+        probes = cand_key[:, None] + offs[None, :]  # (C, S), shared by all terms
         for i in range(1, n):
             D = np.cumsum(D, axis=1)
-            for j in range(S):
-                probe = cand_key + j
-                idx = np.searchsorted(keys[i], probe)
-                hit = np.zeros(cand_key.size, dtype=bool)
-                inb = idx < keys[i].size
-                hit[inb] = keys[i][idx[inb]] == probe[inb]
-                D[:, j] *= hit
+            # ONE 2-D searchsorted per term instead of S sequential probes
+            idx = np.searchsorted(keys[i], probes)
+            hit = (idx < keys[i].size) & (
+                keys[i][np.minimum(idx, keys[i].size - 1)] == probes
+            )
+            D *= hit
         return np.bincount(cand_rows, weights=D @ weights, minlength=m)
 
     # unordered: anchor candidates on the sparsest term
@@ -109,13 +101,12 @@ def _batch_sloppy_freqs(flats, m: int, slop: int, in_order: bool) -> np.ndarray:
     )
     cand_rows = (cand_key >> 32).astype(np.int64)
     W = np.ones((cand_key.size, S), dtype=np.float64)
+    ends = cand_key[:, None] + offs[None, :] + 1  # (C, S)
     for i in range(n):
         lo = np.searchsorted(keys[i], cand_key)
-        for s in range(S):
-            W[:, s] *= np.searchsorted(keys[i], cand_key + s + 1) - lo
+        W *= np.searchsorted(keys[i], ends) - lo[:, None]
     A = np.zeros((m, S), dtype=np.float64)
-    for s in range(S):
-        A[:, s] = np.bincount(cand_rows, weights=W[:, s], minlength=m)
+    np.add.at(A, cand_rows, W)  # one scatter for all spreads
     for s in range(S):
         n_s = A[:, s].copy()
         if s >= 1:
@@ -149,39 +140,81 @@ def phrase_freq_frame(index, field: str, terms: list[str], slop: int = 0,
 
 
 def _conjunction_base(index, field: str, terms: list[str]):
-    base = None
-    for i, t in enumerate(terms):
-        p = index.postings_for_terms(field, [t], with_positions=True).select(
-            F.col("doc_id"),
-            F.col("positions").alias(f"pos{i}"),
-            *( [F.col("dlq"), F.col("norm_byte")] if i == 0 else [] ),
-        )
-        base = p if base is None else base.join(p, "doc_id")
-    return base
+    """Docs containing ALL terms, with one position-blob column per
+    query slot.  ONE term-pruned scan (In(term, ...) pushdown) + ONE
+    partial-agg groupBy — not n scans and n-1 shuffle joins: the doc has
+    exactly one live postings row per term, so pivoting the rows into a
+    term->positions map and requiring all terms present IS the
+    conjunction."""
+    uniq = list(dict.fromkeys(terms))
+    p = index.postings_for_terms(field, uniq, with_positions=True)
+    # per-slot max(when(term = t, positions)): declarative aggregates
+    # keep the pivot inside whole-stage-codegen HashAggregate (a
+    # collect_list map pivot would drop to ObjectHashAggregate); at most
+    # one row per (doc, term) exists, so max IS the value
+    slot = {t: F.max(F.when(F.col("term") == t, F.col("positions")))
+            for t in uniq}
+    upos = {t: f"_p_{j}" for j, t in enumerate(uniq)}
+    cond = None
+    for t in uniq:
+        c = F.col(upos[t]).isNotNull()  # conjunction: every term present
+        cond = c if cond is None else (cond & c)
+    agg = p.groupBy("doc_id").agg(
+        *[slot[t].alias(upos[t]) for t in uniq],
+        F.first("dlq").alias("dlq"),
+        F.first("norm_byte").alias("norm_byte"),
+    ).filter(cond)
+    return agg.select(
+        "doc_id",
+        *[F.col(upos[t]).alias(f"pos{i}") for i, t in enumerate(terms)],
+        "dlq",
+        "norm_byte",
+    )
 
 
 def _multi_conjunction_base(index, field: str, term_sets):
     """MultiPhraseQuery conjunction: slot i matches a doc when ANY of
     its terms occurs — per-slot union of the terms' postings with the
     doc's matching position blobs CONCATENATED (packed order is
-    irrelevant, the matcher sorts), inner-joined across slots."""
-    base = None
+    irrelevant, the matcher sorts).  Same single-scan shape as
+    _conjunction_base: one In(term,...) pruned scan, one groupBy; the
+    per-slot union folds the collected (term, positions) rows filtered
+    through a term->slot map literal."""
+    slots_of: dict[str, list] = {}
     for i, ts in enumerate(term_sets):
-        p = index.postings_for_terms(field, list(ts), with_positions=True)
-        slot = p.groupBy("doc_id").agg(
-            F.aggregate(
-                F.collect_list("positions"),
-                F.lit(b"").cast("binary"),
-                lambda a, x: F.concat(a, F.coalesce(x, F.lit(b""))),
-            ).alias(f"pos{i}"),
-            *(
-                [F.first("dlq").alias("dlq"),
-                 F.first("norm_byte").alias("norm_byte")]
-                if i == 0 else []
-            ),
+        for t in dict.fromkeys(ts):
+            slots_of.setdefault(t, []).append(i)  # a term may serve many slots
+    smap = F.create_map(*[
+        x for t, ii in slots_of.items()
+        for x in (F.lit(t), F.array(*[F.lit(j) for j in ii]))
+    ])
+    p = index.postings_for_terms(field, list(slots_of), with_positions=True)
+    rows = F.collect_list(
+        F.struct(F.element_at(smap, F.col("term")).alias("slots"), F.col("positions"))
+    )
+    agg = p.groupBy("doc_id").agg(
+        rows.alias("_rows"),
+        F.first("dlq").alias("dlq"),
+        F.first("norm_byte").alias("norm_byte"),
+    )
+    def slot_blob(i):
+        return F.aggregate(
+            F.filter(F.col("_rows"), lambda r: F.array_contains(r["slots"], i)),
+            F.lit(b"").cast("binary"),
+            lambda a, r: F.concat(a, F.coalesce(r["positions"], F.lit(b""))),
         )
-        base = slot if base is None else base.join(slot, "doc_id")
-    return base
+    out = agg.select(
+        "doc_id",
+        *[slot_blob(i).alias(f"pos{i}") for i in range(len(term_sets))],
+        "dlq",
+        "norm_byte",
+    )
+    # conjunction: every slot must have at least one occurrence
+    cond = None
+    for i in range(len(term_sets)):
+        c = F.length(F.col(f"pos{i}")) > 0
+        cond = c if cond is None else (cond & c)
+    return out.filter(cond)
 
 
 def multi_phrase_freq_frame(index, field: str, term_sets, slop: int = 0,
@@ -195,8 +228,9 @@ def multi_phrase_freq_frame(index, field: str, term_sets, slop: int = 0,
         return _sloppy_from_base(base, n, slop, in_order)
     # slots are UNIONS of term position blobs: two terms of one slot may
     # occupy the same position (e.g. a shingle and its first unigram), so
-    # keys within a slot are not unique — dedupe before intersecting.
-    return _exact_from_base(base, n, unique=False)
+    # keys within a slot are not unique — array_intersect's distinct
+    # semantics in _exact_from_base dedupe them by construction.
+    return _exact_from_base(base, n)
 
 
 def _sloppy_freq_frame(index, field: str, terms: list[str], slop: int,
@@ -242,45 +276,36 @@ def _exact_freq_frame(index, field: str, terms: list[str]) -> DataFrame:
     return _exact_from_base(_conjunction_base(index, field, terms), len(terms))
 
 
-def _exact_from_base(base, n: int, unique: bool = True) -> DataFrame:
-    schema = T.StructType(
-        [
-            T.StructField("doc_id", T.LongType()),
-            T.StructField("freq", T.IntegerType()),
-            T.StructField("dlq", T.DoubleType()),
-            T.StructField("norm_byte", T.IntegerType()),
-        ]
+def _exact_from_base(base, n: int) -> DataFrame:
+    """Exact phrase frequency entirely in whole-stage codegen: decode
+    each slot's packed position blob JVM-side and fold
+    array_intersect over the offset-shifted arrays — freq = number of
+    distinct start positions p with a slot-i occurrence at p+i for all
+    i.  No Python worker round-trip (the former mapInPandas stage cost
+    more in Arrow transfer + worker scheduling than the whole match).
+    array_intersect's distinct semantics also dedupe union slots
+    (MultiPhraseQuery: one slot may hold two terms sharing a
+    position)."""
+    # slot 0 may be a union blob with duplicate positions; distinct-ify
+    # (array_intersect dedupes the later slots by itself)
+    inter = F.array_distinct(positions_array_col("pos0"))
+
+    def _shift(off):
+        # NOTE: must be a ONE-parameter lambda — a second parameter
+        # (even defaulted) makes F.transform bind it to the element
+        # INDEX
+        return lambda x: x - off
+
+    for i in range(1, n):
+        inter = F.array_intersect(
+            inter, F.transform(positions_array_col(f"pos{i}"), _shift(i))
+        )
+    return (
+        base.select(
+            "doc_id", F.size(inter).alias("freq"), "dlq", "norm_byte"
+        )
+        .filter(F.col("freq") > 0)
     )
-
-    def compute(batches):
-        for pdf in batches:
-            m = len(pdf)
-            if m == 0:
-                continue
-            match = _flat_positions(pdf["pos0"], 0, m)
-            if not unique:
-                match = np.unique(match)
-            for i in range(1, n):
-                if match.size == 0:
-                    break
-                nxt = _flat_positions(pdf[f"pos{i}"], i, m)
-                if not unique:
-                    nxt = np.unique(nxt)
-                match = np.intersect1d(match, nxt, assume_unique=True)
-            freqs = np.bincount(
-                (match >> 32).astype(np.int64), minlength=m
-            ).astype(np.int32) if match.size else np.zeros(m, dtype=np.int32)
-            out = pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "freq": freqs,
-                    "dlq": pdf["dlq"],
-                    "norm_byte": pdf["norm_byte"],
-                }
-            )
-            yield out[out["freq"] > 0]
-
-    return base.mapInPandas(compute, schema)
 
 
 def positions_array_col(col="positions"):
