@@ -648,7 +648,10 @@ def q_wand_term_bm25(spark, sf_dir):
     ).build(_docs(spark, sf_dir), ixdir)
     s = Searcher(MaterializedIndex(spark, ixdir), "bm25")
     q = parse_query("text:data", default_field="text", analyzer="simple")
-    frame = wand_topk(s, q, 10)
+    # min_postings=0: engage the full block-max machinery even at gate
+    # scale (the corpus-size guard would otherwise route this tiny
+    # corpus to the exhaustive plan and leave WAND un-oracle-checked)
+    frame = wand_topk(s, q, 10, min_postings=0)
     return (
         frame.withColumn("score_e6", F.round(F.col("score") * 1e6, 0).cast("long"))
         .orderBy(F.desc("score_e6"), F.asc("doc_id"))
@@ -3615,6 +3618,106 @@ def q_search_after(spark, sf_dir):
 ORACLES["search_after_page2"] = _bm25_term_sql("data", limit=10, offset=10)
 
 
+def q_explain_term_bm25(spark, sf_dir):
+    """Q13 Explain, oracle-paired: for the top-10 docs of text:data the
+    gate surfaces Searcher.explain's decomposition (freq, idf, tfNorm)
+    per doc and the explained value itself; the DuckDB twin recomputes
+    every component from the corpus and re-multiplies — proving the
+    explanation's parts, not just the product (search.go:129-152)."""
+    s = Searcher(_index(spark, sf_dir), "bm25")
+    q = parse_query("text:data", default_field="text", analyzer="simple")
+    top = s.search(q, 10).collect()
+    rows = []
+    for r in top:
+        ex = s.explain(q, r["doc_id"])
+        d = ex["details"]
+        tfnorm = d["freq"] / (
+            d["freq"] + K1 * (1 - B + B * d["dl"] / d["avgdl"])
+        )
+        # self-consistency: the explained value IS the search score
+        assert abs(ex["value"] - r["score"]) < 1e-9
+        rows.append((
+            int(r["doc_id"]), int(d["freq"]),
+            int(round(d["idf"] * 1e6)),
+            int(round(tfnorm * 1e6)),
+            int(round(ex["value"] * 1e6)),
+        ))
+    return spark.createDataFrame(
+        rows, "doc_id long, freq long, idf_e6 long, tfnorm_e6 long, score_e6 long"
+    ).orderBy(F.desc("score_e6"), F.asc("doc_id"))
+
+
+def q_infix_wildcard_bm25(spark, sf_dir):
+    """Prefix-less WildcardQuery (*ream*) through the trigram side
+    table — the automaton-intersection seek role for patterns with no
+    literal prefix (reference core/util/automaton/regexp.go, unused by
+    its live queries).  HARD-FAILS unless (a) the expansion actually
+    took the trigram path and (b) the trigram candidate set is strictly
+    smaller than the full dictionary — a range_layout-style proof that
+    the dict scan was sublinear, not a full rlike."""
+    import shutil
+
+    from .index import IndexBuilder, MaterializedIndex, build_trigram_index
+    from .index.trigram import trigram_candidates
+
+    ixdir = "/root/repo/.data/gate_trigram_ix"
+    shutil.rmtree(ixdir, ignore_errors=True)
+    IndexBuilder(
+        spark, CorpusSpec.documents(), analyzer="simple",
+        quantize_norms=False, num_segments=4,
+    ).build(_docs(spark, sf_dir), ixdir)
+    build_trigram_index(spark, ixdir)
+    ix = MaterializedIndex(spark, ixdir)
+    assert ix.trigram is not None, "trigram table missing/stale"
+    s = Searcher(ix, "bm25")
+    q = parse_query("text:*ream*", default_field="text", analyzer="simple")
+    frame = s.score_frame(q)
+    st = ix.last_multiterm_stats
+    assert st and st["path"] == "trigram", f"expected trigram seek, got {st}"
+    n_cand = trigram_candidates(ix.trigram, "text", ["ream"]).count()
+    n_dict = ix.term_dict.filter(F.col("field") == "text").select("term").distinct().count()
+    assert n_cand < n_dict, f"no pruning: {n_cand} candidates vs {n_dict} dict terms"
+    return (
+        frame.withColumn("score_e6", F.round(F.col("score") * 1e6, 0).cast("long"))
+        .orderBy(F.desc("score_e6"), F.asc("doc_id"))
+        .limit(10)
+        .select("doc_id", "score_e6")
+    )
+
+
+ORACLES["infix_wildcard_bm25"] = f"""{BASE_CTE},
+cand AS (SELECT term, count(*)::BIGINT AS df FROM tf WHERE term LIKE '%ream%' GROUP BY term),
+contrib AS (
+  SELECT tf.doc_id,
+    ln(1 + (stats.n_docs - cand.df + 0.5) / (cand.df + 0.5)) * {K1 + 1.0}
+    * tf.freq / (tf.freq + {K1} * (1 - {B} + {B} * dl.dl / (stats.sum_dl / stats.n_docs))) AS s
+  FROM tf JOIN cand USING (term) JOIN dl USING (doc_id), stats
+),
+summed AS (SELECT doc_id, sum(s) AS score FROM contrib GROUP BY doc_id)
+SELECT doc_id, CAST(ROUND(score * 1000000.0, 0) AS BIGINT) AS score_e6
+FROM summed ORDER BY score_e6 DESC, doc_id ASC LIMIT 10
+"""
+
+
+ORACLES["explain_term_bm25"] = f"""{BASE_CTE},
+ts AS (SELECT count(*)::BIGINT AS df FROM tf WHERE term = 'data'),
+parts AS (
+  SELECT tf.doc_id AS doc_id,
+         tf.freq AS freq,
+         ln(1 + (stats.n_docs - ts.df + 0.5) / (ts.df + 0.5)) AS idf,
+         tf.freq / (tf.freq + {K1} * (1 - {B} + {B} * dl.dl / (stats.sum_dl / stats.n_docs))) AS tfnorm
+  FROM tf JOIN dl USING (doc_id), stats, ts
+  WHERE tf.term = 'data'
+)
+SELECT doc_id, freq,
+  CAST(ROUND(idf * 1000000.0, 0) AS BIGINT) AS idf_e6,
+  CAST(ROUND(tfnorm * 1000000.0, 0) AS BIGINT) AS tfnorm_e6,
+  CAST(ROUND((idf * {K1 + 1.0} * tfnorm) * 1000000.0, 0) AS BIGINT) AS score_e6
+FROM parts
+ORDER BY score_e6 DESC, doc_id ASC LIMIT 10
+"""
+
+
 def q_stream_windowed_agg(spark, sf_dir):
     """Structured Streaming twin of events_windowed_agg: the events
     parquet replayed as a bounded stream (trigger availableNow),
@@ -4352,6 +4455,9 @@ QUERIES = {
     "cap_per_group": q_cap_per_group,
     "funnel": q_funnel,
     "cohort_retention": q_cohort_retention,
+    # --- new round-4 gates ---
+    "explain_term_bm25": q_explain_term_bm25,
+    "infix_wildcard_bm25": q_infix_wildcard_bm25,
     # --- round-3 additions (driver-green r03) ---
     "quantized_norms_bm25": q_quantized_norms_bm25,
     "boost_field_bm25": q_boost_field_bm25,

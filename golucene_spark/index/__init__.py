@@ -1,5 +1,6 @@
 from .merge import merge_segments, select_merges, verify_index
 from .multi import MultiIndex
+from .trigram import build_trigram_index, load_trigram_index
 from .builder import (
     IndexBuilder,
     LogicalIndex,
@@ -24,4 +25,6 @@ __all__ = [
     "select_merges",
     "verify_index",
     "MultiIndex",
+    "build_trigram_index",
+    "load_trigram_index",
 ]

@@ -1035,6 +1035,12 @@ class MaterializedIndex:
         from .deletes import tombstones as _tombstones
 
         self._tombstones = _tombstones(spark, index_dir)
+        # optional trigram side table (sublinear seek for prefix-less
+        # wildcard/regexp patterns); None when absent or stale
+        from .trigram import load_trigram_index
+
+        self.trigram = load_trigram_index(spark, index_dir)
+        self.last_multiterm_stats: dict | None = None
         # one manifest pass: quantize_norms (from a record that actually
         # carries it — merge/tombstone records don't) + file-level term
         # ranges (the .tip role: range_layout builds record per-file

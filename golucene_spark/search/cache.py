@@ -84,18 +84,24 @@ class CachingSearcher:
 
     def search_after(self, query, after, k: int = 10) -> DataFrame:
         # pagination is the cache's best case: every page after the
-        # first filters the SAME persisted frame instead of rescanning
+        # first filters the SAME persisted frame instead of rescanning.
+        # Cursor keys on the e6-rounded score + doc_id — the same
+        # deterministic collector order as Searcher.search_after.
         from pyspark.sql import functions as F
 
-        s, d = float(after[0]), int(after[1])
-        return (
-            self.score_frame(query)
-            .filter(
-                (F.col("score") < F.lit(s))
-                | ((F.col("score") == F.lit(s)) & (F.col("doc_id") > F.lit(d)))
+        e6 = F.round(F.col("score") * 1e6, 0).cast("long")
+        frame = self.score_frame(query).withColumn("_e6", e6)
+        if after is not None:
+            s_e6 = int(round(float(after[0]) * 1e6))
+            d = int(after[1])
+            frame = frame.filter(
+                (F.col("_e6") < F.lit(s_e6))
+                | ((F.col("_e6") == F.lit(s_e6)) & (F.col("doc_id") > F.lit(d)))
             )
-            .orderBy(F.desc("score"), F.asc("doc_id"))
+        return (
+            frame.orderBy(F.desc("_e6"), F.asc("doc_id"))
             .limit(k)
+            .drop("_e6")
         )
 
     def clear(self):

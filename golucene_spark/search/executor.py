@@ -734,39 +734,43 @@ class Searcher:
             query = parse_query(query)
         return self.score_frame(query).select("doc_id").count()
 
-    def search_after(self, query, after: tuple[float, int], k: int = 10) -> DataFrame:
+    def search_after(self, query, after: tuple[float, int] | None,
+                     k: int = 10) -> DataFrame:
         """Keyset pagination — IndexSearcher.searchAfter /
         TopScoreDocCollector.create(after) of core Lucene 4.10 (absent
         from the reference, whose collect.go:282-303 only collects from
         rank 0).  ``after`` is the previous page's last ScoreDoc as
-        ``(score, doc_id)``; a hit qualifies iff it sorts strictly
-        after it under the (score desc, doc_id asc) collector order.
-        The keyset predicate ``score < s OR (score = s AND doc_id >
-        d)`` is filtered before the top-k, so deep pages never re-sort
-        or re-ship the already-returned prefix the way OFFSET does.
+        ``(score, doc_id)`` (None = first page); a hit qualifies iff it
+        sorts strictly after it under the collector order.  The keyset
+        predicate is filtered before the top-k, so deep pages never
+        re-sort or re-ship the already-returned prefix the way OFFSET
+        does.
 
-        Determinism caveat (ADVICE r2): the predicate relies on exact
-        float equality of the cursor score across separately executed
-        jobs.  For single-term frames scores are deterministic, but for
-        aggregated frames (multi-term Boolean sums, DisjunctionMax) the
-        float summation order inside groupBy is partition-dependent, so
-        a re-executed frame can place the cursor doc an ulp away and a
-        page boundary can skip or duplicate a hit.  For exact paging
-        over aggregated queries use CachingSearcher, whose persisted
-        score frame pins one materialization across pages."""
+        Determinism: the cursor keys on the MICRO-ROUNDED score
+        ``round(score * 1e6)`` (the engine's stable scoring unit) plus
+        doc_id, and pages order by that same (score_e6 desc, doc_id
+        asc) key.  Aggregated frames (Boolean sums, DisjunctionMax) may
+        re-sum floats in a different partition order across executions;
+        an ulp of jitter cannot move a score across an e6 boundary, so
+        page boundaries neither skip nor duplicate hits — no persisted
+        frame needed (raw float equality here was ADVICE r2/r3)."""
         if isinstance(query, str):
             from .parser import parse_query
 
             query = parse_query(query)
-        s, d = float(after[0]), int(after[1])
-        return (
-            self.score_frame(query)
-            .filter(
-                (F.col("score") < F.lit(s))
-                | ((F.col("score") == F.lit(s)) & (F.col("doc_id") > F.lit(d)))
+        e6 = F.round(F.col("score") * 1e6, 0).cast("long")
+        frame = self.score_frame(query).withColumn("_e6", e6)
+        if after is not None:
+            s_e6 = int(round(float(after[0]) * 1e6))
+            d = int(after[1])
+            frame = frame.filter(
+                (F.col("_e6") < F.lit(s_e6))
+                | ((F.col("_e6") == F.lit(s_e6)) & (F.col("doc_id") > F.lit(d)))
             )
-            .orderBy(F.desc("score"), F.asc("doc_id"))
+        return (
+            frame.orderBy(F.desc("_e6"), F.asc("doc_id"))
             .limit(k)
+            .drop("_e6")
         )
 
     def search_filtered(self, query, predicate: str, k: int = 10) -> DataFrame:

@@ -39,6 +39,59 @@ def wildcard_literal_prefix(pattern: str) -> str:
     return pattern
 
 
+def wildcard_literal_runs(pattern: str) -> list[str]:
+    """Maximal literal substrings every match must CONTAIN (in order) —
+    the trigram-prune key for prefix-less patterns like ``*bar*``."""
+    runs: list[str] = []
+    cur: list[str] = []
+    for ch in pattern:
+        if ch in "*?":
+            if cur:
+                runs.append("".join(cur))
+                cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        runs.append("".join(cur))
+    return runs
+
+
+def regexp_literal_runs(pattern: str) -> list[str] | None:
+    """Literal substrings every match of the anchored ``pattern`` must
+    contain, for the simple shapes the trigram index can prune
+    (sequences of literals and ``.``/``.*``/``.+``/``.?`` gaps).
+    None = pattern uses structure this analyzer doesn't model
+    (alternation, classes, groups, quantified literals) — caller falls
+    back to the full dictionary scan, which is always correct."""
+    runs: list[str] = []
+    cur: list[str] = []
+    i = 0
+    n = len(pattern)
+    while i < n:
+        ch = pattern[i]
+        if ch == ".":
+            if cur:
+                runs.append("".join(cur))
+                cur = []
+            i += 2 if i + 1 < n and pattern[i + 1] in "*+?" else 1
+            continue
+        if ch == "\\" and i + 1 < n and not pattern[i + 1].isalnum():
+            if i + 2 < n and pattern[i + 2] in "*+?{":
+                return None  # quantified literal: requireds shrink — bail
+            cur.append(pattern[i + 1])
+            i += 2
+            continue
+        if ch in "*+?{([|^$]})\\":
+            return None
+        if i + 1 < n and pattern[i + 1] in "*+?{":
+            return None  # quantifier applies to this literal
+        cur.append(ch)
+        i += 1
+    if cur:
+        runs.append("".join(cur))
+    return runs
+
+
 def regex_literal_prefix(pattern: str) -> str:
     """Longest literal prefix every match of the whole-term-anchored
     ``pattern`` must start with; "" when none can be proven.
@@ -87,19 +140,43 @@ def regex_literal_prefix(pattern: str) -> str:
 
 
 def matching_terms(index, field: str, regex: str, max_terms: int = MAX_CLAUSE_COUNT,
-                   prefix: str = "") -> list[str]:
-    """Dictionary terms matching ``regex``.  A non-empty ``prefix`` is
-    pushed as StringStartsWith ahead of the rlike — the sorted term
-    column's parquet min/max stats then prune row groups BEFORE any
-    regex evaluation (the automaton-intersection seek role; the linear
-    dict scan only covers the prefix range)."""
+                   prefix: str = "", runs: list[str] | None = None) -> list[str]:
+    """Dictionary terms matching ``regex``, via the cheapest available
+    seek (recorded in ``index.last_multiterm_stats`` for tests/gates):
+
+    - ``prefix``: pushed as StringStartsWith ahead of the rlike — the
+      sorted term column's parquet min/max stats prune row groups
+      BEFORE any regex evaluation (the automaton-intersection seek
+      role; the linear dict scan only covers the prefix range);
+    - ``runs`` (prefix-less patterns like ``*bar*``): required literal
+      substrings — when the index carries a fresh trigram side table,
+      candidates are pre-pruned to terms containing ALL the runs'
+      trigrams (a gram IN-list row-group seek) and the rlike touches
+      only those;
+    - otherwise: full dictionary rlike scan (always correct)."""
+    path = "full"
     if hasattr(index, "term_dict"):
         src = index.term_dict.filter(F.col("field") == field).select("term").distinct()
     else:
         src = index.tf.filter(F.col("field") == field).select("term").distinct()
     if prefix:
         src = src.filter(F.col("term").startswith(prefix))
+        path = "prefix"
+    elif runs:
+        tri = getattr(index, "trigram", None)
+        if tri is not None:
+            from ..index.trigram import trigram_candidates
+
+            cand = trigram_candidates(tri, field, runs)
+            if cand is not None:
+                src = cand
+                path = "trigram"
     rows = src.filter(F.col("term").rlike(regex)).orderBy("term").limit(max_terms + 1).collect()
+    try:
+        index.last_multiterm_stats = {"path": path, "prefix": prefix,
+                                      "runs": list(runs or [])}
+    except Exception:
+        pass
     if len(rows) > max_terms:
         raise ValueError(f"maxClauseCount is set to {max_terms}")
     return [r["term"] for r in rows]
@@ -110,7 +187,8 @@ def expand_wildcard(index, field: str, pattern: str, boost: float = 1.0,
     """WildcardQuery -> BooleanQuery(SHOULD of TermQuery) over matching
     dictionary terms; empty boolean if nothing matches."""
     terms = matching_terms(index, field, wildcard_to_regex(pattern), max_terms,
-                           prefix=wildcard_literal_prefix(pattern))
+                           prefix=wildcard_literal_prefix(pattern),
+                           runs=wildcard_literal_runs(pattern))
     return BooleanQuery(
         tuple(BooleanClause(TermQuery(field, t, boost), Occur.SHOULD) for t in terms)
     ).rewrite()
@@ -166,7 +244,8 @@ def expand_regexp(index, field: str, regex: str, boost: float = 1.0,
     anchored by default."""
     rx = f"^(?:{regex})$" if anchored else regex
     terms = matching_terms(index, field, rx, max_terms,
-                           prefix=regex_literal_prefix(regex) if anchored else "")
+                           prefix=regex_literal_prefix(regex) if anchored else "",
+                           runs=(regexp_literal_runs(regex) or None) if anchored else None)
     return BooleanQuery(
         tuple(BooleanClause(TermQuery(field, t, boost), Occur.SHOULD) for t in terms)
     ).rewrite()

@@ -44,9 +44,25 @@ from .executor import Searcher
 # separate blocks and the exhaustive single-job plan is cheaper
 UNIFORM_UB_FRACTION = 0.9
 
-# cap on the surviving-block metadata collect; past this, pruning is too
-# weak for WAND to beat the single-job exhaustive plan
-SURVIVOR_COLLECT_CAP = 20_000
+# corpus-size guard: engage WAND only when the exhaustive plan would
+# decode at least this many postings (sum of the query terms' df).
+# Below it the postings are page-cache-trivial and the exhaustive
+# single-scan plan's constant factor wins regardless of how much WAND
+# prunes.  Fitted from BENCH/wand.json (skewed corpus, this host):
+# exhaustive_sec ~ 0.17 + 0.047/M postings; fused-WAND ~ 0.94 + 0.009/M
+# (a near-constant scheduler floor — its decode is ~49 blocks at every
+# size) -> crossover ~ 20M postings.  A real cluster against cold
+# object storage pays per-byte IO the page cache hides here and would
+# set this one to two orders of magnitude lower.
+WAND_MIN_POSTINGS = 20_000_000
+
+# cap on the number of doc-range buckets for the in-plan surviving-
+# block semi-join: surviving blocks reduce to the set of buckets they
+# cover; a block is rescored iff its own bucket range overlaps the set.
+# Granularity adapts to the corpus (>= one 128-doc block, <= this many
+# buckets overall) so the broadcast set stays <= ~512KB no matter how
+# weak the pruning is.
+MAX_BUCKETS = 65_536
 
 
 def _flat_should_terms(query) -> list[TermQuery] | None:
@@ -66,11 +82,14 @@ def _flat_should_terms(query) -> list[TermQuery] | None:
 
 
 def wand_topk(searcher: Searcher, query, k: int = 10,
-              stats_out: dict | None = None) -> DataFrame:
+              stats_out: dict | None = None,
+              min_postings: int | None = None) -> DataFrame:
     """Exact top-k with block-max pruning; falls back to the exhaustive
     plan for query shapes without a pruning path.  ``stats_out``: when a
     dict is passed, decode-work counters are recorded in it
-    (blocks_total / blocks_surviving / blocks_decoded_rescore)."""
+    (blocks_total / blocks_surviving / blocks_decoded_rescore).
+    ``min_postings`` overrides the WAND_MIN_POSTINGS corpus-size guard
+    (0 = always engage; tests and crossover benchmarks)."""
     q = query.rewrite() if hasattr(query, "rewrite") else query
     tqs = _flat_should_terms(q)
     index = searcher.index
@@ -98,6 +117,17 @@ def wand_topk(searcher: Searcher, query, k: int = 10,
     if not weights:
         return searcher.search(q, k)
     terms = list(weights)
+
+    # corpus-size guard (zero extra jobs — df rides the memoized term
+    # stats): when the exhaustive plan's decode work is page-cache
+    # trivial, its single simple scan beats any pruning machinery.
+    est_postings = sum(stats[(field, t)].df for t in terms)
+    if est_postings < (
+        WAND_MIN_POSTINGS if min_postings is None else min_postings
+    ):
+        if stats_out is not None:
+            stats_out["early_out"] = "postings_below_io_threshold"
+        return searcher.search(q, k)
 
     # degenerate-bounds early-out (zero extra jobs): the term_dict rows
     # already collected above carry each term's block-metadata spread
@@ -159,93 +189,84 @@ def wand_topk(searcher: Searcher, query, k: int = 10,
         "block_first_doc", "block_last_doc", "block_max_freq_cnt",
         ub_col.alias("ub"), lb_col.alias("lb"),
     )
-    # the metadata frame is consulted by three subtrees of job 1 (per-
-    # term max, theta window, surviving filter): persist it so the
-    # postings parquet's metadata columns are scanned once
-    blocks = blocks.persist()
     if stats_out is not None:
         stats_out["blocks_total"] = blocks.count()
-    try:
-        return _wand_phases(searcher, q, k, field, weights, avgdl,
-                            term_blocks, blocks, stats_out)
-    finally:
-        blocks.unpersist()
+    bucket_docs = max(128, (int(cs["max_doc"]) + MAX_BUCKETS - 1) // MAX_BUCKETS)
+    return _wand_fused(searcher, q, k, weights, avgdl, term_blocks, blocks,
+                       bucket_docs, stats_out)
 
 
-def _wand_phases(searcher, q, k, field, weights, avgdl, term_blocks, blocks,
-                 stats_out) -> DataFrame:
+def _wand_fused(searcher, q, k, weights, avgdl, term_blocks, blocks,
+                bucket_docs, stats_out) -> DataFrame:
     """One composed Catalyst plan / ONE driver action — no data-dependent
-    driver round-trips and no decoded seeding phase.
+    driver round-trips, no decoded seeding phase, no collected spans.
 
     The threshold comes from block METADATA alone: within one term,
     blocks hold disjoint doc sets, so the k best per-term block lower
     bounds certify k distinct docs scoring >= the k-th bound — a valid
     theta (per term; the plan takes the max over terms).  Every block
     whose ub + (sum of other terms' max ubs) < theta is provably unable
-    to contribute a top-k doc; survivors' docs are rescored exactly via
-    the bucket join (scores identical to the exhaustive plan)."""
-    from pyspark.sql import Window
-
-    # per-term global max ub + total (tiny aggregates, broadcast)
-    tmax = blocks.groupBy("term").agg(F.max("ub").alias("term_max_ub"))
-    tot = tmax.agg(F.sum("term_max_ub").alias("total_ub"))
-
-    # theta: each block certifies block_max_freq_cnt distinct docs
-    # scoring >= its lb; within one term, blocks hold disjoint doc
-    # sets, so any row whose per-term cumulative certified count (in lb
-    # desc order) reaches k proves k distinct docs >= its lb.  Theta is
-    # the max such lb across terms.
-    wt = Window.partitionBy("term").orderBy(
-        F.desc("lb"), "segment_id", "block_id"
+    to contribute a top-k doc.  Surviving blocks reduce in-plan to the
+    SET of doc-range buckets they cover (one broadcast scalar row); a
+    block is decoded for the exact rescore iff its own bucket range
+    overlaps that set — an arrays_overlap probe against a broadcast
+    hash set, never a per-interval predicate or nested-loop join."""
+    # scalar row 1: theta + total_ub + per-term max ub, ONE aggregation
+    # subtree (per-term sorted fold over that term's block metadata)
+    arr = F.array_sort(
+        F.collect_list(F.struct("lb", F.col("block_max_freq_cnt").alias("cnt")))
+    )  # asc by lb; fold DESC via reverse
+    fold = F.aggregate(
+        F.reverse(arr),
+        F.struct(
+            F.lit(0).cast("long").alias("cum"),
+            F.lit(float("-inf")).alias("theta"),
+        ),
+        lambda acc, x: F.struct(
+            (acc["cum"] + x["cnt"]).alias("cum"),
+            F.when(
+                (acc["cum"] < k) & (acc["cum"] + x["cnt"] >= k), x["lb"]
+            ).otherwise(acc["theta"]).alias("theta"),
+        ),
+    )["theta"]
+    per_term = blocks.groupBy("term").agg(
+        F.max("ub").alias("term_max_ub"), fold.alias("theta_t")
     )
-    theta_df = (
-        blocks.withColumn("cum", F.sum("block_max_freq_cnt").over(wt))
-        .filter(F.col("cum") >= k)
-        .agg(F.max("lb").alias("theta_raw"))
-        .select(F.coalesce("theta_raw", F.lit(float("-inf"))).alias("theta"))
+    scalar1 = per_term.agg(
+        F.sum("term_max_ub").alias("total_ub"),
+        F.max("theta_t").alias("theta"),
+        F.map_from_entries(
+            F.collect_list(F.struct("term", "term_max_ub"))
+        ).alias("tmu"),
     )
 
     surviving = (
-        blocks.join(F.broadcast(tmax), "term")
-        .crossJoin(F.broadcast(tot))
-        .crossJoin(F.broadcast(theta_df))
+        blocks.crossJoin(F.broadcast(scalar1))
         .filter(
-            F.col("ub") + F.col("total_ub") - F.col("term_max_ub")
+            F.col("ub") + F.col("total_ub") - F.element_at("tmu", F.col("term"))
             >= F.col("theta")
         )
     )
-    # job 1 (metadata only, no posting decode): the surviving blocks'
-    # doc-id spans.  Capped: past the cap pruning is too weak to beat
-    # the single-job exhaustive plan anyway.
-    surv = surviving.select("block_first_doc", "block_last_doc").limit(
-        SURVIVOR_COLLECT_CAP + 1
-    ).collect()
+    # scalar row 2: the doc-range buckets covered by surviving blocks
+    b = int(bucket_docs)
+    bucket_seq = F.sequence(
+        F.expr(f"block_first_doc div {b}"), F.expr(f"block_last_doc div {b}")
+    )
+    scalar2 = surviving.select(F.explode(bucket_seq).alias("bk")).agg(
+        F.collect_set("bk").alias("bucket_set")
+    )
     if stats_out is not None:
-        stats_out["blocks_surviving"] = len(surv)
-    if not surv or len(surv) > SURVIVOR_COLLECT_CAP:
-        return searcher.search(q, k)
+        stats_out["blocks_surviving"] = surviving.count()
 
-    # merge surviving spans into disjoint doc-id intervals (driver-side,
-    # tiny) — the rescore filter below pushes them into the scan
-    spans = sorted((int(r["block_first_doc"]), int(r["block_last_doc"])) for r in surv)
-    merged = [list(spans[0])]
-    for lo, hi in spans[1:]:
-        if lo <= merged[-1][1] + 1:
-            merged[-1][1] = max(merged[-1][1], hi)
-        else:
-            merged.append([lo, hi])
-
-    # job 2: exact rescore of every block overlapping a surviving span.
+    # exact rescore of every block overlapping a surviving bucket.
     # A doc outside every surviving block may receive a PARTIAL score
     # here (some of its blocks excluded) — harmless: such a doc's full
     # score is provably < theta (every block holding it was pruned), so
     # a partial sum can never displace a true top-k doc, all of which
     # live in surviving blocks and get full sums.
-    overlap = None
-    for lo, hi in merged:
-        c = (F.col("block_last_doc") >= lo) & (F.col("block_first_doc") <= hi)
-        overlap = c if overlap is None else (overlap | c)
-    needed = term_blocks.filter(overlap)
+    needed = term_blocks.crossJoin(F.broadcast(scalar2)).filter(
+        F.arrays_overlap(bucket_seq, F.col("bucket_set"))
+    )
     if stats_out is not None:
         stats_out["blocks_decoded_rescore"] = needed.count()
     flat = needed.select(

@@ -204,3 +204,76 @@ def test_common_terms_query_demotes_hot_terms(wix):
     q = common_terms_query(s, "content", ["parse", "tokenize", "zzzz"])
     by_term = {c.query.term: c.query.boost for c in q.clauses}
     assert by_term == {"parse": 0.25, "tokenize": 1.0}  # zzzz (df 0) dropped
+
+
+def test_trigram_index_prunes_and_matches(spark, tmp_path):
+    """Prefix-less patterns through the trigram table must return
+    exactly the full-scan expansion, with strictly fewer candidate
+    terms scanned; stale tables (chunks added after build) are ignored."""
+    from golucene_spark.index import (
+        CorpusSpec, IndexBuilder, MaterializedIndex, build_trigram_index,
+    )
+    from golucene_spark.index.trigram import trigram_candidates
+    from golucene_spark.search import Searcher, parse_query
+    from golucene_spark.search.multiterm import (
+        matching_terms, regexp_literal_runs, wildcard_literal_runs,
+    )
+
+    rows = [
+        (0, "stream dreams creamy"), (1, "downstream data"), (2, "other words"),
+        (3, "ream alone"), (4, "scream streaming"),
+    ]
+    df = spark.createDataFrame(
+        [(i, t, "en", "web") for i, t in rows],
+        "doc_id long, text string, lang string, source string",
+    )
+    ixdir = str(tmp_path / "trix")
+    IndexBuilder(spark, CorpusSpec.documents(), analyzer="simple",
+                 quantize_norms=False, num_segments=2).build(df, ixdir)
+    build_trigram_index(spark, ixdir)
+    ix = MaterializedIndex(spark, ixdir)
+    assert ix.trigram is not None
+
+    # run extraction
+    assert wildcard_literal_runs("*ream*") == ["ream"]
+    assert wildcard_literal_runs("st*am?") == ["st", "am"]
+    assert regexp_literal_runs(".*ream.*") == ["ream"]
+    assert regexp_literal_runs("st.*am") == ["st", "am"]
+    assert regexp_literal_runs("a|b") is None  # unmodeled structure
+
+    # trigram expansion == full-scan expansion
+    via_tri = matching_terms(ix, "text", "^.*ream.*$", runs=["ream"])
+    assert ix.last_multiterm_stats["path"] == "trigram"
+    full = matching_terms(ix, "text", "^.*ream.*$")
+    assert ix.last_multiterm_stats["path"] == "full"
+    assert via_tri == full
+    assert set(via_tri) == {"stream", "dreams", "creamy", "downstream",
+                            "ream", "scream", "streaming"}
+    # strictly fewer terms scanned
+    n_cand = trigram_candidates(ix.trigram, "text", ["ream"]).count()
+    n_dict = ix.term_dict.select("term").distinct().count()
+    assert 0 < n_cand < n_dict
+
+    # end-to-end: search scores equal the prefix-less full-scan scores
+    s = Searcher(ix, "bm25")
+    q = parse_query("text:*ream*", default_field="text", analyzer="simple")
+    hits = {r["doc_id"]: round(r["score"], 9) for r in s.search(q, 10).collect()}
+    assert ix.last_multiterm_stats["path"] == "trigram"
+    ix.trigram = None  # force the full-scan path
+    hits_full = {r["doc_id"]: round(r["score"], 9)
+                 for r in Searcher(ix, "bm25").search(q, 10).collect()}
+    assert hits == hits_full and hits
+
+    # staleness: a new chunk invalidates the table until rebuilt
+    from golucene_spark.index.deletes import update_documents
+    upd = spark.createDataFrame([(2, "midstream now", "en", "web")],
+                                "doc_id long, text string, lang string, source string")
+    update_documents(spark, ixdir, upd, CorpusSpec.documents(),
+                     analyzer="simple", quantize_norms=False)
+    ix2 = MaterializedIndex(spark, ixdir)
+    assert ix2.trigram is None  # stale -> ignored
+    build_trigram_index(spark, ixdir)
+    ix3 = MaterializedIndex(spark, ixdir)
+    assert ix3.trigram is not None
+    t2 = matching_terms(ix3, "text", "^.*ream.*$", runs=["ream"])
+    assert "midstream" in t2 and ix3.last_multiterm_stats["path"] == "trigram"

@@ -91,3 +91,27 @@ def test_rescore_combines_first_and_second(searcher):
     for d, v in got.items():
         want = first[d] + 0.5 * second.get(d, 0.0)
         assert v == _pt.approx(want, rel=1e-12), d
+
+
+def test_dismax_mid_tie_pagination_no_cache(searcher):
+    """ADVICE r2/r3: aggregated (DisjunctionMax) scores re-sum floats in
+    partition-dependent order across executions; the e6-rounded keyset
+    cursor must tile pages exactly WITHOUT a persisted frame, even when
+    the cut lands inside a tied-score run."""
+    from golucene_spark.search import DisjunctionMaxQuery, TermQuery
+
+    q = DisjunctionMaxQuery(
+        (TermQuery("text", "spark"), TermQuery("text", "filler")), tie_breaker=0.5
+    )
+    full = searcher.search_after(q, None, 30).collect()
+    assert len(full) == 30
+    ids = []
+    after = None
+    for _ in range(6):  # 5-doc pages force several mid-tie cuts
+        page = searcher.search_after(q, after, 5).collect()
+        if not page:
+            break
+        ids.extend(r["doc_id"] for r in page)
+        after = (page[-1]["score"], page[-1]["doc_id"])
+    assert ids == [r["doc_id"] for r in full]
+    assert len(set(ids)) == len(ids)  # no duplicates, no skips

@@ -32,7 +32,7 @@ def test_wand_equals_exhaustive(mat_index, qs):
     s = Searcher(mat_index, "bm25")
     q = parse_query(qs)
     exact = [(r["doc_id"], round(r["score"], 9)) for r in s.search(q, 10).collect()]
-    pruned = [(r["doc_id"], round(r["score"], 9)) for r in wand_topk(s, q, 10).collect()]
+    pruned = [(r["doc_id"], round(r["score"], 9)) for r in wand_topk(s, q, 10, min_postings=0).collect()]
     assert exact == pruned, qs
 
 
@@ -63,7 +63,7 @@ def test_wand_actually_prunes_decode_work(spark, tmp_path_factory):
     stats = {}
     exact = [(r["doc_id"], round(r["score"], 9)) for r in s.search(q, 10).collect()]
     pruned = [(r["doc_id"], round(r["score"], 9))
-              for r in wand_topk(s, q, 10, stats_out=stats).collect()]
+              for r in wand_topk(s, q, 10, stats_out=stats, min_postings=0).collect()]
     assert exact == pruned
     assert stats["blocks_total"] == 8  # 1024 docs / 128
     assert stats["blocks_surviving"] < stats["blocks_total"]
@@ -95,6 +95,6 @@ def test_wand_with_deletes_matches_exhaustive(spark, tmp_path_factory):
     q = parse_query("content:hot")
     exact = [(r["doc_id"], round(r["score"], 9)) for r in s.search(q, 10).collect()]
     pruned = [(r["doc_id"], round(r["score"], 9))
-              for r in wand_topk(s, q, 10).collect()]
+              for r in wand_topk(s, q, 10, min_postings=0).collect()]
     assert exact == pruned
     assert all(d >= 60 for d, _ in exact[:4])  # deleted docs really gone
