@@ -72,7 +72,7 @@ def skewed_corpus_df(spark, n: int):
 def run_pair(s: Searcher, qs: str, k: int = 10) -> dict:
     q = parse_query(qs)
     best_ex = best_wd = best_en = 1e9
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.time()
         ex = s.search(q, k).collect()
         best_ex = min(best_ex, time.time() - t0)
