@@ -4458,26 +4458,27 @@ QUERIES = {
     # --- new round-4 gates ---
     "explain_term_bm25": q_explain_term_bm25,
     "infix_wildcard_bm25": q_infix_wildcard_bm25,
+    # --- code paths rewritten this round (regression re-checks) ---
+    "phrase_bm25": q_phrase_bm25,
+    "sloppy_phrase_bm25": q_sloppy_phrase_bm25,
+    "parsed_phrase_bm25": q_parsed_phrase_bm25,
+    "wand_term_bm25": q_wand_term_bm25,
+    "expunge_merge_bm25": q_expunge_merge_bm25,
+    "deletes_term_bm25": q_deletes_term_bm25,
+    "wildcard_bm25": q_wildcard_bm25,
+    "regexp_bm25": q_regexp_bm25,
+    "fuzzy_bm25": q_fuzzy_bm25,
     # --- round-3 additions (driver-green r03) ---
     "quantized_norms_bm25": q_quantized_norms_bm25,
     "boost_field_bm25": q_boost_field_bm25,
     "payload_term_bm25": q_payload_term_bm25,
-    "repeated_ngram_coverage": q_repeated_ngram_coverage,
-    "repetition_signals": q_repetition_signals,
     "multi_phrase_bm25": q_multi_phrase_bm25,
-    "function_score_bm25": q_function_score_bm25,
     "span_not_bm25": q_span_not_bm25,
     "common_terms_bm25": q_common_terms_bm25,
     "folding_term_bm25": q_folding_term_bm25,
-    "ann_pq_topk": q_ann_pq_topk,
-    "term_lm_dirichlet": q_term_lm_dirichlet,
-    "bool_or_lm_dirichlet": q_bool_or_lm_dirichlet,
-    "unigram_logppl": q_unigram_logppl,
     "rescore_phrase_bm25": q_rescore_phrase_bm25,
-    "range_facets": q_range_facets,
     "span_or_bm25": q_span_or_bm25,
     "shingle_term_bm25": q_shingle_term_bm25,
-    "url_canonicalize": q_url_canonicalize,
     # --- never driver-checked (round-2 additions) ---
     "term_bm25_standard": q_term_bm25_standard,
     "update_bm25": q_update_bm25,
@@ -4510,20 +4511,23 @@ QUERIES = {
     "kmv_distinct": q_kmv_distinct,
     "pipeline_prep": q_pipeline_prep,
     "span_first_bm25": q_span_first_bm25,
+    # --- r3-green gates untouched by round-4 changes (rotated out of window) ---
+    "repeated_ngram_coverage": q_repeated_ngram_coverage,
+    "repetition_signals": q_repetition_signals,
+    "unigram_logppl": q_unigram_logppl,
+    "url_canonicalize": q_url_canonicalize,
+    "range_facets": q_range_facets,
+    "ann_pq_topk": q_ann_pq_topk,
+    "term_lm_dirichlet": q_term_lm_dirichlet,
+    "bool_or_lm_dirichlet": q_bool_or_lm_dirichlet,
+    "function_score_bm25": q_function_score_bm25,
     # --- code paths touched this round (regression re-checks) ---
-    "expunge_merge_bm25": q_expunge_merge_bm25,
-    "deletes_term_bm25": q_deletes_term_bm25,
-    "sloppy_phrase_bm25": q_sloppy_phrase_bm25,
-    "wand_term_bm25": q_wand_term_bm25,
-    "phrase_bm25": q_phrase_bm25,
     "dismax_bm25": q_dismax_bm25,
     "term_bm25_topk": q_term_bm25,
-    "parsed_phrase_bm25": q_parsed_phrase_bm25,
     "bool_msm_bm25": q_bool_msm_bm25,
     "bool_or_classic": q_bool_or_classic,
     "term_classic_topk": q_term_classic,
     # ------- driver-green round-1 gates (CORRECTNESS_r01/r02) -------
-    "wildcard_bm25": q_wildcard_bm25,
     "events_windowed_agg": q_events_window,
     "embedding_near_dup": q_embedding_near_dup,
     "events_cube": q_events_cube,
@@ -4549,11 +4553,9 @@ QUERIES = {
     "simhash64": q_simhash,               # oracle via golden XXH64 parquet
     "ann_lsh_topk": q_ann_lsh,            # oracle via hyperplane parquet
     "nested_bool_bm25": q_nested_bool_bm25,
-    "fuzzy_bm25": q_fuzzy_bm25,
     "term_topk_hydrated": q_term_topk_hydrated,
     "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
     "range_bm25": q_range_bm25,
-    "regexp_bm25": q_regexp_bm25,
     "media_stats": q_media_stats,
     "media_frames": q_media_frames,
     "bpe_token_count": q_bpe_tokens,
