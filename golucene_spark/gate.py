@@ -4440,10 +4440,96 @@ ORDER BY doc_id, term
 """
 
 
+def q_token_length_cap(spark, sf_dir):
+    """A5 (analysis/standard/analyzer.go:13 maxTokenLength=255, applied
+    at tokenizer.go:114-131): index-time length filter drops tokens
+    LONGER than 255 chars and keeps exactly-255 ones.  Each doc is
+    augmented with one 255-char and one 256-char synthetic token; the
+    surviving term statistics are read back from the index.  If the cap
+    were missing (or off-by-one), the 256-char term would surface a row
+    and the gate would fail on row count."""
+    t255, t256 = "x" * 255, "y" * 256
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 50).select(
+        "doc_id",
+        F.concat_ws(" ", F.col("text"), F.lit(t255), F.lit(t256)).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    ix = LogicalIndex(docs, CorpusSpec.documents(), analyzer="standard",
+                      quantize_norms=False).cache()
+    return (
+        ix.term_stats("text", [t255, t256])
+        .select("term", F.col("df").cast("long"), F.col("ttf").cast("long"))
+        .orderBy("term")
+    )
+
+
+ORACLES["token_length_cap"] = f"""
+WITH aug AS (
+  SELECT doc_id, concat(text, ' ', repeat('x', 255), ' ', repeat('y', 256)) AS text
+  FROM documents WHERE doc_id < 50
+),
+tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+  FROM aug
+),
+kept AS (
+  SELECT doc_id, term FROM tok
+  WHERE length(term) <= 255 AND term NOT IN ({STOP_SQL})
+),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS freq FROM kept GROUP BY 1, 2)
+SELECT term, count(*)::BIGINT AS df, sum(freq)::BIGINT AS ttf
+FROM tf WHERE term IN (repeat('x', 255), repeat('y', 256))
+GROUP BY term ORDER BY term
+"""
+
+
+def q_checkindex_totals(spark, sf_dir):
+    """W15 CheckIndex (core/index/checkIndex.go:147-505): materialize an
+    index, run the full invariant verifier (raises on any postings /
+    term_dict / doc_stats / doc_meta inconsistency), then return the
+    corpus-level totals the verifier cross-checked — which the DuckDB
+    twin recomputes independently from the raw documents table.  A
+    verifier that waved broken tables through would surface here as a
+    totals mismatch."""
+    import shutil
+
+    from .index import IndexBuilder
+    from .index.merge import verify_index
+
+    ixdir = "/root/repo/.data/gate_checkindex"
+    shutil.rmtree(ixdir, ignore_errors=True)
+    docs = _docs(spark, sf_dir)
+    IndexBuilder(spark, CorpusSpec.documents(), analyzer="simple",
+                 num_segments=4).build(docs, ixdir)
+    rep = verify_index(spark, ixdir, source_df=docs, text_col="text",
+                       id_col="doc_id")
+    assert rep.get("postings_vs_term_dict_mismatches", 1) == 0
+    td = spark.read.parquet(os.path.join(ixdir, "term_dict")).filter(
+        F.col("field") == "text"
+    )
+    dm = spark.read.parquet(os.path.join(ixdir, "doc_meta"))
+    return td.groupBy().agg(
+        F.countDistinct("term").cast("long").alias("n_terms"),
+        F.sum("df").cast("long").alias("n_postings"),
+        F.sum("ttf").cast("long").alias("sum_ttf"),
+    ).crossJoin(
+        dm.groupBy().agg(F.countDistinct("doc_id").cast("long").alias("n_docs"))
+    ).select("n_docs", "n_terms", "n_postings", "sum_ttf")
+
+
+ORACLES["checkindex_totals"] = f"""{BASE_CTE}
+SELECT (SELECT count(*) FROM documents)::BIGINT AS n_docs,
+       (SELECT count(DISTINCT term) FROM tf)::BIGINT AS n_terms,
+       (SELECT count(*) FROM tf)::BIGINT AS n_postings,
+       (SELECT sum(freq) FROM tf)::BIGINT AS sum_ttf
+"""
+
+
 # Gate order matters: the driver's correctness run checks the FIRST 50
-# dict entries.  Round-3 ordering puts the gates with no CORRECTNESS row
-# yet (every round-2 addition + this round's new gates) at the head;
-# the round-1 gates (all driver-green in CORRECTNESS_r01/r02) follow.
+# dict entries.  Round-4 ordering: the 8 never-driver-checked gates
+# first, then this round's NEW gates, then regression re-checks for
+# every code path rewritten this round (booleans ride the flattened
+# single-scan bitmask path now), then the round-3/round-2 remainder.
 # Rotate again next round.
 QUERIES = {
     # --- the 8 gates never yet sampled by the driver's 50-slot window ---
@@ -4458,7 +4544,15 @@ QUERIES = {
     # --- new round-4 gates ---
     "explain_term_bm25": q_explain_term_bm25,
     "infix_wildcard_bm25": q_infix_wildcard_bm25,
+    "token_length_cap": q_token_length_cap,
+    "checkindex_totals": q_checkindex_totals,
     # --- code paths rewritten this round (regression re-checks) ---
+    "nested_bool_bm25": q_nested_bool_bm25,
+    "bool_and_bm25": q_bool_and_bm25,
+    "bool_or_bm25": q_bool_or_bm25,
+    "bool_msm_bm25": q_bool_msm_bm25,
+    "bool_or_classic": q_bool_or_classic,
+    "bool_or_lm_dirichlet": q_bool_or_lm_dirichlet,
     "phrase_bm25": q_phrase_bm25,
     "sloppy_phrase_bm25": q_sloppy_phrase_bm25,
     "parsed_phrase_bm25": q_parsed_phrase_bm25,
@@ -4519,21 +4613,16 @@ QUERIES = {
     "range_facets": q_range_facets,
     "ann_pq_topk": q_ann_pq_topk,
     "term_lm_dirichlet": q_term_lm_dirichlet,
-    "bool_or_lm_dirichlet": q_bool_or_lm_dirichlet,
     "function_score_bm25": q_function_score_bm25,
     # --- code paths touched this round (regression re-checks) ---
     "dismax_bm25": q_dismax_bm25,
     "term_bm25_topk": q_term_bm25,
-    "bool_msm_bm25": q_bool_msm_bm25,
-    "bool_or_classic": q_bool_or_classic,
     "term_classic_topk": q_term_classic,
     # ------- driver-green round-1 gates (CORRECTNESS_r01/r02) -------
     "events_windowed_agg": q_events_window,
     "embedding_near_dup": q_embedding_near_dup,
     "events_cube": q_events_cube,
     "events_sessionize": q_events_sessionize,
-    "bool_or_bm25": q_bool_or_bm25,
-    "bool_and_bm25": q_bool_and_bm25,
     "bool_not_bm25": q_bool_not_bm25,
     "keyword_and_term": q_keyword_and_term,
     "term_dict_stats": q_term_stats,
@@ -4552,7 +4641,6 @@ QUERIES = {
     "near_dup_groups": q_near_dup_groups,  # oracle via recursive-CTE closure
     "simhash64": q_simhash,               # oracle via golden XXH64 parquet
     "ann_lsh_topk": q_ann_lsh,            # oracle via hyperplane parquet
-    "nested_bool_bm25": q_nested_bool_bm25,
     "term_topk_hydrated": q_term_topk_hydrated,
     "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
     "range_bm25": q_range_bm25,

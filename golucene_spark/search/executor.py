@@ -26,6 +26,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, functions as F, types as T
 
 from .ast import (
+    BooleanClause,
     BooleanQuery,
     ConstantScoreQuery,
     DisjunctionMaxQuery,
@@ -361,33 +362,26 @@ class Searcher:
             return ConstantScoreQuery(self._resolve(q.query), q.boost)
         return q
 
-    def _flat_terms_frame(self, clauses, stats, query_norm: float) -> DataFrame | None:
-        """Fast path: N same-field TermQuery clauses -> ONE term-pruned
-        postings scan with per-term weights via a map literal, instead of
-        N scans unioned.  At scale this is the difference between one
-        parquet scan and N of them (the multi-term analogue of the
-        reference's per-leaf single-pass BooleanScorer window)."""
-        field = clauses[0].query.field
-        live = []
-        for c in clauses:
-            st = stats[(field, c.query.term)]
-            if st.df == 0:
-                if c.is_required:
-                    return None
-                continue
-            live.append(c)
-        if not live:
-            return None
+    def _flat_terms_frame(self, field, entries, stats, query_norm: float) -> DataFrame:
+        """Fast path: N same-field terms -> ONE term-pruned postings scan
+        with per-term weights via a map literal, instead of N scans
+        unioned.  Entries are (TermQuery, grp_bit, required): a non-zero
+        grp_bit marks the term a member of a required nested OR-group,
+        whose MUST semantics ("matched at least one member") are enforced
+        by bit_or-ing grp_bit at aggregation time.  At scale this is the
+        difference between one parquet scan and N of them (the multi-term
+        analogue of the reference's per-leaf single-pass BooleanScorer
+        window)."""
         cs = self._collection_stats(field)
         avgdl = self.sim.avgdl(cs["sum_ttf"], cs["max_doc"])
-        terms = [c.query.term for c in live]
-        idf_map, boost_map, must_map = {}, {}, {}
-        for c in live:
-            st = stats[(field, c.query.term)]
-            idf_map[c.query.term] = self._term_scalar(st, cs)
-            boost_map[c.query.term] = c.query.boost
-            must_map[c.query.term] = 1 if c.is_required else 0
-        p = self.index.postings_for_terms(field, terms)
+        idf_map, boost_map, must_map, gbit_map = {}, {}, {}, {}
+        for tq, bit, req in entries:
+            st = stats[(field, tq.term)]
+            idf_map[tq.term] = self._term_scalar(st, cs)
+            boost_map[tq.term] = tq.boost
+            must_map[tq.term] = 1 if (req and not bit) else 0
+            gbit_map[tq.term] = bit
+        p = self.index.postings_for_terms(field, list(idf_map))
         mk = lambda m, t="double": F.element_at(
             F.create_map(*[x for k, v in m.items() for x in (F.lit(k), F.lit(v))]),
             F.col("term"),
@@ -399,8 +393,30 @@ class Searcher:
             mk(idf_map), avgdl, mk(boost_map), **kwargs,
         )
         return p.select(
-            F.col("doc_id"), score.alias("score"), mk(must_map, "int").alias("is_must")
+            F.col("doc_id"), score.alias("score"),
+            mk(must_map, "int").alias("is_must"),
+            mk(gbit_map, "long").alias("grp_bit"),
         )
+
+    def _flatten_or_group(self, q):
+        """A nested BooleanQuery that is a pure same-field OR of
+        TermQuerys (no MUST/MUST_NOT, msm <= 1) can fold into the
+        parent's single-scan path: its score is the plain sum of matched
+        member scores, and every similarity here is linear in boost, so
+        the nested boost folds into each member's boost.  Returns
+        (field, members) or None."""
+        if not isinstance(q, BooleanQuery) or q.minimum_should_match > 1:
+            return None
+        field, out = None, []
+        for c in q.clauses:
+            if c.occur is not Occur.SHOULD or not isinstance(c.query, TermQuery):
+                return None
+            if field is None:
+                field = c.query.field
+            elif c.query.field != field:
+                return None
+            out.append(TermQuery(field, c.query.term, c.query.boost * q.boost))
+        return (field, tuple(out)) if out else None
 
     def _is_keyword_field(self, field: str) -> bool:
         """StringField-style field: omitNorms, freq=1/dlq=1 postings —
@@ -451,34 +467,103 @@ class Searcher:
             if stats[(c.query.field, c.query.term)].df == 0:
                 return None  # a MUST clause with no matches: empty result
 
-        n_must = sum(1 for c in rest if c.is_required)
+        n_must = 0     # MUST units tracked through the is_must column
+        must_mask = 0  # MUST OR-groups tracked through the group bitmask
 
-        # bucket same-field TermQuery clauses for the single-scan path
-        buckets: dict[str, list] = {}
+        # bucket same-field TermQuery clauses — and, for similarities
+        # without a coord factor when no minimum_should_match is set,
+        # nested pure-OR term groups — for the single-scan path
+        buckets: dict[str, list] = {}  # field -> [(TermQuery, grp_bit, required)]
         others = []
+        seen: set = set()
+        dup_fields: set = set()
         for c in rest:
             if isinstance(c.query, TermQuery):
-                buckets.setdefault(c.query.field, []).append(c)
-            else:
-                others.append(c)
+                key = (c.query.field, c.query.term)
+                if key in seen:
+                    dup_fields.add(c.query.field)
+                seen.add(key)
+        can_flatten = not self.sim.uses_coord and q.minimum_should_match == 0
+        ngroups = 0
+        for c in rest:
+            if isinstance(c.query, TermQuery):
+                buckets.setdefault(c.query.field, []).append(
+                    (c.query, 0, c.is_required)
+                )
+                continue
+            fl = (
+                self._flatten_or_group(c.query)
+                if can_flatten and ngroups < 62
+                else None
+            )
+            if fl is not None:
+                field, members = fl
+                keys = {(field, tq.term) for tq in members}
+                if (
+                    field not in dup_fields
+                    and len(keys) == len(members)
+                    and not (keys & seen)
+                ):
+                    seen |= keys
+                    bit = (1 << ngroups) if c.is_required else 0
+                    if c.is_required:
+                        must_mask |= bit
+                        ngroups += 1
+                    for tq in members:
+                        buckets.setdefault(field, []).append(
+                            (tq, bit, c.is_required)
+                        )
+                    continue
+            others.append(c)
 
         frames = []  # (frame, doc_unique)
-        for field, cl in list(buckets.items()):
-            terms = [c.query.term for c in cl]
-            if len(cl) > 1 and len(set(terms)) == len(terms):
-                f = self._flat_terms_frame(cl, stats, query_norm)
-                if f is None and any(c.is_required for c in cl):
-                    return None
-                if f is not None:
-                    frames.append((f, False))
-            else:
-                others.extend(cl)
+        for field, entries in list(buckets.items()):
+            if field in dup_fields:
+                # duplicate standalone terms: the map-literal scan can't
+                # key them — score each clause through its own frame
+                others.extend(
+                    BooleanClause(tq, Occur.MUST if req else Occur.SHOULD)
+                    for tq, _, req in entries
+                )
+                continue
+            live = []
+            grp_alive: dict[int, bool] = {}
+            for tq, bit, req in entries:
+                if bit:
+                    grp_alive.setdefault(bit, False)
+                if stats[(field, tq.term)].df == 0:
+                    if req and not bit:
+                        return None  # standalone MUST with no matches
+                    continue
+                if bit:
+                    grp_alive[bit] = True
+                live.append((tq, bit, req))
+            if not all(grp_alive.values()):
+                return None  # a required OR-group with no live member
+            if not live:
+                continue
+            if len(live) == 1:
+                tq, bit, req = live[0]
+                if bit:
+                    must_mask &= ~bit  # one live member: a plain MUST term
+                others.append(
+                    BooleanClause(tq, Occur.MUST if req else Occur.SHOULD)
+                )
+                continue
+            frames.append(
+                (self._flat_terms_frame(field, live, stats, query_norm), False)
+            )
+            n_must += sum(1 for _, bit, req in live if req and not bit)
 
         for c in others:
             f = self._frame(c.query, stats, query_norm)
             if f is not None:
-                f = f.withColumn("is_must", F.lit(1 if c.is_required else 0))
+                f = f.withColumn(
+                    "is_must", F.lit(1 if c.is_required else 0)
+                ).withColumn("grp_bit", F.lit(0).cast("long"))
                 frames.append((f, True))
+                if c.is_required:
+                    n_must += 1
             elif c.is_required:
                 return None  # a MUST clause with no matches: empty result
 
@@ -494,6 +579,7 @@ class Searcher:
                 "score",
                 F.lit(1).cast("long").alias("coord"),
                 F.col("is_must").cast("long").alias("must_cnt"),
+                F.col("grp_bit").alias("gmask"),
             )
         else:
             u = frames[0][0]
@@ -503,9 +589,14 @@ class Searcher:
                 F.sum("score").alias("score"),
                 F.count("*").alias("coord"),
                 F.sum("is_must").alias("must_cnt"),
+                F.bit_or("grp_bit").alias("gmask"),
             )
         if n_must:
             agg = agg.filter(F.col("must_cnt") == n_must)
+        if must_mask:
+            agg = agg.filter(
+                F.col("gmask").bitwiseAND(F.lit(must_mask)) == F.lit(must_mask)
+            )
         if q.minimum_should_match > 0:
             agg = agg.filter(
                 (F.col("coord") - F.col("must_cnt")) >= q.minimum_should_match
