@@ -103,8 +103,18 @@ class Searcher:
     def __init__(self, index, similarity: str = "bm25"):
         self.index = index
         self.sim = get_similarity(similarity) if isinstance(similarity, str) else similarity
-        self._cstats_cache: dict[str, dict] = {}
-        self._tstats_cache: dict[tuple, _TermStats] = {}
+        # stats are properties of the index SNAPSHOT (df/ttf never change
+        # under one open index — deletes don't decrement df until merge,
+        # exactly the reference's semantics), so the memo lives ON the
+        # index object and is shared by every Searcher over it: a fresh
+        # Searcher per query — the normal serving pattern — pays the
+        # term_dict collect only for terms the index hasn't seen yet.
+        self._cstats_cache = getattr(index, "_cstats_shared", None)
+        if self._cstats_cache is None:
+            self._cstats_cache = index._cstats_shared = {}
+        self._tstats_cache = getattr(index, "_tstats_shared", None)
+        if self._tstats_cache is None:
+            self._tstats_cache = index._tstats_shared = {}
 
     # -- statistics ------------------------------------------------------
     def _collection_stats(self, field: str) -> dict:
@@ -323,28 +333,54 @@ class Searcher:
             )
         raise TypeError(f"unsupported query {type(q)}")
 
+    def _expand_memo(self, key, fn):
+        """Multi-term expansions scan the term dictionary; like term
+        stats, the matched-term set is a property of the index SNAPSHOT,
+        so the memo lives on the index object and repeated fuzzy/
+        wildcard/regexp/range searches skip the dictionary job."""
+        memo = getattr(self.index, "_expand_shared", None)
+        if memo is None:
+            memo = self.index._expand_shared = {}
+        if key not in memo:
+            memo[key] = fn()
+        return memo[key]
+
     def _resolve(self, q):
         """Expand deferred multi-term nodes against the index (the
         Query.Rewrite fixpoint of search.go:173-181 for wildcard)."""
         if isinstance(q, WildcardQuery):
             from .multiterm import expand_wildcard
 
-            return expand_wildcard(self.index, q.field, q.pattern, q.boost)
+            return self._expand_memo(
+                ("w", q.field, q.pattern, q.boost),
+                lambda: expand_wildcard(self.index, q.field, q.pattern, q.boost),
+            )
         if isinstance(q, FuzzyQuery):
             from .multiterm import expand_fuzzy
 
-            return expand_fuzzy(self.index, q.field, q.term, q.max_edits, q.boost,
-                                prefix_length=getattr(q, "prefix_length", 0))
+            pl = getattr(q, "prefix_length", 0)
+            return self._expand_memo(
+                ("f", q.field, q.term, q.max_edits, q.boost, pl),
+                lambda: expand_fuzzy(self.index, q.field, q.term, q.max_edits,
+                                     q.boost, prefix_length=pl),
+            )
         if isinstance(q, RegexpQuery):
             from .multiterm import expand_regexp
 
-            return expand_regexp(self.index, q.field, q.regex, q.boost)
+            return self._expand_memo(
+                ("r", q.field, q.regex, q.boost),
+                lambda: expand_regexp(self.index, q.field, q.regex, q.boost),
+            )
         if isinstance(q, TermRangeQuery):
             from .multiterm import expand_term_range
 
-            return expand_term_range(
-                self.index, q.field, q.lower, q.upper,
-                q.include_lower, q.include_upper, q.boost,
+            return self._expand_memo(
+                ("tr", q.field, q.lower, q.upper, q.include_lower,
+                 q.include_upper, q.boost),
+                lambda: expand_term_range(
+                    self.index, q.field, q.lower, q.upper,
+                    q.include_lower, q.include_upper, q.boost,
+                ),
             )
         if isinstance(q, BooleanQuery):
             return BooleanQuery(
