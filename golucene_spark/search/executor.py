@@ -424,14 +424,23 @@ class Searcher:
         ).cast(t)
         norm_col = F.col("norm_byte") if getattr(self.index, "quantized", True) else None
         kwargs = {"query_norm": query_norm} if self.sim.uses_coord else {}
+        uniform_boost = len(set(boost_map.values())) == 1
         score = self.sim.score_col(
             F.col("freq").cast("double"), F.col("dlq"), norm_col,
-            mk(idf_map), avgdl, mk(boost_map), **kwargs,
+            mk(idf_map), avgdl,
+            next(iter(boost_map.values())) if uniform_boost else mk(boost_map),
+            **kwargs,
+        )
+        # constant-valued maps collapse to literals: a 1024-term wildcard
+        # expansion (all SHOULD, no groups) carries one map, not three
+        mkc = lambda m, t: (
+            F.lit(next(iter(m.values()))).cast(t)
+            if len(set(m.values())) == 1 else mk(m, t)
         )
         return p.select(
             F.col("doc_id"), score.alias("score"),
-            mk(must_map, "int").alias("is_must"),
-            mk(gbit_map, "long").alias("grp_bit"),
+            mkc(must_map, "int").alias("is_must"),
+            mkc(gbit_map, "long").alias("grp_bit"),
         )
 
     def _flatten_or_group(self, q):
