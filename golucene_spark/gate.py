@@ -4525,6 +4525,54 @@ SELECT (SELECT count(*) FROM documents)::BIGINT AS n_docs,
 """
 
 
+def q_merge_policy(spark, sf_dir):
+    """W13 TieredMergePolicy selection (merge.go:370-377 thresholds,
+    FindMerges :494-641): smallest-first tiers, <=10 segments per
+    merge, 1024-doc floor, selection stops once <= SEGS_PER_TIER
+    segments remain unprocessed.  Segment sizes derive
+    deterministically from the documents table (segment = doc_id % 23,
+    size = sum(n_chars) — distinct, above the floor, NOT in id order);
+    the DuckDB twin replays the greedy tiering as a closed-form rank
+    computation, so a policy drift in ordering, group width, floor, or
+    the stop condition shows up as a row/hash mismatch.  The policy
+    runs driver-side over per-segment stats exactly as the production
+    merge path uses it (segment stats are manifest-sized, never data)."""
+    from .index.merge import select_merges
+
+    seg = (
+        _docs(spark, sf_dir)
+        .groupBy((F.col("doc_id") % 23).cast("int").alias("segment_id"))
+        .agg(F.sum("n_chars").cast("long").alias("n_docs"))
+    )
+    sizes = {int(r["segment_id"]): int(r["n_docs"]) for r in seg.collect()}
+    rows = [
+        (g, int(s))
+        for g, grp in enumerate(select_merges(sizes, max_merged_docs=1 << 40))
+        for s in sorted(grp)
+    ]
+    return spark.createDataFrame(
+        rows, "merge_idx long, segment_id long"
+    ).orderBy("merge_idx", "segment_id")
+
+
+ORACLES["merge_policy_selection"] = """
+WITH seg AS (
+  SELECT (doc_id % 23)::BIGINT AS segment_id, sum(n_chars)::BIGINT AS n_docs
+  FROM documents GROUP BY 1
+),
+ord AS (
+  SELECT segment_id,
+         row_number() OVER (ORDER BY greatest(n_docs, 1024), segment_id) - 1 AS rnk,
+         count(*) OVER () AS s
+  FROM seg
+)
+SELECT (rnk // 10)::BIGINT AS merge_idx, segment_id
+FROM ord
+WHERE s > 10 AND rnk < 10 * ((s - 11) // 10 + 1)
+ORDER BY merge_idx, segment_id
+"""
+
+
 # Gate order matters: the driver's correctness run checks the FIRST 50
 # dict entries.  Round-4 ordering: the 8 never-driver-checked gates
 # first, then this round's NEW gates, then regression re-checks for
@@ -4546,6 +4594,7 @@ QUERIES = {
     "infix_wildcard_bm25": q_infix_wildcard_bm25,
     "token_length_cap": q_token_length_cap,
     "checkindex_totals": q_checkindex_totals,
+    "merge_policy_selection": q_merge_policy,
     # --- code paths rewritten this round (regression re-checks) ---
     "nested_bool_bm25": q_nested_bool_bm25,
     "bool_and_bm25": q_bool_and_bm25,
