@@ -111,10 +111,13 @@ def _allocate_segment_id(index_dir: str, segment_ids: list[int]) -> int:
     """A segment id not used by ANY segment recorded in the manifest,
     and outside the epoch-derived stream/update id ranges.
 
-    Defaulting to min(segment_ids) (or any merged-away id) is wrong:
-    dead_segments() discards new_segment_id from the dead set, so the
-    original chunk's rows for that id would stay visible alongside the
-    merged copies (duplicated postings, inflated df/ttf)."""
+    Reusing min(segment_ids) (or any merged-away id) is wrong:
+    dead_segments() marks merge INPUT ids dead by id alone, so a merge
+    output labeled with an input's id would be killed along with it —
+    all its docs vanish.  (dead_segments() deliberately does NOT
+    discard new_segment_id from the dead set: listing-order discards
+    resurrected nested-merge outputs, the r3 fix.)  Callers passing an
+    explicit new_segment_id go through _check_new_segment_id."""
     used = {MERGE_ID_BASE - 1}
     used.update(int(s) for s in segment_ids)
     mdir = os.path.join(index_dir, "manifest")
@@ -129,6 +132,29 @@ def _allocate_segment_id(index_dir: str, segment_ids: list[int]) -> int:
                         used.add(int(rec[k]))
                 used.update(int(s) for s in rec.get("merged_from_segments", []))
     return max(used) + 1
+
+
+def _check_new_segment_id(index_dir: str, segment_ids: list[int],
+                          new_segment_id: int | None) -> None:
+    """Reject a caller-supplied new_segment_id that collides with a
+    merge input or an already-dead (merged-away) segment id: either
+    collision makes the merge output invisible — dead_segments() kills
+    rows by id, silently dropping every merged doc."""
+    if new_segment_id is None:
+        return
+    from .builder import dead_segments
+
+    nid = int(new_segment_id)
+    if nid in {int(s) for s in segment_ids}:
+        raise ValueError(
+            f"new_segment_id {nid} is one of the merge inputs; the merged "
+            "output would be superseded by its own manifest record"
+        )
+    if nid in dead_segments(index_dir):
+        raise ValueError(
+            f"new_segment_id {nid} was already merged away; rows labeled "
+            "with it are dead and the merge output would vanish"
+        )
 
 
 def merge_segments(
@@ -150,6 +176,7 @@ def merge_segments(
     application at merge, dwpt.go:313-321): posting blocks are exploded,
     filtered, and re-blocked, and df/ttf recomputed — after which the
     tombstones no longer apply to the merged segment."""
+    _check_new_segment_id(index_dir, segment_ids, new_segment_id)
     if expunge_deletes:
         return _merge_expunge(spark, index_dir, segment_ids, new_segment_id, out_chunk)
     # Segment-scoped (updateDocument) tombstones kill rows with

@@ -61,26 +61,34 @@ class CachingSearcher:
         return frame
 
     def search(self, query, k: int = 10) -> DataFrame:
+        # same e6 collector order as Searcher.search / search_after, so
+        # cached page-1 + search_after page-2 share one tie-break rule
         from pyspark.sql import functions as F
+
+        from .executor import _score_e6
 
         return (
             self.score_frame(query)
-            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .withColumn("_e6", _score_e6())
+            .orderBy(F.desc("_e6"), F.asc("doc_id"))
             .limit(k)
+            .drop("_e6")
         )
 
     def search_with_total(self, query, k: int = 10, hydrate: bool = False):
         from pyspark.sql import functions as F
 
-        frame = self.score_frame(query)
+        from .executor import _score_e6
+
+        frame = self.score_frame(query).withColumn("_e6", _score_e6())
         total = frame.count()
-        top = frame.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        top = frame.orderBy(F.desc("_e6"), F.asc("doc_id")).limit(k)
         if hydrate and hasattr(self.searcher.index, "doc_meta"):
             meta = self.searcher._live_meta().drop("segment_id")
             top = top.join(meta, "doc_id", "left").orderBy(
-                F.desc("score"), F.asc("doc_id")
+                F.desc("_e6"), F.asc("doc_id")
             )
-        return total, top
+        return total, top.drop("_e6")
 
     def search_after(self, query, after, k: int = 10) -> DataFrame:
         # pagination is the cache's best case: every page after the
@@ -89,10 +97,11 @@ class CachingSearcher:
         # deterministic collector order as Searcher.search_after.
         from pyspark.sql import functions as F
 
-        e6 = F.round(F.col("score") * 1e6, 0).cast("long")
-        frame = self.score_frame(query).withColumn("_e6", e6)
+        from .executor import _score_e6, cursor_e6
+
+        frame = self.score_frame(query).withColumn("_e6", _score_e6())
         if after is not None:
-            s_e6 = int(round(float(after[0]) * 1e6))
+            s_e6 = cursor_e6(after[0])
             d = int(after[1])
             frame = frame.filter(
                 (F.col("_e6") < F.lit(s_e6))

@@ -62,6 +62,28 @@ def empty_results(spark) -> DataFrame:
     )
 
 
+def _score_e6():
+    """The collector's stable ordering key: round(score * 1e6) as a
+    long.  F.round on a double is Spark's BigDecimal HALF_UP over the
+    shortest decimal representation of the double."""
+    return F.round(F.col("score") * 1e6, 0).cast("long")
+
+
+def cursor_e6(score: float) -> int:
+    """Driver-side twin of _score_e6 for an ``after`` cursor score.
+    Must use the SAME rounding rule as Spark's F.round — HALF_UP over
+    the double's shortest decimal repr (java.math.BigDecimal.valueOf).
+    Python's round() is banker's (half-even): a score*1e6 landing
+    exactly on .5 would yield a cursor one below the stored _e6 and
+    silently skip the whole tie bucket (ADVICE r4)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return int(
+        Decimal(repr(float(score) * 1e6)).quantize(
+            Decimal("1"), rounding=ROUND_HALF_UP
+        )
+    )
+
 
 def _collect_terms(q, out):
     if isinstance(q, TermQuery):
@@ -824,15 +846,24 @@ class Searcher:
 
     def search(self, query, k: int = 10) -> DataFrame:
         """Top-k by (score desc, doc_id asc) — the TopScoreDocCollector
-        tie-break (collect.go:282-303: equal score -> lower docID wins)."""
+        tie-break (collect.go:282-303: equal score -> lower docID wins).
+
+        Collector order keys on the MICRO-ROUNDED score (the engine's
+        stable scoring unit, see search_after): page 1 via search() and
+        later pages via search_after() then use ONE collector order, so
+        two raw scores that round to the same e6 value tie-break by
+        doc_id identically on both sides of the page boundary (ADVICE
+        r4: raw-float page 1 vs e6 page 2 could skip/duplicate a hit)."""
         if isinstance(query, str):
             from .parser import parse_query
 
             query = parse_query(query)
         return (
             self.score_frame(query)
-            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .withColumn("_e6", _score_e6())
+            .orderBy(F.desc("_e6"), F.asc("doc_id"))
             .limit(k)
+            .drop("_e6")
         )
 
     def search_with_total(self, query, k: int = 10,
@@ -845,15 +876,15 @@ class Searcher:
             from .parser import parse_query
 
             query = parse_query(query)
-        frame = self.score_frame(query)
+        frame = self.score_frame(query).withColumn("_e6", _score_e6())
         total = frame.count()
-        top = frame.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        top = frame.orderBy(F.desc("_e6"), F.asc("doc_id")).limit(k)
         if hydrate and hasattr(self.index, "doc_meta"):
             meta = self._live_meta().drop("segment_id")
             top = top.join(meta, "doc_id", "left").orderBy(
-                F.desc("score"), F.asc("doc_id")
+                F.desc("_e6"), F.asc("doc_id")
             )
-        return total, top
+        return total, top.drop("_e6")
 
     def _live_meta(self):
         """Newest-version doc_meta (updated docs carry several rows)."""
@@ -894,10 +925,9 @@ class Searcher:
             from .parser import parse_query
 
             query = parse_query(query)
-        e6 = F.round(F.col("score") * 1e6, 0).cast("long")
-        frame = self.score_frame(query).withColumn("_e6", e6)
+        frame = self.score_frame(query).withColumn("_e6", _score_e6())
         if after is not None:
-            s_e6 = int(round(float(after[0]) * 1e6))
+            s_e6 = cursor_e6(after[0])
             d = int(after[1])
             frame = frame.filter(
                 (F.col("_e6") < F.lit(s_e6))

@@ -176,6 +176,11 @@ def wand_topk(searcher: Searcher, query, k: int = 10,
         # pre-block_max_dlq index layout: no metadata lower bound to seed
         # the threshold from; the exhaustive plan is the cheaper exact path
         return searcher.search(q, k)
+    # mixed chunk sets (mergeSchema over wand + non-wand chunks) pass the
+    # column check but carry NULL metadata rows; the theta fold coalesces
+    # their cnt to 0 (they certify nothing, prune soundness unaffected)
+    # rather than letting a NULL poison the accumulator into an empty
+    # top-k (ADVICE r4)
     # metadata lower bound on the best score inside a block: the doc
     # attaining block_max_freq has dlq <= block_max_dlq, so its score is
     # >= w * max_freq / (max_freq + k1*(1-b+b*block_max_dlq/avgdl))
@@ -186,18 +191,20 @@ def wand_topk(searcher: Searcher, query, k: int = 10,
     )
     blocks = term_blocks.select(
         "term", "segment_id", "block_id", "block_len",
-        "block_first_doc", "block_last_doc", "block_max_freq_cnt",
+        "block_first_doc", "block_last_doc",
+        F.coalesce(F.col("block_max_freq_cnt"), F.lit(0)).alias(
+            "block_max_freq_cnt"
+        ),
         ub_col.alias("ub"), lb_col.alias("lb"),
     )
     if stats_out is not None:
         stats_out["blocks_total"] = blocks.count()
-    bucket_docs = max(128, (int(cs["max_doc"]) + MAX_BUCKETS - 1) // MAX_BUCKETS)
     return _wand_fused(searcher, q, k, weights, avgdl, term_blocks, blocks,
-                       bucket_docs, stats_out)
+                       stats_out)
 
 
 def _wand_fused(searcher, q, k, weights, avgdl, term_blocks, blocks,
-                bucket_docs, stats_out) -> DataFrame:
+                stats_out) -> DataFrame:
     """One composed Catalyst plan / ONE driver action — no data-dependent
     driver round-trips, no decoded seeding phase, no collected spans.
 
@@ -230,14 +237,30 @@ def _wand_fused(searcher, q, k, weights, avgdl, term_blocks, blocks,
         ),
     )["theta"]
     per_term = blocks.groupBy("term").agg(
-        F.max("ub").alias("term_max_ub"), fold.alias("theta_t")
+        F.max("ub").alias("term_max_ub"), fold.alias("theta_t"),
+        F.min("block_first_doc").alias("t_min_doc"),
+        F.max("block_last_doc").alias("t_max_doc"),
     )
+    # bucket granularity derives from the ACTUAL doc-id span of the
+    # query's blocks, not countDistinct(doc_id): user-supplied doc ids
+    # are not required to be dense, and a distinct-count granularity
+    # under sparse ids would explode F.sequence past Spark's array
+    # limit and blow the <=512KB broadcast bound (ADVICE r4).  Bucket
+    # count stays <= MAX_BUCKETS for any id distribution.
     scalar1 = per_term.agg(
         F.sum("term_max_ub").alias("total_ub"),
         F.max("theta_t").alias("theta"),
         F.map_from_entries(
             F.collect_list(F.struct("term", "term_max_ub"))
         ).alias("tmu"),
+        F.greatest(
+            F.lit(128).cast("long"),
+            (
+                (F.max("t_max_doc") - F.min("t_min_doc"))
+                / F.lit(MAX_BUCKETS)
+            ).cast("long")
+            + 1,
+        ).alias("_bb"),
     )
 
     surviving = (
@@ -248,12 +271,14 @@ def _wand_fused(searcher, q, k, weights, avgdl, term_blocks, blocks,
         )
     )
     # scalar row 2: the doc-range buckets covered by surviving blocks
-    b = int(bucket_docs)
     bucket_seq = F.sequence(
-        F.expr(f"block_first_doc div {b}"), F.expr(f"block_last_doc div {b}")
+        F.expr("block_first_doc div _bb"), F.expr("block_last_doc div _bb")
     )
-    scalar2 = surviving.select(F.explode(bucket_seq).alias("bk")).agg(
-        F.collect_set("bk").alias("bucket_set")
+    scalar2 = surviving.select(
+        F.col("_bb"), F.explode(bucket_seq).alias("bk")
+    ).agg(
+        F.collect_set("bk").alias("bucket_set"),
+        F.max("_bb").alias("_bb"),
     )
     if stats_out is not None:
         stats_out["blocks_surviving"] = surviving.count()

@@ -181,3 +181,35 @@ def test_range_layout_equivalence(spark, corpus, tmp_path_factory):
         a = [(r["doc_id"], round(r["score"], 10)) for r in s1.search(qq, 10).collect()]
         b = [(r["doc_id"], round(r["score"], 10)) for r in s2.search(qq, 10).collect()]
         assert a == b, qs
+
+
+def test_explicit_new_segment_id_collisions_raise(spark, tmp_path_factory):
+    """A caller-supplied new_segment_id equal to a merge input or an
+    already-merged-away id would make the merge output invisible
+    (dead_segments kills by id); merge_segments must reject it
+    (ADVICE r4)."""
+    import pytest as _pytest
+
+    from golucene_spark.corpus import make_corpus
+    from golucene_spark.index import CorpusSpec, IndexBuilder, MaterializedIndex
+    from golucene_spark.index.merge import merge_segments
+
+    pdf = make_corpus(120, seed=7)
+    df = spark.createDataFrame(pdf).repartition(4)
+    ixdir = str(tmp_path_factory.mktemp("ixcol"))
+    IndexBuilder(spark, CorpusSpec.source_code(), num_segments=4).build(df, ixdir)
+    segs = sorted(
+        int(r["segment_id"])
+        for r in MaterializedIndex(spark, ixdir)
+        .term_dict.select("segment_id")
+        .distinct()
+        .collect()
+    )
+    with _pytest.raises(ValueError, match="merge inputs"):
+        merge_segments(spark, ixdir, segs[:2], new_segment_id=segs[0])
+    rec = merge_segments(spark, ixdir, segs[:2])
+    with _pytest.raises(ValueError, match="merged away"):
+        merge_segments(
+            spark, ixdir, [int(rec["new_segment_id"]), segs[2]],
+            new_segment_id=segs[0],
+        )

@@ -115,3 +115,27 @@ def test_dismax_mid_tie_pagination_no_cache(searcher):
         after = (page[-1]["score"], page[-1]["doc_id"])
     assert ids == [r["doc_id"] for r in full]
     assert len(set(ids)) == len(ids)  # no duplicates, no skips
+
+
+def test_cursor_e6_half_up_matches_spark(spark):
+    """The driver-side cursor rounding must be Spark F.round's HALF_UP,
+    not Python round()'s half-even: a score*1e6 landing exactly on .5
+    would otherwise produce a cursor one below the stored _e6 and skip
+    the whole tie bucket (ADVICE r4)."""
+    from pyspark.sql import functions as F
+
+    from golucene_spark.search.executor import cursor_e6
+
+    # these doubles hit exact .5 multiples after *1e6 (verified exact)
+    vals = [25 / 10 / 1e6, 5 / 10 / 1e6, 15 / 10 / 1e6, 45 / 10 / 1e6]
+    df = spark.createDataFrame([(v,) for v in vals], "score double")
+    spark_e6 = [
+        r[0]
+        for r in df.select(
+            F.round(F.col("score") * 1e6, 0).cast("long")
+        ).collect()
+    ]
+    assert [cursor_e6(v) for v in vals] == spark_e6
+    # and explicitly not banker's rounding
+    assert cursor_e6(25 / 10 / 1e6) == 3
+    assert round(2.5) == 2  # what the old code would have produced

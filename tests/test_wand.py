@@ -98,3 +98,83 @@ def test_wand_with_deletes_matches_exhaustive(spark, tmp_path_factory):
               for r in wand_topk(s, q, 10, min_postings=0).collect()]
     assert exact == pruned
     assert all(d >= 60 for d, _ in exact[:4])  # deleted docs really gone
+
+
+def test_wand_sparse_doc_ids(spark, tmp_path_factory):
+    """Doc ids are NOT required to be dense: bucket granularity must
+    derive from the actual id RANGE, not countDistinct(doc_id).  With a
+    1e12 stride, a distinct-count granularity would ask F.sequence for
+    ~1e12-element arrays per block (hard failure); range-derived
+    granularity keeps every per-block sequence <= MAX_BUCKETS entries
+    (ADVICE r4)."""
+    stride = 1_000_000_000_000
+    rows = []
+    for i in range(64):
+        rows.append((i * stride, "hot " * 40 + " ".join(f"pad{j}" for j in range(10))))
+    for i in range(64, 1024):
+        rows.append((i * stride, "hot " + " ".join(f"pad{j}" for j in range(49))))
+    df = spark.createDataFrame(rows, "doc_id long, content string")
+    from golucene_spark.index import CorpusSpec, FieldSpec
+
+    spec = CorpusSpec(
+        text_fields=[FieldSpec("content", "content", True)],
+        keyword_fields=[], key_cols=["doc_id"], id_col="doc_id", meta_cols=[],
+    )
+    ixdir = str(tmp_path_factory.mktemp("ixsparse"))
+    IndexBuilder(spark, spec, num_segments=1, wand_layout=True).build(df, ixdir)
+    s = Searcher(MaterializedIndex(spark, ixdir), "bm25")
+    q = parse_query("content:hot")
+    stats = {}
+    exact = [(r["doc_id"], round(r["score"], 9)) for r in s.search(q, 10).collect()]
+    pruned = [(r["doc_id"], round(r["score"], 9))
+              for r in wand_topk(s, q, 10, stats_out=stats, min_postings=0).collect()]
+    assert exact == pruned
+    assert stats["blocks_decoded_rescore"] < stats["blocks_total"]
+
+
+def test_wand_mixed_layout_null_metadata(spark, tmp_path_factory):
+    """A mergeSchema read over wand + pre-wand chunks passes the
+    'block_max_freq_cnt in columns' gate but carries NULL metadata rows.
+    NULL cnt must not poison the theta fold into an empty top-k: such
+    blocks certify nothing (cnt coalesced to 0) and results stay exactly
+    equal to the exhaustive plan (ADVICE r4)."""
+    import os
+
+    rows = []
+    for i in range(64):
+        rows.append((i, "hot " * 40 + " ".join(f"pad{j}" for j in range(10))))
+    for i in range(64, 512):
+        rows.append((i, "hot " + " ".join(f"pad{j}" for j in range(49))))
+    df = spark.createDataFrame(rows, "doc_id long, content string")
+    from golucene_spark.index import CorpusSpec, FieldSpec
+
+    spec = CorpusSpec(
+        text_fields=[FieldSpec("content", "content", True)],
+        keyword_fields=[], key_cols=["doc_id"], id_col="doc_id", meta_cols=[],
+    )
+    ixdir = str(tmp_path_factory.mktemp("ixmixed"))
+    IndexBuilder(spark, spec, num_segments=2, wand_layout=True).build(df, ixdir)
+    # strip the wand metadata from ONE chunk — exactly what a chunk
+    # written by a pre-wand engine version looks like after mergeSchema
+    pdir = os.path.join(ixdir, "postings")
+    chunk = sorted(
+        d for d in os.listdir(pdir) if d.startswith("chunk=")
+    )[0]
+    cpath = os.path.join(pdir, chunk)
+    import shutil
+
+    (
+        spark.read.parquet(cpath)
+        .drop("block_max_dlq", "block_max_freq_cnt")
+        .write.partitionBy("kind")
+        .parquet(cpath + ".tmp")
+    )
+    shutil.rmtree(cpath)
+    shutil.move(cpath + ".tmp", cpath)
+    s = Searcher(MaterializedIndex(spark, ixdir), "bm25")
+    q = parse_query("content:hot")
+    exact = [(r["doc_id"], round(r["score"], 9)) for r in s.search(q, 10).collect()]
+    pruned = [(r["doc_id"], round(r["score"], 9))
+              for r in wand_topk(s, q, 10, min_postings=0).collect()]
+    assert len(pruned) == 10
+    assert exact == pruned
