@@ -4574,100 +4574,18 @@ ORDER BY merge_idx, segment_id
 
 
 # Gate order matters: the driver's correctness run checks the FIRST 50
-# dict entries.  Round-4 ordering: the 8 never-driver-checked gates
-# first, then this round's NEW gates, then regression re-checks for
-# every code path rewritten this round (booleans ride the flattened
-# single-scan bitmask path now), then the round-3/round-2 remainder.
-# Rotate again next round.
+# dict entries.  Round-5 ordering: the 36 gates last driver-checked on
+# round-2-era code (every one re-verified here on round-5 HEAD, which
+# also re-covers the e6 collector-order change in every search()-path
+# gate), then the 14 stalest round-3 gates to fill the window.  New
+# round-5 gates are inserted at the top as they land.  The r4-green set
+# rotates to the back; with this window every gate has a driver-green
+# row on round-3-or-later code.
 QUERIES = {
-    # --- the 8 gates never yet sampled by the driver's 50-slot window ---
-    "gapfill_interpolate": q_gapfill_interpolate,
-    "assign_shards": q_assign_shards,
-    "embedding_quantize": q_embedding_quantize,
-    "hybrid_rrf": q_hybrid_rrf,
-    "cms_heavy_hitters": q_cms_heavy_hitters,
-    "cap_per_group": q_cap_per_group,
-    "funnel": q_funnel,
-    "cohort_retention": q_cohort_retention,
-    # --- new round-4 gates ---
-    "explain_term_bm25": q_explain_term_bm25,
-    "infix_wildcard_bm25": q_infix_wildcard_bm25,
-    "token_length_cap": q_token_length_cap,
-    "checkindex_totals": q_checkindex_totals,
-    "merge_policy_selection": q_merge_policy,
-    # --- code paths rewritten this round (regression re-checks) ---
-    "nested_bool_bm25": q_nested_bool_bm25,
-    "bool_and_bm25": q_bool_and_bm25,
-    "bool_or_bm25": q_bool_or_bm25,
-    "bool_msm_bm25": q_bool_msm_bm25,
-    "bool_or_classic": q_bool_or_classic,
-    "bool_or_lm_dirichlet": q_bool_or_lm_dirichlet,
-    "phrase_bm25": q_phrase_bm25,
-    "sloppy_phrase_bm25": q_sloppy_phrase_bm25,
-    "parsed_phrase_bm25": q_parsed_phrase_bm25,
-    "wand_term_bm25": q_wand_term_bm25,
-    "expunge_merge_bm25": q_expunge_merge_bm25,
-    "deletes_term_bm25": q_deletes_term_bm25,
-    "wildcard_bm25": q_wildcard_bm25,
-    "regexp_bm25": q_regexp_bm25,
-    "fuzzy_bm25": q_fuzzy_bm25,
-    # --- round-3 additions (driver-green r03) ---
-    "quantized_norms_bm25": q_quantized_norms_bm25,
-    "boost_field_bm25": q_boost_field_bm25,
-    "payload_term_bm25": q_payload_term_bm25,
-    "multi_phrase_bm25": q_multi_phrase_bm25,
-    "span_not_bm25": q_span_not_bm25,
-    "common_terms_bm25": q_common_terms_bm25,
-    "folding_term_bm25": q_folding_term_bm25,
-    "rescore_phrase_bm25": q_rescore_phrase_bm25,
-    "span_or_bm25": q_span_or_bm25,
-    "shingle_term_bm25": q_shingle_term_bm25,
-    # --- never driver-checked (round-2 additions) ---
-    "term_bm25_standard": q_term_bm25_standard,
-    "update_bm25": q_update_bm25,
-    "federated_term_bm25": q_federated_term_bm25,
-    "group_search": q_group_search,
-    "ann_ivf_topk": q_ann_ivf,
-    "search_after_page2": q_search_after,
-    "term_vectors": q_term_vectors,
-    "req_prohib_bm25": q_req_prohib_bm25,
-    "stream_windowed_agg": q_stream_windowed_agg,
-    "stream_sessionize": q_stream_sessionize,
-    "nrt_term_bm25": q_nrt_term_bm25,
-    "stream_dedup_exact": q_stream_dedup_exact,
-    "range_layout_term_bm25": q_range_layout_term_bm25,
-    "numeric_filter_bm25": q_numeric_filter_bm25,
-    "constant_score_bm25": q_constant_score_bm25,
-    "tpch_q1_pricing": q_tpch_q1,
-    "tpch_q3_topk": q_tpch_q3,
-    "join_field_values": q_join_field_values,
-    "perfield_whitespace_bm25": q_perfield_whitespace_bm25,
-    "chunk_documents": q_chunk_documents,
-    "scrub_text": q_scrub_text,
-    "hash_split": q_hash_split,
-    "stratified_sample": q_stratified_sample,
-    "ngram_decontaminate": q_ngram_decontaminate,
-    "span_near_bm25": q_span_near_bm25,
-    "gapfill_locf": q_gapfill_locf,
-    "asof_join": q_asof_join,
-    "range_join": q_range_join,
-    "kmv_distinct": q_kmv_distinct,
-    "pipeline_prep": q_pipeline_prep,
-    "span_first_bm25": q_span_first_bm25,
-    # --- r3-green gates untouched by round-4 changes (rotated out of window) ---
-    "repeated_ngram_coverage": q_repeated_ngram_coverage,
-    "repetition_signals": q_repetition_signals,
-    "unigram_logppl": q_unigram_logppl,
-    "url_canonicalize": q_url_canonicalize,
-    "range_facets": q_range_facets,
-    "ann_pq_topk": q_ann_pq_topk,
-    "term_lm_dirichlet": q_term_lm_dirichlet,
-    "function_score_bm25": q_function_score_bm25,
-    # --- code paths touched this round (regression re-checks) ---
+    # --- last driver-checked round 2: stalest first ---
     "dismax_bm25": q_dismax_bm25,
     "term_bm25_topk": q_term_bm25,
     "term_classic_topk": q_term_classic,
-    # ------- driver-green round-1 gates (CORRECTNESS_r01/r02) -------
     "events_windowed_agg": q_events_window,
     "embedding_near_dup": q_embedding_near_dup,
     "events_cube": q_events_cube,
@@ -4686,10 +4604,10 @@ QUERIES = {
     "language_id": q_langid,
     "doc_fingerprint": q_fingerprint,
     "ngram_jaccard_pairs": q_jaccard_pairs,
-    "minhash_lsh_pairs": q_minhash_lsh,   # oracle via golden XXH64 parquet
-    "near_dup_groups": q_near_dup_groups,  # oracle via recursive-CTE closure
-    "simhash64": q_simhash,               # oracle via golden XXH64 parquet
-    "ann_lsh_topk": q_ann_lsh,            # oracle via hyperplane parquet
+    "minhash_lsh_pairs": q_minhash_lsh,
+    "near_dup_groups": q_near_dup_groups,
+    "simhash64": q_simhash,
+    "ann_lsh_topk": q_ann_lsh,
     "term_topk_hydrated": q_term_topk_hydrated,
     "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
     "range_bm25": q_range_bm25,
@@ -4701,4 +4619,84 @@ QUERIES = {
     "facet_lang": q_facet_lang,
     "mlt_terms": q_mlt_terms,
     "suggest_terms": q_suggest_terms,
+    # --- last driver-checked round 3 (stalest 14 fill the window) ---
+    "range_layout_term_bm25": q_range_layout_term_bm25,
+    "numeric_filter_bm25": q_numeric_filter_bm25,
+    "constant_score_bm25": q_constant_score_bm25,
+    "tpch_q1_pricing": q_tpch_q1,
+    "tpch_q3_topk": q_tpch_q3,
+    "join_field_values": q_join_field_values,
+    "perfield_whitespace_bm25": q_perfield_whitespace_bm25,
+    "chunk_documents": q_chunk_documents,
+    "scrub_text": q_scrub_text,
+    "hash_split": q_hash_split,
+    "stratified_sample": q_stratified_sample,
+    "ngram_decontaminate": q_ngram_decontaminate,
+    "span_near_bm25": q_span_near_bm25,
+    "gapfill_locf": q_gapfill_locf,
+    # --- out of window this round (driver-green r3/r4) ---
+    "gapfill_interpolate": q_gapfill_interpolate,
+    "assign_shards": q_assign_shards,
+    "embedding_quantize": q_embedding_quantize,
+    "hybrid_rrf": q_hybrid_rrf,
+    "cms_heavy_hitters": q_cms_heavy_hitters,
+    "cap_per_group": q_cap_per_group,
+    "funnel": q_funnel,
+    "cohort_retention": q_cohort_retention,
+    "explain_term_bm25": q_explain_term_bm25,
+    "infix_wildcard_bm25": q_infix_wildcard_bm25,
+    "token_length_cap": q_token_length_cap,
+    "checkindex_totals": q_checkindex_totals,
+    "merge_policy_selection": q_merge_policy,
+    "nested_bool_bm25": q_nested_bool_bm25,
+    "bool_and_bm25": q_bool_and_bm25,
+    "bool_or_bm25": q_bool_or_bm25,
+    "bool_msm_bm25": q_bool_msm_bm25,
+    "bool_or_classic": q_bool_or_classic,
+    "bool_or_lm_dirichlet": q_bool_or_lm_dirichlet,
+    "phrase_bm25": q_phrase_bm25,
+    "sloppy_phrase_bm25": q_sloppy_phrase_bm25,
+    "parsed_phrase_bm25": q_parsed_phrase_bm25,
+    "wand_term_bm25": q_wand_term_bm25,
+    "expunge_merge_bm25": q_expunge_merge_bm25,
+    "deletes_term_bm25": q_deletes_term_bm25,
+    "wildcard_bm25": q_wildcard_bm25,
+    "regexp_bm25": q_regexp_bm25,
+    "fuzzy_bm25": q_fuzzy_bm25,
+    "quantized_norms_bm25": q_quantized_norms_bm25,
+    "boost_field_bm25": q_boost_field_bm25,
+    "payload_term_bm25": q_payload_term_bm25,
+    "multi_phrase_bm25": q_multi_phrase_bm25,
+    "span_not_bm25": q_span_not_bm25,
+    "common_terms_bm25": q_common_terms_bm25,
+    "folding_term_bm25": q_folding_term_bm25,
+    "rescore_phrase_bm25": q_rescore_phrase_bm25,
+    "span_or_bm25": q_span_or_bm25,
+    "shingle_term_bm25": q_shingle_term_bm25,
+    "term_bm25_standard": q_term_bm25_standard,
+    "update_bm25": q_update_bm25,
+    "federated_term_bm25": q_federated_term_bm25,
+    "group_search": q_group_search,
+    "ann_ivf_topk": q_ann_ivf,
+    "search_after_page2": q_search_after,
+    "term_vectors": q_term_vectors,
+    "req_prohib_bm25": q_req_prohib_bm25,
+    "stream_windowed_agg": q_stream_windowed_agg,
+    "stream_sessionize": q_stream_sessionize,
+    "nrt_term_bm25": q_nrt_term_bm25,
+    "stream_dedup_exact": q_stream_dedup_exact,
+    "asof_join": q_asof_join,
+    "range_join": q_range_join,
+    "kmv_distinct": q_kmv_distinct,
+    "pipeline_prep": q_pipeline_prep,
+    "span_first_bm25": q_span_first_bm25,
+    "repeated_ngram_coverage": q_repeated_ngram_coverage,
+    "repetition_signals": q_repetition_signals,
+    "unigram_logppl": q_unigram_logppl,
+    "url_canonicalize": q_url_canonicalize,
+    "range_facets": q_range_facets,
+    "ann_pq_topk": q_ann_pq_topk,
+    "term_lm_dirichlet": q_term_lm_dirichlet,
+    "function_score_bm25": q_function_score_bm25,
 }
+

@@ -287,6 +287,11 @@ def merge_segments(
     os.makedirs(mdir, exist_ok=True)
     with open(os.path.join(mdir, f"{out_chunk}.json"), "w") as f:
         json.dump(rec, f)
+    # a merge adds no terms (output terms ⊆ union of input terms):
+    # the trigram table only needs its freshness key bumped
+    from .trigram import refresh_trigram_index
+
+    refresh_trigram_index(spark, index_dir)
     return rec
 
 
@@ -390,6 +395,12 @@ def _merge_expunge(spark, index_dir, segment_ids, new_segment_id, out_chunk,
     with open(os.path.join(mdir, f"{out_chunk}.json"), "w") as f:
         json.dump(rec, f)
     refresh_field_stats(spark, index_dir)
+    # expunge can only REMOVE terms — leftover trigram rows stay a
+    # correct superset (candidates are still rlike- and postings-
+    # filtered), so a freshness bump suffices here too
+    from .trigram import refresh_trigram_index
+
+    refresh_trigram_index(spark, index_dir)
     return rec
 
 

@@ -95,6 +95,53 @@ def build_trigram_index(spark: SparkSession, index_dir: str) -> dict:
     return rec
 
 
+def refresh_trigram_index(spark: SparkSession, index_dir: str,
+                          new_terms: DataFrame | None = None) -> dict | None:
+    """Keep an EXISTING trigram table fresh across commit paths (NRT /
+    update flushes, merges) so infix seeks survive a living index
+    without a manual rebuild.  No-op when the index never built one.
+
+    ``new_terms``: the just-committed chunk's (field, term) frame — its
+    trigrams are APPENDED as a delta (duplicates are harmless:
+    trigram_candidates counts DISTINCT grams per term).  None = the
+    commit introduced no new terms (a merge: its output terms are a
+    subset of the union of its inputs'), so only the freshness key
+    moves.  Scale note: the delta append touches only the new chunk's
+    terms — never a full term_dict rescan per commit; the full rebuild
+    below only fires when commits happened while refresh was disabled
+    (freshness key more than one behind)."""
+    mpath = os.path.join(index_dir, "manifest", f"{TRIGRAM_CHUNK}.json")
+    ddir = os.path.join(index_dir, TRIGRAM_CHUNK)
+    if not (os.path.exists(mpath) and os.path.isdir(ddir)):
+        return None
+    with open(mpath) as f:
+        rec = json.load(f)
+    cur = _data_chunk_count(index_dir)
+    built_over = rec.get("built_over_chunks")
+    if built_over == cur:
+        return rec
+    if built_over != cur - 1:
+        # table was already stale before this commit (refresh skipped
+        # for some earlier chunk) — a delta can't recover; full rebuild
+        return build_trigram_index(spark, index_dir)
+    t0 = time.time()
+    if new_terms is not None:
+        (
+            new_terms.select("field", "term").distinct()
+            .select("field", "term", F.explode(trigrams_col()).alias("gram"))
+            .distinct()
+            .repartitionByRange(1, "field", "gram")
+            .sortWithinPartitions("field", "gram", "term")
+            .write.mode("append").parquet(ddir)
+        )
+    rec["built_over_chunks"] = cur
+    rec["wall_sec"] = round(time.time() - t0, 3)
+    rec["kind"] = "trigram"
+    with open(mpath, "w") as f:
+        json.dump(rec, f)
+    return rec
+
+
 def load_trigram_index(spark: SparkSession, index_dir: str) -> DataFrame | None:
     """The trigram table if present AND fresh (built over the current
     live chunk set); None otherwise — callers fall back to the full

@@ -167,6 +167,12 @@ def incremental_index_batch(
     os.replace(tmp, manifest_path)
 
     _refresh_field_stats(spark, index_dir, batch_fs, n, full=not incremental)
+    # keep the (optional) trigram side table fresh: delta-append this
+    # chunk's terms so infix seeks never fall back to a full dictionary
+    # scan on a living index (no-op when the index has no trigram table)
+    from ..index.trigram import refresh_trigram_index
+
+    refresh_trigram_index(spark, index_dir, new_terms=td.select("field", "term"))
     return rec
 
 
