@@ -24,7 +24,9 @@ from .grouping import group_search
 from .join import join_search
 from .cache import CachingSearcher
 from .rescore import rescore
-from .phrase import span_near_search, span_first_search, span_not_search, span_or_search, payload_term_search
+from .phrase import (span_near_search, span_first_search, span_not_search,
+                     span_or_search, payload_term_search, span_near_explain,
+                     span_first_explain, span_not_explain, span_or_explain)
 
 __all__ = [
     "TermQuery",
@@ -46,6 +48,10 @@ __all__ = [
     "ClassicSimilarity",
     "Searcher",
     "span_near_search",
+    "span_near_explain",
+    "span_first_explain",
+    "span_not_explain",
+    "span_or_explain",
     "span_first_search",
     "span_not_search",
     "span_or_search",

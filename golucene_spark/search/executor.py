@@ -770,6 +770,56 @@ class Searcher:
                     "boost": q.boost,
                 },
             }
+        if isinstance(q, MultiPhraseQuery):
+            from .phrase import multi_phrase_freq_frame
+
+            live_sets = tuple(
+                tuple(t for t in ts if stats[(q.field, t)].df > 0)
+                for ts in q.term_sets
+            )
+            slots = " ".join("(" + "|".join(ts) + ")" for ts in q.term_sets)
+            if any(not ts for ts in live_sets):
+                return {"match": False, "value": 0.0,
+                        "description": f'empty slot in {q.field}:"{slots}"'}
+            rows = (
+                multi_phrase_freq_frame(
+                    self.index, q.field, live_sets, q.slop,
+                    in_order=getattr(q, "in_order", False),
+                )
+                .filter(F.col("doc_id") == doc_id)
+                .collect()
+            )
+            if not rows:
+                return {"match": False, "value": 0.0,
+                        "description": f'no match on {q.field}:"{slots}"'}
+            r = rows[0]
+            cs = self._collection_stats(q.field)
+            # MultiPhraseWeight: idf sums over ALL terms of all slots
+            idf = sum(self.sim.idf(stats[(q.field, t)].df, cs["max_doc"])
+                      for ts in q.term_sets for t in ts)
+            avgdl = self.sim.avgdl(cs["sum_ttf"], cs["max_doc"])
+            import numpy as np
+
+            norm = (np.array([r["norm_byte"]])
+                    if getattr(self.index, "quantized", True) else None)
+            kwargs = {"query_norm": query_norm} if self.sim.uses_coord else {}
+            value = float(self.sim.score_np(
+                np.array([float(r["freq"])]), np.array([r["dlq"]]),
+                norm, idf, avgdl, q.boost, **kwargs,
+            )[0])
+            return {
+                "match": True,
+                "value": value,
+                "description": f'multiPhrase({q.field}:"{slots}", doc={doc_id}), '
+                               f"freq=phraseFreq over slot unions, "
+                               f"idf=sum over all slot terms",
+                "details": {
+                    "freq": float(r["freq"]), "idf": idf,
+                    "dl": float(r["dlq"]), "avgdl": avgdl,
+                    "boost": q.boost, "slop": q.slop,
+                    "query_norm": query_norm,
+                },
+            }
         if isinstance(q, MatchAllQuery):
             exists = (
                 self.index.doc_stats.filter(F.col("doc_id") == doc_id).limit(1).count() > 0
@@ -994,6 +1044,45 @@ class Searcher:
             .orderBy(F.desc("score"), F.asc("doc_id"))
             .limit(k)
         )
+
+    def explain_function_score(self, query, value_expr: str, doc_id: int,
+                               mode: str = "multiply") -> dict:
+        """Explain for function_score (Q13 completeness): the relevance
+        child comes from the ordinary explain tree; the function value
+        is evaluated against the SAME doc_meta expression; 'value'
+        recomposes them with the mode's arithmetic and equals the
+        function_score frame score exactly."""
+        if isinstance(query, str):
+            from .parser import parse_query
+
+            query = parse_query(query)
+        if mode not in ("multiply", "sum"):
+            raise ValueError(f"unknown mode {mode!r}")
+        relevance = self.explain(query, doc_id)
+        rows = (
+            self._live_meta()
+            .filter(F.col("doc_id") == doc_id)
+            .select(F.expr(value_expr).cast("double").alias("_v"))
+            .collect()
+        )
+        if not relevance["match"] or not rows:
+            return {"match": False, "value": 0.0,
+                    "description": "relevance query did not match"
+                                   if rows else "unknown doc",
+                    "details": [relevance]}
+        fv = float(rows[0]["_v"])
+        value = relevance["value"] * fv if mode == "multiply" else relevance["value"] + fv
+        return {
+            "match": True,
+            "value": value,
+            "description": f"function score, {mode} of relevance and "
+                           f"expr({value_expr})",
+            "details": [
+                relevance,
+                {"match": True, "value": fv,
+                 "description": f"doc-values expr({value_expr})"},
+            ],
+        }
 
     def search_sorted(self, query, sort, k: int = 10) -> DataFrame:
         """Top-k ordered by stored doc_meta fields instead of relevance —

@@ -395,14 +395,10 @@ def payload_term_search(searcher, field: str, term: str, k: int = 10,
     )
 
 
-def span_first_search(searcher, field: str, term: str, end: int,
-                      k: int = 10) -> DataFrame:
-    """SpanFirstQuery (Lucene spans module): the term must occur within
-    the first ``end`` positions of the field; the doc is scored by the
-    similarity with freq = number of qualifying positions.  Pure
-    Catalyst: positions decode JVM-side (positions_array_col) and the
-    qualifying freq is a size(filter(...)) over the array — no
-    Python."""
+def _span_first_parts(searcher, field: str, term: str, end: int):
+    """(qualifying frame with _qf/dlq/norm_byte, idf, avgdl, sim
+    kwargs) for SpanFirstQuery — shared by search and explain; None
+    when the term is absent."""
     from .ast import TermQuery
 
     s = searcher
@@ -410,9 +406,7 @@ def span_first_search(searcher, field: str, term: str, end: int,
     stats = s._term_stats(q)
     st = stats[(field, term)]
     if st.df == 0:
-        from .executor import empty_results
-
-        return empty_results(s.index.spark)
+        return None
     cs = s._collection_stats(field)
     idf = s.sim.idf(st.df, cs["max_doc"])
     avgdl = s.sim.avgdl(cs["sum_ttf"], cs["max_doc"])
@@ -424,17 +418,60 @@ def span_first_search(searcher, field: str, term: str, end: int,
         if s.sim.uses_coord
         else {}
     )
+    return p.withColumn("_qf", qfreq).filter(F.col("_qf") > 0), idf, avgdl, kwargs
+
+
+def span_first_search(searcher, field: str, term: str, end: int,
+                      k: int = 10) -> DataFrame:
+    """SpanFirstQuery (Lucene spans module): the term must occur within
+    the first ``end`` positions of the field; the doc is scored by the
+    similarity with freq = number of qualifying positions.  Pure
+    Catalyst: positions decode JVM-side (positions_array_col) and the
+    qualifying freq is a size(filter(...)) over the array — no
+    Python."""
+    parts = _span_first_parts(searcher, field, term, end)
+    if parts is None:
+        from .executor import empty_results
+
+        return empty_results(searcher.index.spark)
+    frame, idf, avgdl, kwargs = parts
+    s = searcher
     norm_col = F.col("norm_byte") if getattr(s.index, "quantized", True) else None
     score = s.sim.score_col(
-        qfreq.cast("double"), F.col("dlq"), norm_col, idf, avgdl, 1.0, **kwargs
+        F.col("_qf").cast("double"), F.col("dlq"), norm_col, idf, avgdl, 1.0,
+        **kwargs,
     )
     return (
-        p.withColumn("_qf", qfreq)
-        .filter(F.col("_qf") > 0)
-        .select("doc_id", score.alias("score"))
+        frame.select("doc_id", score.alias("score"))
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+def _span_or_parts(searcher, field: str, terms: list[str]):
+    """(merged frame with _qf/dlq/norm_byte, idf, avgdl, kwargs) for
+    SpanOrQuery — shared by search and explain; None when every clause
+    term is absent."""
+    from .ast import BooleanClause, BooleanQuery, Occur, TermQuery
+
+    s = searcher
+    terms = list(dict.fromkeys(terms))
+    stats = s._term_stats(BooleanQuery(tuple(
+        BooleanClause(TermQuery(field, t), Occur.SHOULD) for t in terms
+    )))
+    live = [t for t in terms if stats[(field, t)].df > 0]
+    if not live:
+        return None
+    cs = s._collection_stats(field)
+    idf = sum(s.sim.idf(stats[(field, t)].df, cs["max_doc"]) for t in live)
+    avgdl = s.sim.avgdl(cs["sum_ttf"], cs["max_doc"])
+    p = s.index.postings_for_terms(field, live)
+    merged = p.groupBy("doc_id").agg(
+        F.sum("freq").cast("double").alias("_qf"),
+        F.first("dlq").alias("dlq"),
+        F.first("norm_byte").alias("norm_byte"),
+    )
+    return merged, idf, avgdl, {}
 
 
 def span_or_search(searcher, field: str, terms: list[str],
@@ -445,47 +482,29 @@ def span_or_search(searcher, field: str, terms: list[str],
     stream — unlike BooleanQuery's per-term score sum), scored with the
     summed idf of the clauses (SpanWeight stats over all terms).  One
     pruned postings scan (In(term,...) pushdown) + one groupBy(doc)."""
-    from .ast import BooleanClause, BooleanQuery, Occur, TermQuery
-
-    s = searcher
-    terms = list(dict.fromkeys(terms))
-    stats = s._term_stats(BooleanQuery(tuple(
-        BooleanClause(TermQuery(field, t), Occur.SHOULD) for t in terms
-    )))
-    live = [t for t in terms if stats[(field, t)].df > 0]
-    if not live:
+    parts = _span_or_parts(searcher, field, terms)
+    if parts is None:
         from .executor import empty_results
 
-        return empty_results(s.index.spark)
-    cs = s._collection_stats(field)
-    idf = sum(s.sim.idf(stats[(field, t)].df, cs["max_doc"]) for t in live)
-    avgdl = s.sim.avgdl(cs["sum_ttf"], cs["max_doc"])
-    p = s.index.postings_for_terms(field, live)
-    merged = p.groupBy("doc_id").agg(
-        F.sum("freq").cast("double").alias("freq"),
-        F.first("dlq").alias("dlq"),
-        F.first("norm_byte").alias("norm_byte"),
-    )
+        return empty_results(searcher.index.spark)
+    frame, idf, avgdl, kwargs = parts
+    s = searcher
     norm_col = F.col("norm_byte") if getattr(s.index, "quantized", True) else None
     score = s.sim.score_col(
-        F.col("freq"), F.col("dlq"), norm_col, idf, avgdl, 1.0
+        F.col("_qf"), F.col("dlq"), norm_col, idf, avgdl, 1.0, **kwargs
     )
     return (
-        merged.select("doc_id", score.alias("score"))
+        frame.select("doc_id", score.alias("score"))
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )
 
 
-def span_not_search(searcher, field: str, include: str, exclude: str,
-                    pre: int = 0, post: int = 0, k: int = 10) -> DataFrame:
-    """SpanNotQuery (Lucene spans module): occurrences of ``include``
-    qualify only when no ``exclude`` occurrence sits within
-    [pos - pre, pos + post]; the doc is scored by the similarity with
-    freq = number of qualifying positions and the INCLUDE term's idf
-    (SpanNotQuery scores from the include span).  Pure Catalyst: both
-    position blobs decode JVM-side; the qualification test is a nested
-    exists over the (bounded per-doc) exclude positions."""
+def _span_not_parts(searcher, field: str, include: str, exclude: str,
+                    pre: int = 0, post: int = 0):
+    """(qualifying frame with _qf/dlq/norm_byte, idf, avgdl, kwargs)
+    for SpanNotQuery — shared by search and explain; None when the
+    include term is absent."""
     from .ast import TermQuery
 
     s = searcher
@@ -493,9 +512,7 @@ def span_not_search(searcher, field: str, include: str, exclude: str,
     stats = s._term_stats(q)
     st = stats[(field, include)]
     if st.df == 0:
-        from .executor import empty_results
-
-        return empty_results(s.index.spark)
+        return None
     cs = s._collection_stats(field)
     idf = s.sim.idf(st.df, cs["max_doc"])
     avgdl = s.sim.avgdl(cs["sum_ttf"], cs["max_doc"])
@@ -521,18 +538,106 @@ def span_not_search(searcher, field: str, include: str, exclude: str,
         if s.sim.uses_coord
         else {}
     )
+    return joined.withColumn("_qf", qfreq).filter(F.col("_qf") > 0), idf, avgdl, kwargs
+
+
+def span_not_search(searcher, field: str, include: str, exclude: str,
+                    pre: int = 0, post: int = 0, k: int = 10) -> DataFrame:
+    """SpanNotQuery (Lucene spans module): occurrences of ``include``
+    qualify only when no ``exclude`` occurrence sits within
+    [pos - pre, pos + post]; the doc is scored by the similarity with
+    freq = number of qualifying positions and the INCLUDE term's idf
+    (SpanNotQuery scores from the include span).  Pure Catalyst: both
+    position blobs decode JVM-side; the qualification test is a nested
+    exists over the (bounded per-doc) exclude positions."""
+    parts = _span_not_parts(searcher, field, include, exclude, pre, post)
+    if parts is None:
+        from .executor import empty_results
+
+        return empty_results(searcher.index.spark)
+    frame, idf, avgdl, kwargs = parts
+    s = searcher
     norm_col = F.col("norm_byte") if getattr(s.index, "quantized", True) else None
     score = s.sim.score_col(
-        qfreq.cast("double"), F.col("dlq"), norm_col, idf, avgdl, 1.0, **kwargs
+        F.col("_qf").cast("double"), F.col("dlq"), norm_col, idf, avgdl, 1.0,
+        **kwargs,
     )
     return (
-        joined.withColumn("_qf", qfreq)
-        .filter(F.col("_qf") > 0)
-        .select("doc_id", score.alias("score"))
+        frame.select("doc_id", score.alias("score"))
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )
 
+
+def _span_explain(searcher, parts, doc_id: int, description: str) -> dict:
+    """Shared span explain: fetch the doc's qualifying freq / dl / norm
+    components from the span's base frame, then recompute the score
+    driver-side with the similarity's numpy twin — value equals the
+    span search's frame score exactly (same arithmetic)."""
+    import numpy as np
+
+    if parts is None:
+        return {"match": False, "value": 0.0,
+                "description": f"no match: {description} (term absent)"}
+    frame, idf, avgdl, kwargs = parts
+    rows = frame.filter(F.col("doc_id") == doc_id).collect()
+    if not rows:
+        return {"match": False, "value": 0.0,
+                "description": f"no match: {description}"}
+    r = rows[0]
+    s = searcher
+    norm = (np.array([r["norm_byte"]])
+            if getattr(s.index, "quantized", True) else None)
+    value = float(s.sim.score_np(
+        np.array([float(r["_qf"])]), np.array([r["dlq"]]),
+        norm, idf, avgdl, 1.0, **kwargs,
+    )[0])
+    return {
+        "match": True,
+        "value": value,
+        "description": f"{description}, doc={doc_id}, freq=qualifying spans",
+        "details": {
+            "freq": float(r["_qf"]), "idf": idf,
+            "dl": float(r["dlq"]), "avgdl": avgdl,
+            **({"query_norm": kwargs["query_norm"]} if kwargs else {}),
+        },
+    }
+
+
+def span_first_explain(searcher, field: str, term: str, end: int,
+                       doc_id: int) -> dict:
+    """Explain twin of span_first_search (Q13 totality over spans)."""
+    return _span_explain(
+        searcher, _span_first_parts(searcher, field, term, end), doc_id,
+        f"spanFirst({field}:{term}, end={end})",
+    )
+
+
+def span_or_explain(searcher, field: str, terms: list, doc_id: int) -> dict:
+    """Explain twin of span_or_search."""
+    return _span_explain(
+        searcher, _span_or_parts(searcher, field, terms), doc_id,
+        f"spanOr({field}:[{', '.join(terms)}])",
+    )
+
+
+def span_not_explain(searcher, field: str, include: str, exclude: str,
+                     doc_id: int, pre: int = 0, post: int = 0) -> dict:
+    """Explain twin of span_not_search."""
+    return _span_explain(
+        searcher, _span_not_parts(searcher, field, include, exclude, pre, post),
+        doc_id, f"spanNot({field}:{include} NOT {exclude})",
+    )
+
+
+def span_near_explain(searcher, field: str, terms: list, slop: int,
+                      doc_id: int) -> dict:
+    """Explain twin of span_near_search — SpanNear delegates to the
+    ordered sloppy PhraseQuery, so its explain is the PhraseQuery
+    branch of Searcher.explain."""
+    from .ast import PhraseQuery as PQ
+
+    return searcher.explain(PQ(field, tuple(terms), 1.0, slop, True), doc_id)
 
 def span_near_search(searcher, field: str, terms: list[str], slop: int = 0,
                      k: int = 10) -> DataFrame:
