@@ -37,6 +37,7 @@ def incremental_index_batch(
     segment_offset: int | None = None,
     kind: str = "stream",
     store_term_vectors: bool | None = None,
+    salt_range: int | None = None,
 ) -> dict | None:
     """Flush one micro-batch as a new segment (chunk ``<kind>-<epoch>``).
 
@@ -80,7 +81,12 @@ def incremental_index_batch(
                     if json.load(f).get("wand_layout"):
                         wand_meta = True
                         break
-    (blocked_postings(tf, include_sentinels=True, wand_metadata=wand_meta)
+    # salt_range: same hot-term skew defusal as IndexBuilder — a LARGE
+    # micro-batch (backfill/bulk-append through the NRT path) with a
+    # term in every doc must not funnel that term's collect_list
+    # through one reducer
+    (blocked_postings(tf, include_sentinels=True, wand_metadata=wand_meta,
+                      salt_range=salt_range)
      .write.mode("overwrite").partitionBy("kind")
      .parquet(os.path.join(index_dir, "postings", f"chunk={chunk}")))
     written = spark.read.parquet(os.path.join(index_dir, "postings", f"chunk={chunk}"))

@@ -74,7 +74,20 @@ def child(idx: int, cores: int, ixdir: str, sync_dir: str) -> None:
         extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
     warm_workers(spark)
-    s = Searcher(MaterializedIndex(spark, ixdir), "bm25")
+    ix = MaterializedIndex(spark, ixdir)
+    # serve sessions persist the SCORING columns (no position blobs:
+    # ~0.7GB columnar at 1M docs) in executor storage — repeated
+    # queries then read process-local memory instead of all four
+    # processes churning the one shared page cache, which the r4 run
+    # left as the residual contention after the snapshot memos.  On a
+    # real cluster this is the standard hot-index cache tier.
+    from pyspark import StorageLevel
+
+    ix.postings = ix.postings.drop("positions", "payloads").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    ix.postings.count()
+    s = Searcher(ix, "bm25")
     parsed = {
         n: parse_query(q, default_field="content", analyzer="standard")
         for n, q in QUERIES.items()
