@@ -3718,6 +3718,77 @@ ORDER BY score_e6 DESC, doc_id ASC LIMIT 10
 """
 
 
+def q_explain_phrase_bm25(spark, sf_dir):
+    """Q13 Explain over the PhraseQuery branch (round-5 completeness —
+    the branch now decomposes into components instead of echoing the
+    frame score): for the top-10 docs of the exact phrase the gate
+    surfaces (phraseFreq, summed idf, tfNorm) plus the explained value;
+    the DuckDB twin recomputes every component from adjacent-position
+    self-joins and re-multiplies (search.go:129-152 generalized to the
+    phrase scorer the reference lacks, queryParser.go:58)."""
+    from .search.ast import PhraseQuery
+
+    s = Searcher(_index_pos(spark, sf_dir), "bm25")
+    q = PhraseQuery("text", PHRASE)
+    top = s.search(q, 10).collect()
+    rows = []
+    for r in top:
+        ex = s.explain(q, r["doc_id"])
+        d = ex["details"]
+        tfnorm = d["freq"] / (
+            d["freq"] + K1 * (1 - B + B * d["dl"] / d["avgdl"])
+        )
+        # self-consistency: the explained value IS the search score
+        assert abs(ex["value"] - r["score"]) < 1e-9
+        rows.append((
+            int(r["doc_id"]), int(d["freq"]),
+            int(round(d["idf"] * 1e6)),
+            int(round(tfnorm * 1e6)),
+            int(round(ex["value"] * 1e6)),
+        ))
+    return spark.createDataFrame(
+        rows, "doc_id long, freq long, idf_e6 long, tfnorm_e6 long, score_e6 long"
+    ).orderBy(F.desc("score_e6"), F.asc("doc_id"))
+
+
+ORACLES["explain_phrase_bm25"] = f"""{BASE_CTE},
+otok AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS term,
+         generate_subscripts(regexp_extract_all(lower(text), '{TOKEN_PATTERN}'), 1) AS ord
+  FROM documents
+),
+kpos AS (
+  SELECT doc_id, term, row_number() OVER (PARTITION BY doc_id ORDER BY ord) - 1 AS pos
+  FROM otok WHERE term NOT IN ({STOP_SQL})
+),
+pf AS (
+  SELECT a.doc_id, count(*)::BIGINT AS freq
+  FROM kpos a JOIN kpos b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  WHERE a.term = '{PHRASE[0]}' AND b.term = '{PHRASE[1]}'
+  GROUP BY a.doc_id
+),
+ts0 AS (SELECT count(*)::BIGINT AS df FROM tf WHERE term = '{PHRASE[0]}'),
+ts1 AS (SELECT count(*)::BIGINT AS df FROM tf WHERE term = '{PHRASE[1]}'),
+idfp AS (
+  SELECT ln(1 + (stats.n_docs - ts0.df + 0.5) / (ts0.df + 0.5))
+       + ln(1 + (stats.n_docs - ts1.df + 0.5) / (ts1.df + 0.5)) AS idf
+  FROM stats, ts0, ts1
+),
+parts AS (
+  SELECT pf.doc_id AS doc_id, pf.freq AS freq, idfp.idf AS idf,
+         pf.freq / (pf.freq + {K1} * (1 - {B} + {B} * dl.dl / (stats.sum_dl / stats.n_docs))) AS tfnorm
+  FROM pf JOIN dl USING (doc_id), stats, idfp
+)
+SELECT doc_id, freq,
+  CAST(ROUND(idf * 1000000.0, 0) AS BIGINT) AS idf_e6,
+  CAST(ROUND(tfnorm * 1000000.0, 0) AS BIGINT) AS tfnorm_e6,
+  CAST(ROUND((idf * {K1 + 1.0} * tfnorm) * 1000000.0, 0) AS BIGINT) AS score_e6
+FROM parts
+ORDER BY score_e6 DESC, doc_id ASC LIMIT 10
+"""
+
+
 def q_stream_windowed_agg(spark, sf_dir):
     """Structured Streaming twin of events_windowed_agg: the events
     parquet replayed as a bounded stream (trigger availableNow),
@@ -4582,6 +4653,8 @@ ORDER BY merge_idx, segment_id
 # rotates to the back; with this window every gate has a driver-green
 # row on round-3-or-later code.
 QUERIES = {
+    # --- new round-5 gates ---
+    "explain_phrase_bm25": q_explain_phrase_bm25,
     # --- last driver-checked round 2: stalest first ---
     "dismax_bm25": q_dismax_bm25,
     "term_bm25_topk": q_term_bm25,

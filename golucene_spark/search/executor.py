@@ -751,23 +751,45 @@ class Searcher:
                 },
             }
         if isinstance(q, PhraseQuery):
+            from .phrase import phrase_freq_frame
+
+            label = f'{q.field}:"{" ".join(q.terms)}"'
+            if any(stats[(q.field, t)].df == 0 for t in q.terms):
+                return {"match": False, "value": 0.0,
+                        "description": f"no match on {label} (absent term)"}
             rows = (
-                self._phrase_frame(q, stats, query_norm) or
-                empty_results(self.index.spark)
-            ).filter(F.col("doc_id") == doc_id).collect()
+                phrase_freq_frame(self.index, q.field, list(q.terms), q.slop,
+                                  in_order=getattr(q, "in_order", False))
+                .filter(F.col("doc_id") == doc_id)
+                .collect()
+            )
             if not rows:
                 return {"match": False, "value": 0.0,
-                        "description": f'no match on {q.field}:"{" ".join(q.terms)}"'}
+                        "description": f"no match on {label}"}
+            r = rows[0]
             cs = self._collection_stats(q.field)
+            idf = sum(self.sim.idf(stats[(q.field, t)].df, cs["max_doc"])
+                      for t in q.terms)
+            avgdl = self.sim.avgdl(cs["sum_ttf"], cs["max_doc"])
+            import numpy as np
+
+            norm = (np.array([r["norm_byte"]])
+                    if getattr(self.index, "quantized", True) else None)
+            kwargs = {"query_norm": query_norm} if self.sim.uses_coord else {}
+            value = float(self.sim.score_np(
+                np.array([float(r["freq"])]), np.array([r["dlq"]]),
+                norm, idf, avgdl, q.boost, **kwargs,
+            )[0])
             return {
                 "match": True,
-                "value": float(rows[0]["score"]),
-                "description": f'phrase({q.field}:"{" ".join(q.terms)}", doc={doc_id}), '
+                "value": value,
+                "description": f"phrase({label}, doc={doc_id}), "
                                f"freq=phraseFreq, idf=sum of term idfs",
                 "details": {
-                    "idf": sum(self.sim.idf(stats[(q.field, t)].df, cs["max_doc"])
-                               for t in q.terms),
-                    "boost": q.boost,
+                    "freq": float(r["freq"]), "idf": idf,
+                    "dl": float(r["dlq"]), "avgdl": avgdl,
+                    "boost": q.boost, "slop": q.slop,
+                    "query_norm": query_norm,
                 },
             }
         if isinstance(q, MultiPhraseQuery):
