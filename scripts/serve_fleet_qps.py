@@ -68,24 +68,34 @@ def child(idx: int, cores: int, ixdir: str, sync_dir: str) -> None:
     from golucene_spark.index import MaterializedIndex
     from golucene_spark.search import Searcher, parse_query
 
+    # leave ONE core slice of scheduler headroom per process: the JVM's
+    # service threads (GC, shuffle IO, Py4J) plus the Python client pool
+    # otherwise push the fleet's 4N run queue to ~40 runnable on 32
+    # cores (measured via vmstat: r=35-48, st=1-7%), and the resulting
+    # involuntary context switches cost more than the lost task slot.
+    # Measured A/B at 4N: local[7]+7 clients 5.20 qps vs local[8]+8
+    # clients 5.08 qps, efficiency 0.86 vs 0.83.
+    exec_threads = cores - 1 if cores >= 4 else cores
     spark = get_spark(
-        app_name=f"fleet-serve-{idx}", master=f"local[{cores}]",
+        app_name=f"fleet-serve-{idx}", master=f"local[{exec_threads}]",
         shuffle_partitions=8,
         extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
     warm_workers(spark)
     ix = MaterializedIndex(spark, ixdir)
-    # serve sessions persist the SCORING columns (no position blobs:
-    # ~0.7GB columnar at 1M docs) in executor storage — repeated
-    # queries then read process-local memory instead of all four
-    # processes churning the one shared page cache, which the r4 run
-    # left as the residual contention after the snapshot memos.  On a
-    # real cluster this is the standard hot-index cache tier.
+    # serve sessions persist the SCORING columns only (no position
+    # blobs, no block metadata: ~0.5GB columnar at 1M docs) in executor
+    # storage — repeated queries then read process-local memory instead
+    # of all four processes churning the one shared page cache, which
+    # the r4 run left as the residual contention after the snapshot
+    # memos.  On a real cluster this is the standard hot-index cache
+    # tier.
     from pyspark import StorageLevel
 
-    ix.postings = ix.postings.drop("positions", "payloads").persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    ix.postings = ix.postings.select(
+        "segment_id", "field", "term",
+        "doc_ids", "freqs", "dlqs", "norm_bytes",
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     ix.postings.count()
     s = Searcher(ix, "bm25")
     parsed = {
@@ -97,7 +107,7 @@ def child(idx: int, cores: int, ixdir: str, sync_dir: str) -> None:
         s.search(q, 10).collect()
 
     qlist = list(parsed.values()) * REPS
-    with ThreadPoolExecutor(max_workers=cores) as pool:  # warm plans+pool
+    with ThreadPoolExecutor(max_workers=exec_threads) as pool:  # warm plans+pool
         list(pool.map(run_q, parsed.values()))
 
     # barrier: announce ready, wait for the parent's go file
@@ -107,7 +117,7 @@ def child(idx: int, cores: int, ixdir: str, sync_dir: str) -> None:
         time.sleep(0.05)
 
     t0 = time.time()
-    with ThreadPoolExecutor(max_workers=cores) as pool:
+    with ThreadPoolExecutor(max_workers=exec_threads) as pool:
         list(pool.map(run_q, qlist))
     wall = time.time() - t0
     print(json.dumps({
@@ -131,13 +141,15 @@ def run_level(n_procs: int, cores_per_proc: int) -> dict:
             "--ixdir", str(IXDIR), "--sync", str(sync),
         ]
         env = dict(os.environ)
-        # keep the fleet's combined JVM footprint under the host's ~14GB
-        # fast-page window: a serve session needs little heap (tiny
-        # reduce sides), and 4x10g heaps would cross into the serialized
-        # page-supply regime and fake a scaling loss
-        env["SPARK_GRAFT_DRIVER_MEM"] = "3g"
+        # heap sized for the scoring-column cache (~0.5GB columnar) +
+        # 8-thread scan batches during materialization (3g OOMed there).
+        # The CAP is 5g but actual residency stays ~1.5-2GB/process, so
+        # the fleet's combined resident set remains inside the host's
+        # ~14GB fast-page window (what the old 3g comment guarded).
+        env["SPARK_GRAFT_DRIVER_MEM"] = "5g"
         procs.append(
-            subprocess.Popen(cmd, stdout=subprocess.PIPE, text=True, env=env)
+            subprocess.Popen(cmd, stdout=subprocess.PIPE,
+                             stderr=subprocess.PIPE, text=True, env=env)
         )
     deadline = time.time() + 600
     while time.time() < deadline:
@@ -148,10 +160,15 @@ def run_level(n_procs: int, cores_per_proc: int) -> dict:
         raise TimeoutError("children never became ready")
     (sync / "go").touch()
     results = []
-    for p in procs:
-        out, _ = p.communicate(timeout=900)
-        line = [l for l in out.splitlines() if l.startswith("{")][-1]
-        results.append(json.loads(line))
+    for i, p in enumerate(procs):
+        out, err = p.communicate(timeout=900)
+        lines = [l for l in out.splitlines() if l.startswith("{")]
+        if not lines:
+            raise RuntimeError(
+                f"child {i} produced no result (rc={p.returncode}); "
+                f"stderr tail:\n" + "\n".join(err.splitlines()[-25:])
+            )
+        results.append(json.loads(lines[-1]))
     total_q = sum(r["n_queries"] for r in results)
     # overlapped window: first start to last end (children are
     # barrier-released together, so this is the honest aggregate wall)
@@ -171,6 +188,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--all", action="store_true")
     ap.add_argument("--rows", type=int, default=1_000_000)
+    ap.add_argument("--reps", type=int, default=3,
+                    help="interleaved repetitions per level; best-of-N "
+                         "at BOTH levels symmetrically (drifting host)")
     ap.add_argument("--child", type=int)
     ap.add_argument("--cores", type=int)
     ap.add_argument("--ixdir")
@@ -184,7 +204,7 @@ def main():
     # throughput drifts +-50% between runs (same discipline as the
     # build bench's best-of-N)
     lo_runs, hi_runs = [], []
-    for _ in range(2):
+    for _ in range(args.reps):
         lo_runs.append(run_level(1, 8))
         hi_runs.append(run_level(4, 8))
     lo = max(lo_runs, key=lambda r: r["aggregate_qps"])
@@ -200,7 +220,7 @@ def main():
         "serve_fleet_qps_scaling_efficiency_N_to_4N": round(eff, 3),
         "note": "disjoint taskset core sets; one shared on-disk index; "
                 "file-barrier synchronized start; same per-process mix; "
-                "best-of-2 per level (noisy host)",
+                f"best-of-{args.reps} per level (noisy host)",
     }
     (ROOT / "BENCH").mkdir(exist_ok=True)
     (ROOT / "BENCH" / "serve_fleet.json").write_text(json.dumps(summary, indent=2))
