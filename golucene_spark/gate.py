@@ -3698,6 +3698,57 @@ SELECT doc_id, CAST(ROUND(score * 1000000.0, 0) AS BIGINT) AS score_e6
 FROM summed ORDER BY score_e6 DESC, doc_id ASC LIMIT 10
 """
 
+def q_short_infix_wildcard_bm25(spark, sf_dir):
+    """Prefix-less WildcardQuery whose literal run is SHORTER than a
+    trigram (*ow*) — the round-4 verdict's residual full-scan shape.
+    Seeks via the gram-dictionary probe (a term contains run r iff some
+    gram contains r; terms shorter than 3 chars are their own gram).
+    HARD-FAILS unless the expansion took the trigram path AND the
+    candidate set is strictly smaller than the full dictionary."""
+    import shutil
+
+    from .index import IndexBuilder, MaterializedIndex, build_trigram_index
+    from .index.trigram import trigram_candidates
+
+    ixdir = "/root/repo/.data/gate_trigram_short_ix"
+    shutil.rmtree(ixdir, ignore_errors=True)
+    IndexBuilder(
+        spark, CorpusSpec.documents(), analyzer="simple",
+        quantize_norms=False, num_segments=4,
+    ).build(_docs(spark, sf_dir), ixdir)
+    build_trigram_index(spark, ixdir)
+    ix = MaterializedIndex(spark, ixdir)
+    assert ix.trigram is not None, "trigram table missing/stale"
+    s = Searcher(ix, "bm25")
+    q = parse_query("text:*ow*", default_field="text", analyzer="simple")
+    frame = s.score_frame(q)
+    st = ix.last_multiterm_stats
+    assert st and st["path"] == "trigram", f"expected trigram seek, got {st}"
+    n_cand = trigram_candidates(ix.trigram, "text", ["ow"]).count()
+    n_dict = ix.term_dict.filter(F.col("field") == "text").select("term").distinct().count()
+    assert n_cand < n_dict, f"no pruning: {n_cand} candidates vs {n_dict} dict terms"
+    return (
+        frame.withColumn("score_e6", F.round(F.col("score") * 1e6, 0).cast("long"))
+        .orderBy(F.desc("score_e6"), F.asc("doc_id"))
+        .limit(10)
+        .select("doc_id", "score_e6")
+    )
+
+
+ORACLES["short_infix_wildcard_bm25"] = f"""{BASE_CTE},
+cand AS (SELECT term, count(*)::BIGINT AS df FROM tf WHERE term LIKE '%ow%' GROUP BY term),
+contrib AS (
+  SELECT tf.doc_id,
+    ln(1 + (stats.n_docs - cand.df + 0.5) / (cand.df + 0.5)) * {K1 + 1.0}
+    * tf.freq / (tf.freq + {K1} * (1 - {B} + {B} * dl.dl / (stats.sum_dl / stats.n_docs))) AS s
+  FROM tf JOIN cand USING (term) JOIN dl USING (doc_id), stats
+),
+summed AS (SELECT doc_id, sum(s) AS score FROM contrib GROUP BY doc_id)
+SELECT doc_id, CAST(ROUND(score * 1000000.0, 0) AS BIGINT) AS score_e6
+FROM summed ORDER BY score_e6 DESC, doc_id ASC LIMIT 10
+"""
+
+
 
 ORACLES["explain_term_bm25"] = f"""{BASE_CTE},
 ts AS (SELECT count(*)::BIGINT AS df FROM tf WHERE term = 'data'),
@@ -4655,6 +4706,7 @@ ORDER BY merge_idx, segment_id
 QUERIES = {
     # --- new round-5 gates ---
     "explain_phrase_bm25": q_explain_phrase_bm25,
+    "short_infix_wildcard_bm25": q_short_infix_wildcard_bm25,
     # --- last driver-checked round 2: stalest first ---
     "dismax_bm25": q_dismax_bm25,
     "term_bm25_topk": q_term_bm25,

@@ -8,8 +8,11 @@ panics).  Spark-native equivalent: literal-prefix patterns already seek
 via pushed StartsWith range predicates (search/multiterm.py); patterns
 with NO literal prefix used to rlike-scan the whole dictionary.  This
 optional side table inverts the dictionary by character trigram so any
-pattern containing a literal run of >= 3 chars pre-prunes its rlike to
-the terms containing ALL the run's trigrams:
+pattern containing a literal run pre-prunes its rlike: runs of >= 3
+chars to the terms containing ALL the run's trigrams, runs of 1-2
+chars via a gram-dictionary probe (terms shorter than 3 chars carry
+their whole text as their single gram, so gram-contains is exact
+containment evidence for every term):
 
     trigram/   (field string, gram string, term string)
 
@@ -24,6 +27,7 @@ chunk count has moved on (a rebuild is one call of build_trigram_index).
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import time
@@ -157,21 +161,78 @@ def load_trigram_index(spark: SparkSession, index_dir: str) -> DataFrame | None:
     return spark.read.parquet(ddir)
 
 
-def trigram_candidates(trigram: DataFrame, field: str,
-                       runs: list[str]) -> DataFrame | None:
-    """Terms containing ALL trigrams of every literal run (a superset of
-    the pattern's true matches — the caller still applies its rlike).
-    None when no run yields a trigram (pattern too short to prune)."""
+def trigram_candidates(trigram: DataFrame, field: str, runs: list[str],
+                       short_gram_cap: int = 4096) -> DataFrame | None:
+    """Terms containing ALL the pattern's literal runs (a superset of
+    the true matches — the caller still applies its rlike).
+
+    Runs of >= 3 chars prune exactly as before: the term must carry
+    EVERY trigram of the run (gram IN-list -> row-group seek on the
+    sorted gram column).  Runs of 1-2 chars (``*ab*``, ``?a?b`` — the
+    round-4 verdict's residual full-scan shapes) prune via a
+    GRAM-DICTIONARY PROBE: a term contains run r iff some gram of the
+    term contains r (trigram windows cover every <= 3-char occurrence;
+    terms shorter than 3 chars carry their whole text as their gram),
+    so one scan of the small distinct-gram column yields the matching
+    gram set, which joins the IN-list seek like an exact trigram.  A
+    run matching more than ``short_gram_cap`` grams is dropped as
+    unselective (the rlike fallback is always correct); None when no
+    run yields any pruning."""
+    uruns = sorted(set(runs))
     need = sorted({
-        run[i:i + 3] for run in runs if len(run) >= 3
+        run[i:i + 3] for run in uruns if len(run) >= 3
         for i in range(len(run) - 2)
     })
-    if not need:
+    # a short run contained in another run (or in a required trigram)
+    # is already implied by it
+    short = [
+        r for r in uruns
+        if len(r) < 3
+        and not any(r in o for o in uruns if o != r)
+        and not any(r in g for g in need)
+    ]
+    if not need and not short:
         return None
-    return (
-        trigram.filter((F.col("field") == field) & F.col("gram").isin(need))
-        .groupBy("term")
-        .agg(F.countDistinct("gram").alias("_ng"))
-        .filter(F.col("_ng") == len(need))
-        .select("term")
+    tf = trigram.filter(F.col("field") == field)
+    short_sets: list[list[str]] = []
+    if short:
+        flags = [F.max(F.col("gram").contains(r).cast("int")).alias(f"_c{i}")
+                 for i, r in enumerate(short)]
+        probe = (
+            tf.select("gram")
+            .filter(functools.reduce(
+                lambda a, b: a | b,
+                [F.col("gram").contains(r) for r in short]))
+            .groupBy("gram").agg(*flags)
+            .limit(short_gram_cap * len(short) + 1)
+            .collect()
+        )
+        if len(probe) > short_gram_cap * len(short):
+            short_sets = [[] for _ in short]  # probe overflow: no pruning
+        else:
+            short_sets = [
+                sorted(r["gram"] for r in probe if r[f"_c{i}"])
+                for i in range(len(short))
+            ]
+            short_sets = [s if len(s) <= short_gram_cap else [] for s in short_sets]
+    live = [(r, s) for r, s in zip(short, short_sets) if s]
+    if not need and not live:
+        return None
+    all_grams = sorted(set(need).union(*[s for _, s in live]) if live else set(need))
+    aggs, conds = [], []
+    if need:
+        aggs.append(
+            F.countDistinct(F.when(F.col("gram").isin(need), F.col("gram")))
+            .alias("_ng"))
+        conds.append(F.col("_ng") == len(need))
+    for i, (_, gset) in enumerate(live):
+        aggs.append(F.max(F.col("gram").isin(gset).cast("int")).alias(f"_s{i}"))
+        conds.append(F.col(f"_s{i}") == 1)
+    out = (
+        tf.filter(F.col("gram").isin(all_grams))
+        .groupBy("term").agg(*aggs)
     )
+    cond = conds[0]
+    for c in conds[1:]:
+        cond = cond & c
+    return out.filter(cond).select("term")

@@ -148,11 +148,12 @@ def matching_terms(index, field: str, regex: str, max_terms: int = MAX_CLAUSE_CO
       sorted term column's parquet min/max stats prune row groups
       BEFORE any regex evaluation (the automaton-intersection seek
       role; the linear dict scan only covers the prefix range);
-    - ``runs`` (prefix-less patterns like ``*bar*``): required literal
-      substrings — when the index carries a fresh trigram side table,
-      candidates are pre-pruned to terms containing ALL the runs'
-      trigrams (a gram IN-list row-group seek) and the rlike touches
-      only those;
+    - ``runs`` (prefix-less patterns like ``*bar*`` or ``*ab*``):
+      required literal substrings — when the index carries a fresh
+      trigram side table, candidates are pre-pruned to terms
+      containing ALL the runs (>= 3-char runs via their trigram
+      IN-list row-group seek; 1-2-char runs via a gram-dictionary
+      probe) and the rlike touches only those;
     - otherwise: full dictionary rlike scan (always correct)."""
     path = "full"
     if hasattr(index, "term_dict"):

@@ -337,3 +337,67 @@ def test_trigram_stays_fresh_across_nrt_and_merge(spark, tmp_path):
     t2 = matching_terms(ix2, "text", "^.*ream.*$", runs=["ream"])
     assert ix2.last_multiterm_stats["path"] == "trigram"
     assert set(t2) == set(terms)
+
+
+def test_trigram_short_run_prunes_and_matches(spark, tmp_path):
+    """1-2-char literal runs (``*ow*``, ``st*am?``) — the round-4
+    residual full-scan shapes — prune via the gram-dictionary probe:
+    a term contains run r iff some gram contains r (terms shorter than
+    3 chars are their own gram).  Expansion must equal the full scan;
+    unselective runs (cap exceeded) fall back to the full scan."""
+    from golucene_spark.index import (
+        CorpusSpec, IndexBuilder, MaterializedIndex, build_trigram_index,
+    )
+    from golucene_spark.index.trigram import trigram_candidates
+    from golucene_spark.search import Searcher, parse_query
+    from golucene_spark.search.multiterm import matching_terms
+
+    rows = [
+        (0, "row slow window"), (1, "stream data ok"), (2, "other words"),
+        (3, "ow alone"), (4, "grow growth sow"),
+    ]
+    df = spark.createDataFrame(
+        [(i, t, "en", "web") for i, t in rows],
+        "doc_id long, text string, lang string, source string",
+    )
+    ixdir = str(tmp_path / "trix_short")
+    IndexBuilder(spark, CorpusSpec.documents(), analyzer="simple",
+                 quantize_norms=False, num_segments=2).build(df, ixdir)
+    build_trigram_index(spark, ixdir)
+    ix = MaterializedIndex(spark, ixdir)
+    assert ix.trigram is not None
+
+    # short-run expansion == full-scan expansion (incl. the 2-char
+    # term "ow" itself and end-of-term occurrences "grow"/"sow")
+    via_tri = matching_terms(ix, "text", "^.*ow.*$", runs=["ow"])
+    assert ix.last_multiterm_stats["path"] == "trigram"
+    full = matching_terms(ix, "text", "^.*ow.*$")
+    assert ix.last_multiterm_stats["path"] == "full"
+    assert via_tri == full
+    assert set(via_tri) == {"row", "slow", "window", "ow", "grow",
+                            "growth", "sow"}
+    n_cand = trigram_candidates(ix.trigram, "text", ["ow"]).count()
+    n_dict = ix.term_dict.select("term").distinct().count()
+    assert 0 < n_cand < n_dict
+
+    # multi-run conjunction: 2-char + 3-char run both constrain
+    both = matching_terms(ix, "text", "^.*gro.*th.*$", runs=["gro", "th"])
+    assert ix.last_multiterm_stats["path"] == "trigram"
+    assert both == ["growth"]
+
+    # a short run over the cap prunes nothing -> full scan (correct)
+    assert trigram_candidates(ix.trigram, "text", ["o"],
+                              short_gram_cap=1) is None
+
+    # end-to-end: trigram-path scores equal full-scan scores
+    s = Searcher(ix, "bm25")
+    q = parse_query("text:*ow*", default_field="text", analyzer="simple")
+    hits = {r["doc_id"]: round(r["score"], 9) for r in s.search(q, 10).collect()}
+    assert ix.last_multiterm_stats["path"] == "trigram"
+    ix.trigram = None
+    ix._expand_shared = {}  # drop the snapshot expansion memo
+    s2 = Searcher(ix, "bm25")
+    hits_full = {r["doc_id"]: round(r["score"], 9)
+                 for r in s2.search(q, 10).collect()}
+    assert ix.last_multiterm_stats["path"] == "full"
+    assert hits == hits_full and hits
