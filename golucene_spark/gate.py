@@ -2103,7 +2103,12 @@ def q_embedding_near_dup_lsh(spark, sf_dir):
 
     emb = _emb(spark, sf_dir)
     dim = len(emb.select("embedding").first()[0])
-    p = cosine_pairs_lsh(emb, threshold=0.4, dim=dim, n_bands=16, band_bits=3)
+    # full recall needs more bands as the qualifying-pair count grows:
+    # per-pair miss is (1 - p^3)^n_bands with p ~ 0.63 at cosine 0.4,
+    # so 16 bands (~1e-2) suffices at sf0.01 (driver path unchanged)
+    # but loses ~5/920 pairs at sf0.1; 48 bands puts miss at ~1e-6
+    n_bands = 16 if emb.count() <= 1000 else 48
+    p = cosine_pairs_lsh(emb, threshold=0.4, dim=dim, n_bands=n_bands, band_bits=3)
     return (
         p.withColumn("cos_e6", F.round(F.col("cosine") * 1e6, 0).cast("long"))
         .select("id_a", "id_b", "cos_e6")

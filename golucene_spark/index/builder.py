@@ -563,39 +563,75 @@ def blocked_postings(tf: DataFrame, block_size: int = BLOCK_SIZE,
     return out
 
 
-def _collect_term_ranges(index_dir: str, chunk: int | str) -> dict[str, list] | None:
-    """Per-file [min_term, max_term] from the parquet footers of a
-    chunk's kind=post files — the FST terms index (.tip) role at table
-    level: a reader consults this tiny map to open ONLY the files whose
-    term range can contain a query term (realized file-level pruning,
-    beyond Parquet's in-task row-group pruning).  Returns None when any
-    footer lacks term statistics (reader falls back to the full scan)."""
+def _collect_term_ranges(index_dir: str, chunk: int | str) -> dict | None:
+    """Per-file term ranges from the parquet footers of a chunk's
+    kind=post files — the FST terms index (.tip) role at table level: a
+    reader consults this tiny map to open ONLY the files whose ranges
+    can contain a query (field, term) (realized file-level pruning,
+    beyond Parquet's in-task row-group pruning).
+
+    Ranges are recorded per ROW GROUP as [field_min, field_max,
+    term_min, term_max]: files mix fields (rows sort by (kind, field,
+    term), so a file's GLOBAL term range spans every field's vocabulary
+    and a query term lands "inside" nearly every file — measured flaky
+    pruning at sf0.1), while its per-row-group per-field term slices
+    stay tight.  Value shape: {"term": [lo, hi], "rg": [[fmin, fmax,
+    tmin, tmax], ...]} ("rg" empty when field statistics are missing;
+    legacy manifests carry the bare [lo, hi] list).  Returns None when
+    any footer lacks term statistics (reader falls back to the full
+    scan)."""
     import glob
 
     import pyarrow.parquet as pq
 
     post_dir = os.path.join(index_dir, "postings", f"chunk={chunk}", "kind=post")
-    out: dict[str, list] = {}
+    out: dict = {}
     for f in sorted(glob.glob(os.path.join(post_dir, "*.parquet"))):
         md = pq.ParquetFile(f).metadata
-        col_idx = None
+        col_idx = field_idx = None
         for i in range(md.num_columns):
-            if md.schema.column(i).name == "term":
+            name = md.schema.column(i).name
+            if name == "term":
                 col_idx = i
-                break
+            elif name == "field":
+                field_idx = i
         if col_idx is None:
             return None
-        mins, maxs = [], []
+        mins, maxs, rgs = [], [], []
         for rg in range(md.num_row_groups):
             st = md.row_group(rg).column(col_idx).statistics
             if st is None or not st.has_min_max:
                 return None
             mins.append(st.min)
             maxs.append(st.max)
+            if field_idx is not None and rgs is not None:
+                stf = md.row_group(rg).column(field_idx).statistics
+                if stf is None or not stf.has_min_max:
+                    rgs = None  # partial field stats: term-only pruning
+                else:
+                    rgs.append([stf.min, stf.max, st.min, st.max])
         if mins:
             rel = os.path.relpath(f, index_dir)
-            out[rel] = [min(mins), max(maxs)]
+            out[rel] = {"term": [min(mins), max(maxs)], "rg": rgs or []}
     return out or None
+
+
+def _ranges_may_contain(ranges, field: str, terms: list[str]) -> bool:
+    """True when a file's recorded ranges cannot rule out holding a
+    posting for (field, term in terms).  Handles both the row-group
+    shape and legacy bare [min_term, max_term] lists."""
+    if isinstance(ranges, (list, tuple)):
+        lo, hi = ranges
+        return any(lo <= t <= hi for t in terms)
+    rgs = ranges.get("rg")
+    if rgs:
+        return any(
+            fmin <= field <= fmax and tmin <= t <= tmax
+            for fmin, fmax, tmin, tmax in rgs
+            for t in terms
+        )
+    lo, hi = ranges["term"]
+    return any(lo <= t <= hi for t in terms)
 
 
 def _explode_doc_sentinels(written: DataFrame) -> DataFrame:
@@ -1087,8 +1123,8 @@ class MaterializedIndex:
             )
         files = [
             os.path.join(self.index_dir, rel)
-            for rel, (lo, hi) in self._term_ranges.items()
-            if any(lo <= t <= hi for t in terms)
+            for rel, ranges in self._term_ranges.items()
+            if _ranges_may_contain(ranges, field, terms)
         ]
         self.last_prune_stats = (len(self._term_ranges), len(files))
         if not files:

@@ -41,6 +41,16 @@ def main():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
     qs, osql = entrymod.queries(), entrymod.oracle_sql()
+    # the std-tokens oracle embeds the sf0.01 golden-fixture path
+    # (ORACLES is static; the driver always runs sf0.01) — at any other
+    # sf, regenerate the reference-DFA tokens for THAT corpus and
+    # rewrite the path so the pair stays corpus-consistent
+    if Path(sf_dir).resolve() != Path("/root/testdata/sf0.01").resolve():
+        from golucene_spark.gate import _std_tokens_parquet
+
+        sf01 = _std_tokens_parquet("/root/testdata/sf0.01")
+        here = _std_tokens_parquet(sf_dir)
+        osql = {k: v.replace(sf01, here) for k, v in osql.items()}
     failures = 0
     for name, fn in qs.items():
         if only and name not in only:
