@@ -52,6 +52,17 @@ def _append_tombstones(spark, index_dir, df: DataFrame, info: dict,
        .withColumn("before_segment",
                    F.lit(before_segment).cast("long"))
        .write.mode("overwrite").parquet(out))
+    if info.get("n") is None:
+        # row count from the just-written footers: no extra Spark job
+        # (update_documents used to pay a whole ids.count() action here)
+        import glob
+
+        import pyarrow.parquet as pq
+
+        info["n"] = sum(
+            pq.ParquetFile(f).metadata.num_rows
+            for f in glob.glob(os.path.join(out, "*.parquet"))
+        )
     mdir = os.path.join(index_dir, "manifest")
     os.makedirs(mdir, exist_ok=True)
     rec = {"chunk": f"tombstones-{gen}", "status": "committed", "kind": "delete", **info}
@@ -160,7 +171,7 @@ def update_documents(spark: SparkSession, index_dir: str, df: DataFrame,
     ids = df.select(F.col(spec.id_col).cast("long").alias("doc_id"))
     _append_tombstones(
         spark, index_dir, ids,
-        {"kind": "delete", "reason": "update", "n": ids.count()},
+        {"kind": "delete", "reason": "update", "n": None},
         before_segment=rec["segment_id"],
     )
     return rec
