@@ -563,66 +563,58 @@ def blocked_postings(tf: DataFrame, block_size: int = BLOCK_SIZE,
     return out
 
 
-def _collect_term_ranges(index_dir: str, chunk: int | str) -> dict | None:
-    """Per-file term ranges from the parquet footers of a chunk's
-    kind=post files — the FST terms index (.tip) role at table level: a
-    reader consults this tiny map to open ONLY the files whose ranges
-    can contain a query (field, term) (realized file-level pruning,
-    beyond Parquet's in-task row-group pruning).
+def _collect_term_ranges(spark: SparkSession, index_dir: str,
+                         chunk: int | str) -> dict | None:
+    """Per-file (field, term) tuple ranges of a chunk's kind=post files
+    — the FST terms index (.tip) role at table level: a reader consults
+    this tiny map to open ONLY the files whose range can contain a
+    query (field, term) (realized file-level pruning, beyond Parquet's
+    in-task row-group pruning).
 
-    Ranges are recorded per ROW GROUP as [field_min, field_max,
-    term_min, term_max]: files mix fields (rows sort by (kind, field,
-    term), so a file's GLOBAL term range spans every field's vocabulary
-    and a query term lands "inside" nearly every file — measured flaky
-    pruning at sf0.1), while its per-row-group per-field term slices
-    stay tight.  Value shape: {"term": [lo, hi], "rg": [[fmin, fmax,
-    tmin, tmax], ...]} ("rg" empty when field statistics are missing;
-    legacy manifests carry the bare [lo, hi] list).  Returns None when
-    any footer lacks term statistics (reader falls back to the full
-    scan)."""
-    import glob
-
-    import pyarrow.parquet as pq
-
+    EXACT lexicographic tuple bounds, not column-wise footer stats: one
+    small job aggregates min/max of struct(field, term) per
+    input_file_name() over just those two columns.  Because the write
+    path range-partitions on (kind, field, term), files hold DISJOINT
+    key ranges, so at most one file's [lo, hi] interval can contain any
+    probe tuple — pruning is deterministic.  (Column-wise stats could
+    not express this: a file mixing fields has a term range spanning
+    every field's vocabulary, and even per-row-group [field, term]
+    column ranges false-positive across a field boundary — measured
+    flaky at sf0.1.)  Value shape: {"tuple": [[fmin, tmin], [fmax,
+    tmax]]}; legacy manifests carry a bare [min_term, max_term] list."""
     post_dir = os.path.join(index_dir, "postings", f"chunk={chunk}", "kind=post")
+    if not os.path.isdir(post_dir):
+        return None
+    rows = (
+        spark.read.parquet(post_dir)
+        .select(
+            F.input_file_name().alias("_f"),
+            F.struct("field", "term").alias("_ft"),
+        )
+        .groupBy("_f")
+        .agg(F.min("_ft").alias("_lo"), F.max("_ft").alias("_hi"))
+        .collect()
+    )
     out: dict = {}
-    for f in sorted(glob.glob(os.path.join(post_dir, "*.parquet"))):
-        md = pq.ParquetFile(f).metadata
-        col_idx = field_idx = None
-        for i in range(md.num_columns):
-            name = md.schema.column(i).name
-            if name == "term":
-                col_idx = i
-            elif name == "field":
-                field_idx = i
-        if col_idx is None:
-            return None
-        mins, maxs, rgs = [], [], []
-        for rg in range(md.num_row_groups):
-            st = md.row_group(rg).column(col_idx).statistics
-            if st is None or not st.has_min_max:
-                return None
-            mins.append(st.min)
-            maxs.append(st.max)
-            if field_idx is not None and rgs is not None:
-                stf = md.row_group(rg).column(field_idx).statistics
-                if stf is None or not stf.has_min_max:
-                    rgs = None  # partial field stats: term-only pruning
-                else:
-                    rgs.append([stf.min, stf.max, st.min, st.max])
-        if mins:
-            rel = os.path.relpath(f, index_dir)
-            out[rel] = {"term": [min(mins), max(maxs)], "rg": rgs or []}
+    for r in rows:
+        rel = os.path.relpath(r["_f"].removeprefix("file://"), index_dir)
+        out[rel] = {"tuple": [[r["_lo"]["field"], r["_lo"]["term"]],
+                              [r["_hi"]["field"], r["_hi"]["term"]]]}
     return out or None
 
 
 def _ranges_may_contain(ranges, field: str, terms: list[str]) -> bool:
     """True when a file's recorded ranges cannot rule out holding a
-    posting for (field, term in terms).  Handles both the row-group
-    shape and legacy bare [min_term, max_term] lists."""
+    posting for (field, term in terms).  Handles the exact tuple shape,
+    the interim round-5 row-group shape, and legacy bare
+    [min_term, max_term] lists."""
     if isinstance(ranges, (list, tuple)):
         lo, hi = ranges
         return any(lo <= t <= hi for t in terms)
+    tup = ranges.get("tuple")
+    if tup:
+        (fmin, tmin), (fmax, tmax) = tup
+        return any((fmin, tmin) <= (field, t) <= (fmax, tmax) for t in terms)
     rgs = ranges.get("rg")
     if rgs:
         return any(
@@ -891,7 +883,8 @@ class IndexBuilder:
             }
             n_docs = sum(seg_counts.values())
             term_ranges = (
-                _collect_term_ranges(index_dir, chunk) if self.range_layout else None
+                _collect_term_ranges(self.spark, index_dir, chunk)
+                if self.range_layout else None
             )
             self._commit_chunk(
                 index_dir,
