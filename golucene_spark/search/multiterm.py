@@ -92,6 +92,61 @@ def regexp_literal_runs(pattern: str) -> list[str] | None:
     return runs
 
 
+def wildcard_length_bounds(pattern: str) -> tuple[int, int | None]:
+    """(min_len, max_len) every match of the wildcard pattern must
+    satisfy: each literal char and each ``?`` contributes exactly one
+    character; ``*`` makes the upper bound open (None)."""
+    fixed = sum(1 for ch in pattern if ch != "*")
+    return fixed, (None if "*" in pattern else fixed)
+
+
+def wildcard_literal_suffix(pattern: str) -> str:
+    """Chars after the LAST wildcard metachar — every match must end
+    with them ('' when the pattern ends in a metachar or has none)."""
+    for i in range(len(pattern) - 1, -1, -1):
+        if pattern[i] in "*?":
+            return pattern[i + 1:]
+    return ""
+
+
+def regexp_length_bounds(pattern: str) -> tuple[int, int | None] | None:
+    """(min_len, max_len) for the simple anchored shapes
+    ``regexp_literal_runs`` models (literals and ``.``/``.*``/``.+``/
+    ``.?`` gaps): ``.`` and ``.+`` add 1 to the minimum, ``.*``/``.?``
+    add 0; any ``.*``/``.+`` opens the upper bound.  None = unmodeled
+    structure, no bound can be proven."""
+    lo = 0
+    unbounded = False
+    i, n = 0, len(pattern)
+    while i < n:
+        ch = pattern[i]
+        if ch == ".":
+            q = pattern[i + 1] if i + 1 < n else ""
+            if q and q in "*+":
+                unbounded = True
+                lo += 1 if q == "+" else 0
+                i += 2
+            elif q == "?":
+                i += 2
+            else:
+                lo += 1
+                i += 1
+            continue
+        if ch == "\\" and i + 1 < n and not pattern[i + 1].isalnum():
+            if i + 2 < n and pattern[i + 2] in "*+?{":
+                return None
+            lo += 1
+            i += 2
+            continue
+        if ch in "*+?{([|^$]})\\":
+            return None
+        if i + 1 < n and pattern[i + 1] in "*+?{":
+            return None
+        lo += 1
+        i += 1
+    return lo, (None if unbounded else lo)
+
+
 def regex_literal_prefix(pattern: str) -> str:
     """Longest literal prefix every match of the whole-term-anchored
     ``pattern`` must start with; "" when none can be proven.
@@ -140,7 +195,9 @@ def regex_literal_prefix(pattern: str) -> str:
 
 
 def matching_terms(index, field: str, regex: str, max_terms: int = MAX_CLAUSE_COUNT,
-                   prefix: str = "", runs: list[str] | None = None) -> list[str]:
+                   prefix: str = "", runs: list[str] | None = None,
+                   bounds: tuple[int, int | None] | None = None,
+                   suffix: str = "") -> list[str]:
     """Dictionary terms matching ``regex``, via the cheapest available
     seek (recorded in ``index.last_multiterm_stats`` for tests/gates):
 
@@ -154,6 +211,12 @@ def matching_terms(index, field: str, regex: str, max_terms: int = MAX_CLAUSE_CO
       containing ALL the runs (>= 3-char runs via their trigram
       IN-list row-group seek; 1-2-char runs via a gram-dictionary
       probe) and the rlike touches only those;
+    - ``bounds``/``suffix`` (zero-literal patterns like ``????`` or
+      ``.{0}..`` shapes, or any pattern whose cheaper seeks are
+      unavailable): automaton-derived length window and required
+      literal suffix, applied as codegen'd JVM predicates
+      (length BETWEEN / EndsWith) so the regex only ever evaluates
+      terms that satisfy the structural constraints;
     - otherwise: full dictionary rlike scan (always correct)."""
     path = "full"
     if hasattr(index, "term_dict"):
@@ -172,10 +235,23 @@ def matching_terms(index, field: str, regex: str, max_terms: int = MAX_CLAUSE_CO
             if cand is not None:
                 src = cand
                 path = "trigram"
+    if path == "full" and (suffix or bounds):
+        if suffix:
+            src = src.filter(F.col("term").endswith(suffix))
+            path = "bounded"
+        if bounds:
+            lo, hi = bounds
+            if hi is not None:
+                src = src.filter(F.length("term").between(lo, hi))
+                path = "bounded"
+            elif lo > 0:
+                src = src.filter(F.length("term") >= lo)
+                path = "bounded"
     rows = src.filter(F.col("term").rlike(regex)).orderBy("term").limit(max_terms + 1).collect()
     try:
         index.last_multiterm_stats = {"path": path, "prefix": prefix,
-                                      "runs": list(runs or [])}
+                                      "runs": list(runs or []),
+                                      "bounds": bounds, "suffix": suffix}
     except Exception:
         pass
     if len(rows) > max_terms:
@@ -189,7 +265,9 @@ def expand_wildcard(index, field: str, pattern: str, boost: float = 1.0,
     dictionary terms; empty boolean if nothing matches."""
     terms = matching_terms(index, field, wildcard_to_regex(pattern), max_terms,
                            prefix=wildcard_literal_prefix(pattern),
-                           runs=wildcard_literal_runs(pattern))
+                           runs=wildcard_literal_runs(pattern),
+                           bounds=wildcard_length_bounds(pattern),
+                           suffix=wildcard_literal_suffix(pattern))
     return BooleanQuery(
         tuple(BooleanClause(TermQuery(field, t, boost), Occur.SHOULD) for t in terms)
     ).rewrite()
@@ -246,7 +324,8 @@ def expand_regexp(index, field: str, regex: str, boost: float = 1.0,
     rx = f"^(?:{regex})$" if anchored else regex
     terms = matching_terms(index, field, rx, max_terms,
                            prefix=regex_literal_prefix(regex) if anchored else "",
-                           runs=(regexp_literal_runs(regex) or None) if anchored else None)
+                           runs=(regexp_literal_runs(regex) or None) if anchored else None,
+                           bounds=regexp_length_bounds(regex) if anchored else None)
     return BooleanQuery(
         tuple(BooleanClause(TermQuery(field, t, boost), Occur.SHOULD) for t in terms)
     ).rewrite()

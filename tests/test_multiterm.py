@@ -399,5 +399,57 @@ def test_trigram_short_run_prunes_and_matches(spark, tmp_path):
     s2 = Searcher(ix, "bm25")
     hits_full = {r["doc_id"]: round(r["score"], 9)
                  for r in s2.search(q, 10).collect()}
-    assert ix.last_multiterm_stats["path"] == "full"
+    # without the trigram table, '*ow*' still gets its automaton-derived
+    # length bound (>=2) pushed ahead of the rlike
+    assert ix.last_multiterm_stats["path"] == "bounded"
     assert hits == hits_full and hits
+
+
+def test_length_bounds_extraction():
+    from golucene_spark.search.multiterm import (
+        regexp_length_bounds, wildcard_length_bounds, wildcard_literal_suffix)
+
+    assert wildcard_length_bounds("????") == (4, 4)
+    assert wildcard_length_bounds("?a?b") == (4, 4)
+    assert wildcard_length_bounds("par*") == (3, None)
+    assert wildcard_length_bounds("*") == (0, None)
+    assert wildcard_literal_suffix("*ing") == "ing"
+    assert wildcard_literal_suffix("?a?b") == "b"
+    assert wildcard_literal_suffix("par*") == ""
+    assert wildcard_literal_suffix("plain") == ""
+
+    assert regexp_length_bounds("....") == (4, 4)
+    assert regexp_length_bounds(".a.b") == (4, 4)
+    assert regexp_length_bounds("foo.*") == (3, None)
+    assert regexp_length_bounds(".+x.?") == (2, None)
+    assert regexp_length_bounds("a|b") is None     # unmodeled structure
+    assert regexp_length_bounds("a{2}") is None
+
+
+def test_zero_literal_pattern_bounded_scan(wix):
+    """A pattern with NO usable literal prefix/run (e.g. all-?) pushes
+    its automaton-derived length window + suffix as JVM predicates
+    ahead of the rlike (path='bounded'), with identical results."""
+    from golucene_spark.search.multiterm import matching_terms
+
+    # '?????' -> exactly-5-char terms only: parse buffer words
+    terms = matching_terms(wix, "content", "^.....$", bounds=(5, 5))
+    assert wix.last_multiterm_stats["path"] == "bounded"
+    assert terms == ["parse", "words"]
+    full = matching_terms(wix, "content", "^.....$")
+    assert wix.last_multiterm_stats["path"] == "full"
+    assert terms == full
+
+    # suffix pushdown: '*e' has run ['e'] but wix has no trigram table,
+    # so the EndsWith + rlike bounded path serves it
+    assert getattr(wix, "trigram", None) is None
+    s = Searcher(wix, "bm25")
+    q = parse_query("content:?????", default_field="content", analyzer="simple")
+    hits = {r["doc_id"] for r in s.search(q, 10).collect()}
+    assert wix.last_multiterm_stats["path"] == "bounded"
+    assert wix.last_multiterm_stats["bounds"] == (5, 5)
+    q2 = parse_query("content:*e", default_field="content", analyzer="simple")
+    hits2 = {r["doc_id"] for r in s.search(q2, 10).collect()}
+    assert wix.last_multiterm_stats["path"] == "bounded"
+    assert wix.last_multiterm_stats["suffix"] == "e"
+    assert hits and hits2
