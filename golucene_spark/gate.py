@@ -3754,6 +3754,48 @@ FROM summed ORDER BY score_e6 DESC, doc_id ASC LIMIT 10
 """
 
 
+def q_bounded_wildcard_bm25(spark, sf_dir):
+    """Zero-literal WildcardQuery (?????) — a pattern with NO literal
+    prefix, run, or suffix, so neither the range_layout seek nor the
+    trigram table can serve it (reference: the automaton's structural
+    length constraints, core/util/automaton/regexp.go `MinLength`
+    role).  The automaton-derived length window is pushed as a codegen
+    JVM `length(term) BETWEEN 5 AND 5` predicate ahead of the rlike.
+    HARD-FAILS unless (a) the expansion took the bounded path with the
+    exact (5, 5) window and (b) the bounded candidate set is strictly
+    smaller than the full dictionary."""
+    ix = _index(spark, sf_dir)
+    s = Searcher(ix, "bm25")
+    q = parse_query("text:?????", default_field="text", analyzer="simple")
+    frame = s.score_frame(q)
+    st = ix.last_multiterm_stats
+    assert st and st["path"] == "bounded", f"expected bounded seek, got {st}"
+    assert st["bounds"] == (5, 5), f"expected (5, 5) length window, got {st}"
+    dict_src = ix.tf.filter(F.col("field") == "text").select("term").distinct()
+    n_cand = dict_src.filter(F.length("term") == 5).count()
+    n_dict = dict_src.count()
+    assert n_cand < n_dict, f"no pruning: {n_cand} candidates vs {n_dict} dict terms"
+    return (
+        frame.withColumn("score_e6", F.round(F.col("score") * 1e6, 0).cast("long"))
+        .orderBy(F.desc("score_e6"), F.asc("doc_id"))
+        .limit(10)
+        .select("doc_id", "score_e6")
+    )
+
+
+ORACLES["bounded_wildcard_bm25"] = f"""{BASE_CTE},
+cand AS (SELECT term, count(*)::BIGINT AS df FROM tf WHERE length(term) = 5 GROUP BY term),
+contrib AS (
+  SELECT tf.doc_id,
+    ln(1 + (stats.n_docs - cand.df + 0.5) / (cand.df + 0.5)) * {K1 + 1.0}
+    * tf.freq / (tf.freq + {K1} * (1 - {B} + {B} * dl.dl / (stats.sum_dl / stats.n_docs))) AS s
+  FROM tf JOIN cand USING (term) JOIN dl USING (doc_id), stats
+),
+summed AS (SELECT doc_id, sum(s) AS score FROM contrib GROUP BY doc_id)
+SELECT doc_id, CAST(ROUND(score * 1000000.0, 0) AS BIGINT) AS score_e6
+FROM summed ORDER BY score_e6 DESC, doc_id ASC LIMIT 10
+"""
+
 
 ORACLES["explain_term_bm25"] = f"""{BASE_CTE},
 ts AS (SELECT count(*)::BIGINT AS df FROM tf WHERE term = 'data'),
@@ -4710,6 +4752,7 @@ ORDER BY merge_idx, segment_id
 # row on round-3-or-later code.
 QUERIES = {
     # --- new round-5 gates ---
+    "bounded_wildcard_bm25": q_bounded_wildcard_bm25,
     "explain_phrase_bm25": q_explain_phrase_bm25,
     "short_infix_wildcard_bm25": q_short_infix_wildcard_bm25,
     # --- last driver-checked round 2: stalest first ---
