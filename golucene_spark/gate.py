@@ -4743,21 +4743,21 @@ ORDER BY merge_idx, segment_id
 
 
 # Gate order matters: the driver's correctness run checks the FIRST 50
-# dict entries.  Round-5 ordering: the 36 gates last driver-checked on
-# round-2-era code (every one re-verified here on round-5 HEAD, which
-# also re-covers the e6 collector-order change in every search()-path
-# gate), then the 14 stalest round-3 gates to fill the window.  New
-# round-5 gates are inserted at the top as they land.  The r4-green set
-# rotates to the back; with this window every gate has a driver-green
-# row on round-3-or-later code.
+# dict entries.  Round-5 window (exactly 50): the 3 new round-5 gates
+# (never driver-checked), then stalest-first — the r2-era set minus
+# dismax_bm25/term_bm25_topk, then the stalest r3 gates.  Three gates
+# with a round-4-HEAD judge replay (dismax_bm25, term_bm25_topk,
+# span_near_bm25 — all green in VERDICT r4's 20-gate replay) yield
+# their slots to ngram_decontaminate/gapfill_locf, whose only evidence
+# was an r3 driver row; they sit at positions 51+ right behind the
+# window.  Every window gate re-verifies the round-5 e6 collector-
+# order change on its search() path.
 QUERIES = {
     # --- new round-5 gates ---
     "bounded_wildcard_bm25": q_bounded_wildcard_bm25,
     "explain_phrase_bm25": q_explain_phrase_bm25,
     "short_infix_wildcard_bm25": q_short_infix_wildcard_bm25,
     # --- last driver-checked round 2: stalest first ---
-    "dismax_bm25": q_dismax_bm25,
-    "term_bm25_topk": q_term_bm25,
     "term_classic_topk": q_term_classic,
     "events_windowed_agg": q_events_window,
     "embedding_near_dup": q_embedding_near_dup,
@@ -4805,8 +4805,11 @@ QUERIES = {
     "hash_split": q_hash_split,
     "stratified_sample": q_stratified_sample,
     "ngram_decontaminate": q_ngram_decontaminate,
-    "span_near_bm25": q_span_near_bm25,
     "gapfill_locf": q_gapfill_locf,
+    # --- out of window: fresh r4-HEAD judge replays stand in ---
+    "dismax_bm25": q_dismax_bm25,
+    "term_bm25_topk": q_term_bm25,
+    "span_near_bm25": q_span_near_bm25,
     # --- out of window this round (driver-green r3/r4) ---
     "gapfill_interpolate": q_gapfill_interpolate,
     "assign_shards": q_assign_shards,

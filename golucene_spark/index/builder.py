@@ -597,7 +597,14 @@ def _collect_term_ranges(spark: SparkSession, index_dir: str,
     )
     out: dict = {}
     for r in rows:
-        rel = os.path.relpath(r["_f"].removeprefix("file://"), index_dir)
+        # input_file_name() returns a percent-encoded URI — decode so
+        # manifest keys resolve back to real filesystem paths (spaces,
+        # '%', unicode in index_dir)
+        from urllib.parse import unquote, urlparse
+
+        uri = r["_f"]
+        path = urlparse(uri).path if ":" in uri.split("/", 1)[0] else uri
+        rel = os.path.relpath(unquote(path), index_dir)
         out[rel] = {"tuple": [[r["_lo"]["field"], r["_lo"]["term"]],
                               [r["_hi"]["field"], r["_hi"]["term"]]]}
     return out or None

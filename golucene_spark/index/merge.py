@@ -118,8 +118,21 @@ def _allocate_segment_id(index_dir: str, segment_ids: list[int]) -> int:
     discard new_segment_id from the dead set: listing-order discards
     resurrected nested-merge outputs, the r3 fix.)  Callers passing an
     explicit new_segment_id go through _check_new_segment_id."""
-    used = {MERGE_ID_BASE - 1}
+    used = _used_segment_ids(index_dir, segment_ids)
+    return max(used) + 1
+
+
+def _used_segment_ids(index_dir: str, segment_ids: list[int],
+                      exact_only: bool = False) -> set[int]:
+    """Every segment id recorded anywhere in the manifest (live, dead,
+    merged-from, NRT/update flushes), plus the given merge inputs and
+    the MERGE_ID_BASE floor.  ``exact_only`` drops the conservative
+    allocation-only entries (num_segments, the MERGE_ID_BASE floor) so
+    collision CHECKS only reject genuinely recorded ids."""
+    used = set() if exact_only else {MERGE_ID_BASE - 1}
     used.update(int(s) for s in segment_ids)
+    keys = ("segment_id", "new_segment_id") if exact_only else (
+        "segment_id", "new_segment_id", "num_segments")
     mdir = os.path.join(index_dir, "manifest")
     if os.path.isdir(mdir):
         for fn in os.listdir(mdir):
@@ -127,19 +140,22 @@ def _allocate_segment_id(index_dir: str, segment_ids: list[int]) -> int:
                 with open(os.path.join(mdir, fn)) as f:
                     rec = json.load(f)
                 used.update(int(s) for s in (rec.get("segments") or {}))
-                for k in ("segment_id", "new_segment_id", "num_segments"):
+                for k in keys:
                     if rec.get(k) is not None:
                         used.add(int(rec[k]))
                 used.update(int(s) for s in rec.get("merged_from_segments", []))
-    return max(used) + 1
+    return used
 
 
 def _check_new_segment_id(index_dir: str, segment_ids: list[int],
                           new_segment_id: int | None) -> None:
-    """Reject a caller-supplied new_segment_id that collides with a
-    merge input or an already-dead (merged-away) segment id: either
-    collision makes the merge output invisible — dead_segments() kills
-    rows by id, silently dropping every merged doc."""
+    """Reject a caller-supplied new_segment_id that collides with ANY
+    recorded segment id — a merge input (the output would be superseded
+    by its own manifest record), a dead merged-away id (rows labeled
+    with it are killed), or a LIVE non-input segment (scoped tombstones
+    translated through merged_origin_ranges would also kill the
+    unrelated segment's rows) — or that sits inside the epoch-derived
+    stream/update id ranges a future NRT flush could reuse."""
     if new_segment_id is None:
         return
     from .builder import dead_segments
@@ -154,6 +170,18 @@ def _check_new_segment_id(index_dir: str, segment_ids: list[int],
         raise ValueError(
             f"new_segment_id {nid} was already merged away; rows labeled "
             "with it are dead and the merge output would vanish"
+        )
+    if nid in _used_segment_ids(index_dir, [], exact_only=True):
+        raise ValueError(
+            f"new_segment_id {nid} collides with a live segment; scoped "
+            "tombstones translated through the merge lineage would kill "
+            "that segment's unrelated rows"
+        )
+    if 1_000_000 <= nid < MERGE_ID_BASE:
+        raise ValueError(
+            f"new_segment_id {nid} lies in the reserved epoch-derived "
+            "stream/update id ranges [1_000_000, MERGE_ID_BASE); a future "
+            "NRT flush could silently duplicate it"
         )
 
 

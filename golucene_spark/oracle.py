@@ -152,4 +152,10 @@ class OracleIndex:
             ss = self._sum_sq(q, similarity)
             qn = 1.0 / math.sqrt(ss) if ss > 0 else 1.0
         f = self._frame(q, similarity, qn) or {}
-        return sorted(f.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        # Collector order mirrors the engine's documented keyset:
+        # (round(score*1e6) HALF_UP desc, doc_id asc) — raw-float order
+        # would diverge from Searcher.search/search_after on sub-1e-6
+        # score ties (executor.py::_score_e6 / cursor_e6).
+        from .search.executor import cursor_e6
+
+        return sorted(f.items(), key=lambda kv: (-cursor_e6(kv[1]), kv[0]))[:k]

@@ -61,57 +61,28 @@ class CachingSearcher:
         return frame
 
     def search(self, query, k: int = 10) -> DataFrame:
-        # same e6 collector order as Searcher.search / search_after, so
-        # cached page-1 + search_after page-2 share one tie-break rule
-        from pyspark.sql import functions as F
+        # collects through executor.collect_topk — ONE collector order
+        # shared with Searcher.search/search_after (ADVICE r4)
+        from .executor import collect_topk
 
-        from .executor import _score_e6
-
-        return (
-            self.score_frame(query)
-            .withColumn("_e6", _score_e6())
-            .orderBy(F.desc("_e6"), F.asc("doc_id"))
-            .limit(k)
-            .drop("_e6")
-        )
+        return collect_topk(self.score_frame(query), k)
 
     def search_with_total(self, query, k: int = 10, hydrate: bool = False):
-        from pyspark.sql import functions as F
+        from .executor import collect_topk
 
-        from .executor import _score_e6
-
-        frame = self.score_frame(query).withColumn("_e6", _score_e6())
+        frame = self.score_frame(query)
         total = frame.count()
-        top = frame.orderBy(F.desc("_e6"), F.asc("doc_id")).limit(k)
-        if hydrate and hasattr(self.searcher.index, "doc_meta"):
-            meta = self.searcher._live_meta().drop("segment_id")
-            top = top.join(meta, "doc_id", "left").orderBy(
-                F.desc("_e6"), F.asc("doc_id")
-            )
-        return total, top.drop("_e6")
+        meta = (self.searcher._live_meta().drop("segment_id")
+                if hydrate and hasattr(self.searcher.index, "doc_meta")
+                else None)
+        return total, collect_topk(frame, k, hydrate_meta=meta)
 
     def search_after(self, query, after, k: int = 10) -> DataFrame:
         # pagination is the cache's best case: every page after the
         # first filters the SAME persisted frame instead of rescanning.
-        # Cursor keys on the e6-rounded score + doc_id — the same
-        # deterministic collector order as Searcher.search_after.
-        from pyspark.sql import functions as F
+        from .executor import collect_topk
 
-        from .executor import _score_e6, cursor_e6
-
-        frame = self.score_frame(query).withColumn("_e6", _score_e6())
-        if after is not None:
-            s_e6 = cursor_e6(after[0])
-            d = int(after[1])
-            frame = frame.filter(
-                (F.col("_e6") < F.lit(s_e6))
-                | ((F.col("_e6") == F.lit(s_e6)) & (F.col("doc_id") > F.lit(d)))
-            )
-        return (
-            frame.orderBy(F.desc("_e6"), F.asc("doc_id"))
-            .limit(k)
-            .drop("_e6")
-        )
+        return collect_topk(self.score_frame(query), k, after=after)
 
     def clear(self):
         for f in self._cache.values():

@@ -69,6 +69,34 @@ def _score_e6():
     return F.round(F.col("score") * 1e6, 0).cast("long")
 
 
+def collect_topk(frame: DataFrame, k: int,
+                 after: tuple[float, int] | None = None,
+                 hydrate_meta: DataFrame | None = None) -> DataFrame:
+    """THE collector.  Every top-k surface — Searcher.search /
+    search_with_total / search_after and the CachingSearcher twins —
+    collects through this one function, so the (score_e6 desc, doc_id
+    asc) order and the keyset cursor rule cannot drift apart across
+    copies (the ADVICE r4 page-boundary bug was exactly such a drift).
+
+    ``after``: previous page's last (score, doc_id) — hits must sort
+    strictly after it.  ``hydrate_meta``: doc_meta frame to left-join
+    onto the k hits (stored-field visitor role)."""
+    out = frame.withColumn("_e6", _score_e6())
+    if after is not None:
+        s_e6 = cursor_e6(after[0])
+        d = int(after[1])
+        out = out.filter(
+            (F.col("_e6") < F.lit(s_e6))
+            | ((F.col("_e6") == F.lit(s_e6)) & (F.col("doc_id") > F.lit(d)))
+        )
+    out = out.orderBy(F.desc("_e6"), F.asc("doc_id")).limit(k)
+    if hydrate_meta is not None:
+        out = out.join(hydrate_meta, "doc_id", "left").orderBy(
+            F.desc("_e6"), F.asc("doc_id")
+        )
+    return out.drop("_e6")
+
+
 def cursor_e6(score: float) -> int:
     """Driver-side twin of _score_e6 for an ``after`` cursor score.
     Must use the SAME rounding rule as Spark's F.round — HALF_UP over
@@ -930,13 +958,7 @@ class Searcher:
             from .parser import parse_query
 
             query = parse_query(query)
-        return (
-            self.score_frame(query)
-            .withColumn("_e6", _score_e6())
-            .orderBy(F.desc("_e6"), F.asc("doc_id"))
-            .limit(k)
-            .drop("_e6")
-        )
+        return collect_topk(self.score_frame(query), k)
 
     def search_with_total(self, query, k: int = 10,
                           hydrate: bool = False) -> tuple[int, DataFrame]:
@@ -948,15 +970,11 @@ class Searcher:
             from .parser import parse_query
 
             query = parse_query(query)
-        frame = self.score_frame(query).withColumn("_e6", _score_e6())
+        frame = self.score_frame(query)
         total = frame.count()
-        top = frame.orderBy(F.desc("_e6"), F.asc("doc_id")).limit(k)
-        if hydrate and hasattr(self.index, "doc_meta"):
-            meta = self._live_meta().drop("segment_id")
-            top = top.join(meta, "doc_id", "left").orderBy(
-                F.desc("_e6"), F.asc("doc_id")
-            )
-        return total, top.drop("_e6")
+        meta = (self._live_meta().drop("segment_id")
+                if hydrate and hasattr(self.index, "doc_meta") else None)
+        return total, collect_topk(frame, k, hydrate_meta=meta)
 
     def _live_meta(self):
         """Newest-version doc_meta (updated docs carry several rows)."""
@@ -997,19 +1015,7 @@ class Searcher:
             from .parser import parse_query
 
             query = parse_query(query)
-        frame = self.score_frame(query).withColumn("_e6", _score_e6())
-        if after is not None:
-            s_e6 = cursor_e6(after[0])
-            d = int(after[1])
-            frame = frame.filter(
-                (F.col("_e6") < F.lit(s_e6))
-                | ((F.col("_e6") == F.lit(s_e6)) & (F.col("doc_id") > F.lit(d)))
-            )
-        return (
-            frame.orderBy(F.desc("_e6"), F.asc("doc_id"))
-            .limit(k)
-            .drop("_e6")
-        )
+        return collect_topk(self.score_frame(query), k, after=after)
 
     def search_filtered(self, query, predicate: str, k: int = 10) -> DataFrame:
         """FilteredQuery / NumericRangeFilter role (core Lucene 4.10;

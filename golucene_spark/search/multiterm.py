@@ -113,9 +113,10 @@ def regexp_length_bounds(pattern: str) -> tuple[int, int | None] | None:
     """(min_len, max_len) for the simple anchored shapes
     ``regexp_literal_runs`` models (literals and ``.``/``.*``/``.+``/
     ``.?`` gaps): ``.`` and ``.+`` add 1 to the minimum, ``.*``/``.?``
-    add 0; any ``.*``/``.+`` opens the upper bound.  None = unmodeled
-    structure, no bound can be proven."""
-    lo = 0
+    add 0; ``.?`` adds 1 to the maximum (it may consume a char) and
+    any ``.*``/``.+`` opens it.  None = unmodeled structure, no bound
+    can be proven."""
+    lo = hi = 0
     unbounded = False
     i, n = 0, len(pattern)
     while i < n:
@@ -127,15 +128,18 @@ def regexp_length_bounds(pattern: str) -> tuple[int, int | None] | None:
                 lo += 1 if q == "+" else 0
                 i += 2
             elif q == "?":
+                hi += 1
                 i += 2
             else:
                 lo += 1
+                hi += 1
                 i += 1
             continue
         if ch == "\\" and i + 1 < n and not pattern[i + 1].isalnum():
             if i + 2 < n and pattern[i + 2] in "*+?{":
                 return None
             lo += 1
+            hi += 1
             i += 2
             continue
         if ch in "*+?{([|^$]})\\":
@@ -143,8 +147,9 @@ def regexp_length_bounds(pattern: str) -> tuple[int, int | None] | None:
         if i + 1 < n and pattern[i + 1] in "*+?{":
             return None
         lo += 1
+        hi += 1
         i += 1
-    return lo, (None if unbounded else lo)
+    return lo, (None if unbounded else hi)
 
 
 def regex_literal_prefix(pattern: str) -> str:

@@ -315,10 +315,14 @@ def _wand_fused(searcher, q, k, weights, avgdl, term_blocks, blocks,
         F.col("freq").cast("double"), F.col("dlq"), norm_col,
         F.element_at(idf_map, F.col("term")), avgdl, 1.0,
     )
+    from .executor import _score_e6
+
     return (
         flat.select("doc_id", score.alias("score"))
         .groupBy("doc_id").agg(F.sum("score").alias("score"))
-        .orderBy(F.desc("score"), F.asc("doc_id"))
+        # same keyset as Searcher.search/search_after: on sub-1e-6
+        # score ties the fused and fallback paths must agree
+        .orderBy(F.desc(_score_e6()), F.asc("doc_id"))
         .limit(k)
         .select("doc_id", "score")
     )

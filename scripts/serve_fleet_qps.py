@@ -147,23 +147,31 @@ def run_level(n_procs: int, cores_per_proc: int) -> dict:
         # the fleet's combined resident set remains inside the host's
         # ~14GB fast-page window (what the old 3g comment guarded).
         env["SPARK_GRAFT_DRIVER_MEM"] = "5g"
+        # stderr to a FILE, not a PIPE: a chatty Spark startup can fill
+        # a 64KB pipe before anyone drains it, blocking the child mid-
+        # write so it never touches its ready file (stdout stays a pipe
+        # — it only carries the child's one JSON result line)
+        errf = open(sync / f"stderr-{i}.log", "w")
         procs.append(
             subprocess.Popen(cmd, stdout=subprocess.PIPE,
-                             stderr=subprocess.PIPE, text=True, env=env)
+                             stderr=errf, text=True, env=env)
         )
     deadline = time.time() + 600
     while time.time() < deadline:
         if all((sync / f"ready-{i}").exists() for i in range(n_procs)):
             break
+        if any(p.poll() is not None for p in procs):
+            raise RuntimeError("a child exited before the barrier")
         time.sleep(0.2)
     else:
         raise TimeoutError("children never became ready")
     (sync / "go").touch()
     results = []
     for i, p in enumerate(procs):
-        out, err = p.communicate(timeout=900)
+        out, _ = p.communicate(timeout=900)
         lines = [l for l in out.splitlines() if l.startswith("{")]
         if not lines:
+            err = (sync / f"stderr-{i}.log").read_text(errors="replace")
             raise RuntimeError(
                 f"child {i} produced no result (rc={p.returncode}); "
                 f"stderr tail:\n" + "\n".join(err.splitlines()[-25:])

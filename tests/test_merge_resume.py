@@ -207,6 +207,14 @@ def test_explicit_new_segment_id_collisions_raise(spark, tmp_path_factory):
     )
     with _pytest.raises(ValueError, match="merge inputs"):
         merge_segments(spark, ixdir, segs[:2], new_segment_id=segs[0])
+    # LIVE non-input segment: scoped tombstones translated through the
+    # merge lineage would kill the unrelated segment's rows
+    with _pytest.raises(ValueError, match="live segment"):
+        merge_segments(spark, ixdir, segs[:2], new_segment_id=segs[3])
+    # reserved NRT/update epoch ranges: a future stream flush could
+    # silently duplicate the id
+    with _pytest.raises(ValueError, match="reserved epoch"):
+        merge_segments(spark, ixdir, segs[:2], new_segment_id=1_000_123)
     rec = merge_segments(spark, ixdir, segs[:2])
     with _pytest.raises(ValueError, match="merged away"):
         merge_segments(

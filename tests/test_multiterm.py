@@ -422,8 +422,38 @@ def test_length_bounds_extraction():
     assert regexp_length_bounds(".a.b") == (4, 4)
     assert regexp_length_bounds("foo.*") == (3, None)
     assert regexp_length_bounds(".+x.?") == (2, None)
+    # `.?` MAY consume a char: max must include it ('ax' matches '.?x')
+    assert regexp_length_bounds(".?x") == (1, 2)
+    assert regexp_length_bounds(".?") == (0, 1)
     assert regexp_length_bounds("a|b") is None     # unmodeled structure
     assert regexp_length_bounds("a{2}") is None
+
+
+def test_length_bounds_never_exclude_matches():
+    """Property: for every simple pattern the bounds model, any string
+    accepted by the anchored regex satisfies the bounds (the predicate
+    pushed ahead of the rlike can never drop a true match)."""
+    import itertools
+    import random
+    import re
+
+    from golucene_spark.search.multiterm import regexp_length_bounds
+
+    random.seed(7)
+    atoms = ["a", "b", ".", ".*", ".+", ".?"]
+    for _ in range(500):
+        pat = "".join(random.choice(atoms) for _ in range(random.randint(1, 5)))
+        b = regexp_length_bounds(pat)
+        if b is None:
+            continue
+        lo, hi = b
+        rx = re.compile(f"^(?:{pat})$")
+        for length in range(0, 5):
+            for tup in itertools.product("ab", repeat=length):
+                s = "".join(tup)
+                if rx.match(s):
+                    assert len(s) >= lo, (pat, s, b)
+                    assert hi is None or len(s) <= hi, (pat, s, b)
 
 
 def test_zero_literal_pattern_bounded_scan(wix):

@@ -1,6 +1,7 @@
 """Block-max WAND pruning: results identical to exhaustive scoring."""
 
 import pytest
+from pyspark.sql import functions as F
 
 from golucene_spark.corpus import make_corpus
 from golucene_spark.index import CorpusSpec, IndexBuilder, MaterializedIndex
@@ -153,14 +154,18 @@ def test_wand_mixed_layout_null_metadata(spark, tmp_path_factory):
         keyword_fields=[], key_cols=["doc_id"], id_col="doc_id", meta_cols=[],
     )
     ixdir = str(tmp_path_factory.mktemp("ixmixed"))
-    IndexBuilder(spark, spec, num_segments=2, wand_layout=True).build(df, ixdir)
+    # TWO chunks: stripping one leaves a genuinely MIXED chunk set —
+    # with a single chunk the wand columns vanish entirely and wand_topk
+    # takes the pre-wand early return, never the NULL-coalesce path
+    IndexBuilder(spark, spec, num_segments=2, wand_layout=True).build(
+        df, ixdir, num_chunks=2
+    )
     # strip the wand metadata from ONE chunk — exactly what a chunk
     # written by a pre-wand engine version looks like after mergeSchema
     pdir = os.path.join(ixdir, "postings")
-    chunk = sorted(
-        d for d in os.listdir(pdir) if d.startswith("chunk=")
-    )[0]
-    cpath = os.path.join(pdir, chunk)
+    chunks = sorted(d for d in os.listdir(pdir) if d.startswith("chunk="))
+    assert len(chunks) == 2
+    cpath = os.path.join(pdir, chunks[0])
     import shutil
 
     (
@@ -171,10 +176,20 @@ def test_wand_mixed_layout_null_metadata(spark, tmp_path_factory):
     )
     shutil.rmtree(cpath)
     shutil.move(cpath + ".tmp", cpath)
-    s = Searcher(MaterializedIndex(spark, ixdir), "bm25")
+    ix = MaterializedIndex(spark, ixdir)
+    # vacuity guard: the mergeSchema read must carry BOTH null and
+    # non-null metadata rows, or this test proves nothing
+    meta = ix.postings_frame("content", ["hot"]).select("block_max_freq_cnt")
+    n_null = meta.filter(F.col("block_max_freq_cnt").isNull()).count()
+    n_set = meta.filter(F.col("block_max_freq_cnt").isNotNull()).count()
+    assert n_null > 0 and n_set > 0, (n_null, n_set)
+    s = Searcher(ix, "bm25")
     q = parse_query("content:hot")
     exact = [(r["doc_id"], round(r["score"], 9)) for r in s.search(q, 10).collect()]
+    stats = {}
     pruned = [(r["doc_id"], round(r["score"], 9))
-              for r in wand_topk(s, q, 10, min_postings=0).collect()]
+              for r in wand_topk(s, q, 10, min_postings=0, stats_out=stats).collect()]
+    # the fused path actually ran (no early-return fallback)
+    assert stats.get("blocks_total", 0) > 0, stats
     assert len(pruned) == 10
     assert exact == pruned
