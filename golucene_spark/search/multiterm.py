@@ -56,37 +56,100 @@ def wildcard_literal_runs(pattern: str) -> list[str]:
     return runs
 
 
+_CLASS_ESCAPES = set("dwsDWS")
+
+
+def _scan_atom(pattern: str, i: int):
+    """One regex atom at ``pattern[i:]`` → (kind, literal, next_i) or
+    None for unmodeled structure (groups, alternation, anchors, bare
+    quantifiers, backreference-style escapes).  kind: 'lit' = exactly
+    this one character; 'any' = exactly one character of unknown value
+    (``.``, a character class, a ``\\d``-style class escape)."""
+    n = len(pattern)
+    ch = pattern[i]
+    if ch == ".":
+        return "any", "", i + 1
+    if ch == "\\" and i + 1 < n:
+        nxt = pattern[i + 1]
+        if nxt in _CLASS_ESCAPES:
+            return "any", "", i + 2
+        if not nxt.isalnum():
+            return "lit", nxt, i + 2
+        return None
+    if ch == "[":
+        j = i + 1
+        if j < n and pattern[j] == "^":
+            j += 1
+        if j < n and pattern[j] == "]":  # leading ] is a literal member
+            j += 1
+        while j < n and pattern[j] != "]":
+            j += 2 if pattern[j] == "\\" else 1
+        if j >= n:
+            return None
+        return "any", "", j + 1
+    if ch in "*+?{()|^$]}\\":
+        return None
+    return "lit", ch, i + 1
+
+
+def _parse_quant(pattern: str, i: int):
+    """Quantifier at ``pattern[i:]`` → (min_rep, max_rep | None,
+    next_i); (1, 1, i) when there is none; None when malformed or lazy
+    (``*?`` — conservative bail)."""
+    n = len(pattern)
+    if i < n and pattern[i] in "*+?":
+        ch = pattern[i]
+        if i + 1 < n and pattern[i + 1] == "?":
+            return None  # lazy quantifier: unmodeled
+        return (1 if ch == "+" else 0), (1 if ch == "?" else None), i + 1
+    if i < n and pattern[i] == "{":
+        j = pattern.find("}", i)
+        if j == -1:
+            return None
+        body = pattern[i + 1:j]
+        if "," in body:
+            a, b = body.split(",", 1)
+            if not a.isdigit() or (b and not b.isdigit()):
+                return None
+            return int(a), (int(b) if b else None), j + 1
+        if not body.isdigit():
+            return None
+        m = int(body)
+        return m, m, j + 1
+    return 1, 1, i
+
+
 def regexp_literal_runs(pattern: str) -> list[str] | None:
     """Literal substrings every match of the anchored ``pattern`` must
-    contain, for the simple shapes the trigram index can prune
-    (sequences of literals and ``.``/``.*``/``.+``/``.?`` gaps).
-    None = pattern uses structure this analyzer doesn't model
-    (alternation, classes, groups, quantified literals) — caller falls
-    back to the full dictionary scan, which is always correct."""
+    contain, in order — the trigram-prune key.  Models sequences of
+    literal chars, one-char wildcards (``.``, classes, class escapes)
+    and ``* + ? {m} {m,n} {m,}`` quantifiers: an exactly-repeated
+    literal contributes ``val*m`` contiguously; a variably-repeated one
+    contributes its minimum then breaks the run (the tail alignment
+    shifts).  None = unmodeled structure (alternation, groups, lazy
+    quantifiers) — caller falls back to the full dictionary scan,
+    which is always correct."""
     runs: list[str] = []
     cur: list[str] = []
     i = 0
     n = len(pattern)
     while i < n:
-        ch = pattern[i]
-        if ch == ".":
-            if cur:
-                runs.append("".join(cur))
-                cur = []
-            i += 2 if i + 1 < n and pattern[i + 1] in "*+?" else 1
-            continue
-        if ch == "\\" and i + 1 < n and not pattern[i + 1].isalnum():
-            if i + 2 < n and pattern[i + 2] in "*+?{":
-                return None  # quantified literal: requireds shrink — bail
-            cur.append(pattern[i + 1])
-            i += 2
-            continue
-        if ch in "*+?{([|^$]})\\":
+        atom = _scan_atom(pattern, i)
+        if atom is None:
             return None
-        if i + 1 < n and pattern[i + 1] in "*+?{":
-            return None  # quantifier applies to this literal
-        cur.append(ch)
-        i += 1
+        kind, val, j = atom
+        quant = _parse_quant(pattern, j)
+        if quant is None:
+            return None
+        qlo, qhi, i = quant
+        if kind == "lit" and qlo == qhi:
+            cur.extend(val * qlo)
+            continue
+        if kind == "lit":
+            cur.extend(val * qlo)
+        if cur:
+            runs.append("".join(cur))
+            cur = []
     if cur:
         runs.append("".join(cur))
     return runs
@@ -110,46 +173,51 @@ def wildcard_literal_suffix(pattern: str) -> str:
 
 
 def regexp_length_bounds(pattern: str) -> tuple[int, int | None] | None:
-    """(min_len, max_len) for the simple anchored shapes
-    ``regexp_literal_runs`` models (literals and ``.``/``.*``/``.+``/
-    ``.?`` gaps): ``.`` and ``.+`` add 1 to the minimum, ``.*``/``.?``
-    add 0; ``.?`` adds 1 to the maximum (it may consume a char) and
-    any ``.*``/``.+`` opens it.  None = unmodeled structure, no bound
-    can be proven."""
-    lo = hi = 0
-    unbounded = False
+    """(min_len, max_len) every match of the anchored ``pattern`` must
+    satisfy, over the atom shapes ``_scan_atom``/``_parse_quant``
+    model: every atom is exactly one character per repetition, so an
+    atom under ``{m,n}`` adds m to the minimum and n to the maximum;
+    ``*``/``+``/``{m,}`` open the maximum.  None = unmodeled
+    structure, no bound can be proven."""
+    lo = 0
+    hi: int | None = 0
     i, n = 0, len(pattern)
     while i < n:
-        ch = pattern[i]
-        if ch == ".":
-            q = pattern[i + 1] if i + 1 < n else ""
-            if q and q in "*+":
-                unbounded = True
-                lo += 1 if q == "+" else 0
-                i += 2
-            elif q == "?":
-                hi += 1
-                i += 2
-            else:
-                lo += 1
-                hi += 1
-                i += 1
-            continue
-        if ch == "\\" and i + 1 < n and not pattern[i + 1].isalnum():
-            if i + 2 < n and pattern[i + 2] in "*+?{":
-                return None
-            lo += 1
-            hi += 1
-            i += 2
-            continue
-        if ch in "*+?{([|^$]})\\":
+        atom = _scan_atom(pattern, i)
+        if atom is None:
             return None
-        if i + 1 < n and pattern[i + 1] in "*+?{":
+        _, _, j = atom
+        quant = _parse_quant(pattern, j)
+        if quant is None:
             return None
-        lo += 1
-        hi += 1
-        i += 1
-    return lo, (None if unbounded else hi)
+        qlo, qhi, i = quant
+        lo += qlo
+        hi = None if (hi is None or qhi is None) else hi + qhi
+    return lo, hi
+
+
+def regex_literal_suffix(pattern: str) -> str:
+    """Literal chars every match of the anchored ``pattern`` must END
+    with: the trailing run of exactly-repeated literal atoms, proven by
+    PARSE position (the pattern's final atoms), never by textual
+    comparison — ``\\..`` textually ends with ``.`` but its matches end
+    with an arbitrary character.  '' when no suffix can be proven."""
+    cur: list[str] = []
+    i, n = 0, len(pattern)
+    while i < n:
+        atom = _scan_atom(pattern, i)
+        if atom is None:
+            return ""
+        kind, val, j = atom
+        quant = _parse_quant(pattern, j)
+        if quant is None:
+            return ""
+        qlo, qhi, i = quant
+        if kind == "lit" and qlo == qhi:
+            cur.extend(val * qlo)
+        else:
+            cur = []
+    return "".join(cur)
 
 
 def regex_literal_prefix(pattern: str) -> str:
@@ -330,7 +398,8 @@ def expand_regexp(index, field: str, regex: str, boost: float = 1.0,
     terms = matching_terms(index, field, rx, max_terms,
                            prefix=regex_literal_prefix(regex) if anchored else "",
                            runs=(regexp_literal_runs(regex) or None) if anchored else None,
-                           bounds=regexp_length_bounds(regex) if anchored else None)
+                           bounds=regexp_length_bounds(regex) if anchored else None,
+                           suffix=regex_literal_suffix(regex) if anchored else "")
     return BooleanQuery(
         tuple(BooleanClause(TermQuery(field, t, boost), Occur.SHOULD) for t in terms)
     ).rewrite()

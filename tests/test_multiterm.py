@@ -425,35 +425,85 @@ def test_length_bounds_extraction():
     # `.?` MAY consume a char: max must include it ('ax' matches '.?x')
     assert regexp_length_bounds(".?x") == (1, 2)
     assert regexp_length_bounds(".?") == (0, 1)
+    # brace quantifiers and classes are one-char atoms
+    assert regexp_length_bounds("a{2}") == (2, 2)
+    assert regexp_length_bounds(".{2}x.*") == (3, None)
+    assert regexp_length_bounds("[a-z]{3,5}") == (3, 5)
+    assert regexp_length_bounds("\\d{2,}") == (2, None)
     assert regexp_length_bounds("a|b") is None     # unmodeled structure
-    assert regexp_length_bounds("a{2}") is None
+    assert regexp_length_bounds("(ab)+") is None
+    assert regexp_length_bounds("a*?b") is None    # lazy quantifier
 
 
-def test_length_bounds_never_exclude_matches():
-    """Property: for every simple pattern the bounds model, any string
-    accepted by the anchored regex satisfies the bounds (the predicate
-    pushed ahead of the rlike can never drop a true match)."""
+def test_regex_runs_and_suffix_extraction():
+    from golucene_spark.search.multiterm import (
+        regex_literal_suffix, regexp_literal_runs)
+
+    # quantified literals no longer bail the whole pattern
+    assert regexp_literal_runs("ab*c") == ["a", "c"]
+    assert regexp_literal_runs("a{3}b") == ["aaab"]
+    assert regexp_literal_runs("ba{1,2}c") == ["ba", "c"]
+    assert regexp_literal_runs(".{2}x.*") == ["x"]
+    assert regexp_literal_runs("[0-9]ing") == ["ing"]
+    assert regexp_literal_runs("a|b") is None
+
+    assert regex_literal_suffix("a.ing") == "ing"
+    assert regex_literal_suffix(".*ing") == "ing"
+    # exact-rep literals extend the provable suffix
+    assert regex_literal_suffix("a{2}x") == "aax"
+    assert regex_literal_suffix(".x{2}") == "xx"
+    # '\..' textually ends with '.' but matches end with ANY char
+    assert regex_literal_suffix("\\..") == ""
+    assert regex_literal_suffix("ing.*") == ""
+    assert regex_literal_suffix("ab{1,2}") == ""
+
+
+def test_structural_constraints_never_exclude_matches():
+    """Property: for every pattern the structural analyzers model, any
+    string accepted by the anchored regex satisfies the derived length
+    bounds, contains every literal run in order, and carries the
+    derived prefix/suffix — i.e. the predicates pushed ahead of the
+    rlike can never drop a true match."""
     import itertools
     import random
     import re
 
-    from golucene_spark.search.multiterm import regexp_length_bounds
+    from golucene_spark.search.multiterm import (
+        regex_literal_prefix, regex_literal_suffix, regexp_length_bounds,
+        regexp_literal_runs)
 
     random.seed(7)
-    atoms = ["a", "b", ".", ".*", ".+", ".?"]
-    for _ in range(500):
+    atoms = ["a", "b", ".", ".*", ".+", ".?", "[ab]", "[^a]", "a*", "b+",
+             "c?", "a{2}", "b{1,2}", "c{0,2}", ".{2}", ".{1,3}", "\\.",
+             "\\d", "a{2,}"]
+    for _ in range(1500):
         pat = "".join(random.choice(atoms) for _ in range(random.randint(1, 5)))
-        b = regexp_length_bounds(pat)
-        if b is None:
+        try:
+            rx = re.compile(f"^(?:{pat})$")
+        except re.error:
             continue
-        lo, hi = b
-        rx = re.compile(f"^(?:{pat})$")
-        for length in range(0, 5):
-            for tup in itertools.product("ab", repeat=length):
+        b = regexp_length_bounds(pat)
+        runs = regexp_literal_runs(pat)
+        suf = regex_literal_suffix(pat)
+        pre = regex_literal_prefix(pat)
+        for length in range(0, 6):
+            for tup in itertools.product("ab1.", repeat=min(length, 4)):
                 s = "".join(tup)
-                if rx.match(s):
+                if len(s) != length or not rx.match(s):
+                    continue
+                if b is not None:
+                    lo, hi = b
                     assert len(s) >= lo, (pat, s, b)
                     assert hi is None or len(s) <= hi, (pat, s, b)
+                pos = 0
+                for r in runs or []:
+                    idx = s.find(r, pos)
+                    assert idx >= 0, (pat, s, runs)
+                    pos = idx + len(r)
+                if suf:
+                    assert s.endswith(suf), (pat, s, suf)
+                if pre:
+                    assert s.startswith(pre), (pat, s, pre)
 
 
 def test_zero_literal_pattern_bounded_scan(wix):
