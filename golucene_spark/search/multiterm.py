@@ -308,18 +308,21 @@ def matching_terms(index, field: str, regex: str, max_terms: int = MAX_CLAUSE_CO
             if cand is not None:
                 src = cand
                 path = "trigram"
-    if path == "full" and (suffix or bounds):
-        if suffix:
-            src = src.filter(F.col("term").endswith(suffix))
-            path = "bounded"
-        if bounds:
-            lo, hi = bounds
-            if hi is not None:
-                src = src.filter(F.length("term").between(lo, hi))
-                path = "bounded"
-            elif lo > 0:
-                src = src.filter(F.length("term") >= lo)
-                path = "bounded"
+    # structural constraints are free codegen predicates — they compose
+    # with EVERY seek (prefix range / trigram candidates), not only the
+    # full-scan fallback; the path label upgrades to 'bounded' only when
+    # they are the sole pruning available
+    if suffix:
+        src = src.filter(F.col("term").endswith(suffix))
+        path = "bounded" if path == "full" else path
+    if bounds:
+        lo, hi = bounds
+        if hi is not None:
+            src = src.filter(F.length("term").between(lo, hi))
+            path = "bounded" if path == "full" else path
+        elif lo > 0:
+            src = src.filter(F.length("term") >= lo)
+            path = "bounded" if path == "full" else path
     rows = src.filter(F.col("term").rlike(regex)).orderBy("term").limit(max_terms + 1).collect()
     try:
         index.last_multiterm_stats = {"path": path, "prefix": prefix,
