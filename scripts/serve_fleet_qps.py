@@ -37,28 +37,33 @@ sys.path.insert(0, str(ROOT))
 
 from scaling_bench import QUERIES, ensure_corpus  # noqa: E402
 
-CORPUS = ROOT / ".data" / "scaling_corpus.parquet"
-IXDIR = ROOT / ".data" / "serve_fleet_index"
+def ixdir_for(rows: int) -> Path:
+    # the original 1M index keeps its legacy name (matches the recorded
+    # serve_fleet*.json runs); other sizes get their own
+    suffix = "" if rows == 1_000_000 else f"_{rows}"
+    return ROOT / ".data" / f"serve_fleet_index{suffix}"
 REPS = 8  # query-mix repetitions per process
 
 
-def build_index(rows: int):
+def build_index(rows: int) -> Path:
     from golucene_spark.session import get_spark, warm_workers
     from golucene_spark.index import CorpusSpec, IndexBuilder
 
-    ensure_corpus(rows)
-    if (IXDIR / "field_stats").exists():
-        return
+    corpus = ensure_corpus(rows)
+    ixdir = ixdir_for(rows)
+    if (ixdir / "field_stats").exists():
+        return ixdir
     spark = get_spark(
         app_name="fleet-build", master="local[32]", shuffle_partitions=128,
         extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
     warm_workers(spark)
-    shutil.rmtree(IXDIR, ignore_errors=True)
-    docs = spark.read.parquet(str(CORPUS))
+    shutil.rmtree(ixdir, ignore_errors=True)
+    docs = spark.read.parquet(str(corpus))
     IndexBuilder(spark, CorpusSpec.source_code(), analyzer="standard",
-                 num_segments=64).build(docs, str(IXDIR))
+                 num_segments=64).build(docs, str(ixdir))
     spark.stop()
+    return ixdir
 
 
 def child(idx: int, cores: int, ixdir: str, sync_dir: str) -> None:
@@ -127,7 +132,7 @@ def child(idx: int, cores: int, ixdir: str, sync_dir: str) -> None:
     }))
 
 
-def run_level(n_procs: int, cores_per_proc: int) -> dict:
+def run_level(n_procs: int, cores_per_proc: int, ixdir: Path) -> dict:
     sync = ROOT / ".data" / f"fleet_sync_{n_procs}"
     shutil.rmtree(sync, ignore_errors=True)
     sync.mkdir(parents=True)
@@ -138,7 +143,7 @@ def run_level(n_procs: int, cores_per_proc: int) -> dict:
         cmd = [
             "taskset", "-c", f"{lo}-{hi}", sys.executable, __file__,
             "--child", str(i), "--cores", str(cores_per_proc),
-            "--ixdir", str(IXDIR), "--sync", str(sync),
+            "--ixdir", str(ixdir), "--sync", str(sync),
         ]
         env = dict(os.environ)
         # heap sized for the scoring-column cache (~0.5GB columnar) +
@@ -207,14 +212,14 @@ def main():
     if args.child is not None:
         child(args.child, args.cores, args.ixdir, args.sync)
         return
-    build_index(args.rows)
+    ixdir = build_index(args.rows)
     # best-of-2 per level, interleaved: this host's page-supply/bus
     # throughput drifts +-50% between runs (same discipline as the
     # build bench's best-of-N)
     lo_runs, hi_runs = [], []
     for _ in range(args.reps):
-        lo_runs.append(run_level(1, 8))
-        hi_runs.append(run_level(4, 8))
+        lo_runs.append(run_level(1, 8, ixdir))
+        hi_runs.append(run_level(4, 8, ixdir))
     lo = max(lo_runs, key=lambda r: r["aggregate_qps"])
     hi = max(hi_runs, key=lambda r: r["aggregate_qps"])
     eff = (hi["aggregate_qps"] / lo["aggregate_qps"]) / 4
