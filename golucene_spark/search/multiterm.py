@@ -119,6 +119,48 @@ def _parse_quant(pattern: str, i: int):
     return 1, 1, i
 
 
+def _split_alternation(pattern: str) -> list[str] | None:
+    """Top-level ``|`` branches (outside classes, escapes respected);
+    None when the pattern has no top-level alternation.  Group-wrapped
+    alternations still bail in the per-branch analyzers (``_scan_atom``
+    rejects ``(``), so only the bare ``a|b|c`` shape is modeled."""
+    parts: list[str] = []
+    cur: list[str] = []
+    in_class = False
+    depth = 0
+    i, n = 0, len(pattern)
+    while i < n:
+        ch = pattern[i]
+        if ch == "\\" and i + 1 < n:
+            cur.append(pattern[i:i + 2])
+            i += 2
+            continue
+        if in_class:
+            if ch == "]":
+                in_class = False
+            cur.append(ch)
+            i += 1
+            continue
+        if ch == "[":
+            in_class = True
+            cur.append(ch)
+            i += 1
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth = max(0, depth - 1)
+        elif ch == "|" and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+            i += 1
+            continue
+        cur.append(ch)
+        i += 1
+    parts.append("".join(cur))
+    return parts if len(parts) > 1 else None
+
+
 def regexp_literal_runs(pattern: str) -> list[str] | None:
     """Literal substrings every match of the anchored ``pattern`` must
     contain, in order — the trigram-prune key.  Models sequences of
@@ -126,9 +168,25 @@ def regexp_literal_runs(pattern: str) -> list[str] | None:
     and ``* + ? {m} {m,n} {m,}`` quantifiers: an exactly-repeated
     literal contributes ``val*m`` contiguously; a variably-repeated one
     contributes its minimum then breaks the run (the tail alignment
-    shifts).  None = unmodeled structure (alternation, groups, lazy
-    quantifiers) — caller falls back to the full dictionary scan,
-    which is always correct."""
+    shifts).  A top-level alternation contributes its LONGEST literal
+    substring required by EVERY branch (``preheat|reheat`` -> reheat).
+    None = unmodeled structure (groups, lazy quantifiers) — caller
+    falls back to the structural/full dictionary scan, which is always
+    correct."""
+    branches = _split_alternation(pattern)
+    if branches is not None:
+        per_branch = [regexp_literal_runs(b) for b in branches]
+        if any(not r for r in per_branch):  # a run-less branch: nothing common
+            return None
+        cands = sorted(
+            {r[i:j] for r in per_branch[0]
+             for i in range(len(r)) for j in range(i + 1, len(r) + 1)},
+            key=len, reverse=True,
+        )
+        for c in cands:
+            if all(any(c in r for r in runs) for runs in per_branch[1:]):
+                return [c]
+        return None
     runs: list[str] = []
     cur: list[str] = []
     i = 0
@@ -177,8 +235,17 @@ def regexp_length_bounds(pattern: str) -> tuple[int, int | None] | None:
     satisfy, over the atom shapes ``_scan_atom``/``_parse_quant``
     model: every atom is exactly one character per repetition, so an
     atom under ``{m,n}`` adds m to the minimum and n to the maximum;
-    ``*``/``+``/``{m,}`` open the maximum.  None = unmodeled
+    ``*``/``+``/``{m,}`` open the maximum; a top-level alternation
+    takes the min/max envelope over its branches.  None = unmodeled
     structure, no bound can be proven."""
+    branches = _split_alternation(pattern)
+    if branches is not None:
+        per = [regexp_length_bounds(b) for b in branches]
+        if any(b is None for b in per):
+            return None
+        lo = min(b[0] for b in per)
+        hi = None if any(b[1] is None for b in per) else max(b[1] for b in per)
+        return lo, hi
     lo = 0
     hi: int | None = 0
     i, n = 0, len(pattern)
@@ -201,7 +268,23 @@ def regex_literal_suffix(pattern: str) -> str:
     with: the trailing run of exactly-repeated literal atoms, proven by
     PARSE position (the pattern's final atoms), never by textual
     comparison — ``\\..`` textually ends with ``.`` but its matches end
-    with an arbitrary character.  '' when no suffix can be proven."""
+    with an arbitrary character.  A top-level alternation yields the
+    longest common suffix of its branch suffixes (``walked|talked`` ->
+    alked).  '' when no suffix can be proven."""
+    branches = _split_alternation(pattern)
+    if branches is not None:
+        sufs = [regex_literal_suffix(b) for b in branches]
+        if any(not s for s in sufs):
+            return ""
+        common = sufs[0]
+        for s in sufs[1:]:
+            k = 0
+            while k < min(len(common), len(s)) and common[-1 - k] == s[-1 - k]:
+                k += 1
+            common = common[len(common) - k:]
+            if not common:
+                return ""
+        return common
     cur: list[str] = []
     i, n = 0, len(pattern)
     while i < n:
@@ -222,10 +305,25 @@ def regex_literal_suffix(pattern: str) -> str:
 
 def regex_literal_prefix(pattern: str) -> str:
     """Longest literal prefix every match of the whole-term-anchored
-    ``pattern`` must start with; "" when none can be proven.
-    Conservative: any unescaped top-level alternation disables the
-    prefix (``ab|cd`` matches need not start with 'a'), a quantifier
-    retracts the literal it applies to (``foo*`` -> prefix 'fo')."""
+    ``pattern`` must start with; "" when none can be proven.  A bare
+    top-level alternation yields the common prefix of its branch
+    prefixes (``prefix|preheat`` -> pre); grouped alternations still
+    disable the prefix.  A quantifier retracts the literal it applies
+    to (``foo*`` -> prefix 'fo')."""
+    branches = _split_alternation(pattern)
+    if branches is not None:
+        pres = [regex_literal_prefix(b) for b in branches]
+        if any(not p for p in pres):
+            return ""
+        common = pres[0]
+        for p in pres[1:]:
+            k = 0
+            while k < min(len(common), len(p)) and common[k] == p[k]:
+                k += 1
+            common = common[:k]
+            if not common:
+                return ""
+        return common
     in_class = esc = False
     depth = 0
     for ch in pattern:

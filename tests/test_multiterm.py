@@ -430,8 +430,11 @@ def test_length_bounds_extraction():
     assert regexp_length_bounds(".{2}x.*") == (3, None)
     assert regexp_length_bounds("[a-z]{3,5}") == (3, 5)
     assert regexp_length_bounds("\\d{2,}") == (2, None)
-    assert regexp_length_bounds("a|b") is None     # unmodeled structure
-    assert regexp_length_bounds("(ab)+") is None
+    # top-level alternation: min/max envelope over branches
+    assert regexp_length_bounds("a|b") == (1, 1)
+    assert regexp_length_bounds("preheat|reheat") == (6, 7)
+    assert regexp_length_bounds("ab|c.*") == (1, None)
+    assert regexp_length_bounds("(ab)+") is None   # unmodeled structure
     assert regexp_length_bounds("a*?b") is None    # lazy quantifier
 
 
@@ -445,7 +448,17 @@ def test_regex_runs_and_suffix_extraction():
     assert regexp_literal_runs("ba{1,2}c") == ["ba", "c"]
     assert regexp_literal_runs(".{2}x.*") == ["x"]
     assert regexp_literal_runs("[0-9]ing") == ["ing"]
-    assert regexp_literal_runs("a|b") is None
+    # alternation: longest literal required by EVERY branch
+    assert regexp_literal_runs("preheat|reheat") == ["reheat"]
+    assert regexp_literal_runs("walked|talked") == ["alked"]
+    assert regexp_literal_runs("ab|c.*") is None   # nothing common
+    assert regexp_literal_runs("(a|b)c") is None   # grouped: unmodeled
+
+    assert regex_literal_suffix("walked|talked") == "alked"
+    assert regex_literal_suffix("ab|cd") == ""
+    from golucene_spark.search.multiterm import regex_literal_prefix
+    assert regex_literal_prefix("prefix|preheat") == "pre"
+    assert regex_literal_prefix("ab|cd") == ""
 
     assert regex_literal_suffix("a.ing") == "ing"
     assert regex_literal_suffix(".*ing") == "ing"
@@ -478,6 +491,9 @@ def test_structural_constraints_never_exclude_matches():
              "\\d", "a{2,}"]
     for _ in range(1500):
         pat = "".join(random.choice(atoms) for _ in range(random.randint(1, 5)))
+        if random.random() < 0.3:  # top-level alternation branch
+            pat += "|" + "".join(
+                random.choice(atoms) for _ in range(random.randint(0, 4)))
         try:
             rx = re.compile(f"^(?:{pat})$")
         except re.error:
