@@ -1033,11 +1033,8 @@ class Searcher:
         if not hasattr(self.index, "doc_meta"):
             raise ValueError("search_filtered needs a materialized index with doc_meta")
         keep = self._live_meta().filter(predicate).select("doc_id")
-        return (
-            self.score_frame(query)
-            .join(keep, "doc_id", "left_semi")
-            .orderBy(F.desc("score"), F.asc("doc_id"))
-            .limit(k)
+        return collect_topk(
+            self.score_frame(query).join(keep, "doc_id", "left_semi"), k
         )
 
     def function_score(self, query, value_expr: str, mode: str = "multiply",
@@ -1066,11 +1063,8 @@ class Searcher:
         combined = (
             (F.col("score") * val) if mode == "multiply" else (F.col("score") + val)
         )
-        return (
-            frame.join(meta, "doc_id")
-            .select("doc_id", combined.alias("score"))
-            .orderBy(F.desc("score"), F.asc("doc_id"))
-            .limit(k)
+        return collect_topk(
+            frame.join(meta, "doc_id").select("doc_id", combined.alias("score")), k
         )
 
     def explain_function_score(self, query, value_expr: str, doc_id: int,
