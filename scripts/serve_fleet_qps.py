@@ -236,7 +236,11 @@ def main():
                 f"best-of-{args.reps} per level (noisy host)",
     }
     (ROOT / "BENCH").mkdir(exist_ok=True)
-    (ROOT / "BENCH" / "serve_fleet.json").write_text(json.dumps(summary, indent=2))
+    # per-rows output file: a smoke run at a non-protocol size must
+    # never clobber the recorded 1M-row protocol artifacts
+    suffix = "" if args.rows == 1_000_000 else f"_{args.rows}"
+    (ROOT / "BENCH" / f"serve_fleet{suffix}.json").write_text(
+        json.dumps(summary, indent=2))
     print(json.dumps(summary))
 
 
