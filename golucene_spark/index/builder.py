@@ -595,16 +595,26 @@ def _collect_term_ranges(spark: SparkSession, index_dir: str,
         .agg(F.min("_ft").alias("_lo"), F.max("_ft").alias("_hi"))
         .collect()
     )
+    from urllib.parse import unquote
+
+    def _uri_to_path(uri: str) -> str:
+        # input_file_name() returns a percent-encoded URI ("file:/x",
+        # "file:///x", "hdfs://nn:8020/x") — decode so manifest keys
+        # resolve back to real filesystem paths.  Parsed by hand, not
+        # urlparse: Hadoop leaves '#'/'?' raw in local paths, which
+        # urlparse would truncate as fragment/query; plain non-URI
+        # paths pass through UNdecoded (a literal '%20' dir must stay).
+        if ":" not in uri.split("/", 1)[0]:
+            return uri
+        rest = uri.split(":", 1)[1]
+        if rest.startswith("//"):  # scheme://authority/path
+            tail = rest[2:]
+            rest = "/" + tail.split("/", 1)[1] if "/" in tail else "/"
+        return unquote(rest)
+
     out: dict = {}
     for r in rows:
-        # input_file_name() returns a percent-encoded URI — decode so
-        # manifest keys resolve back to real filesystem paths (spaces,
-        # '%', unicode in index_dir)
-        from urllib.parse import unquote, urlparse
-
-        uri = r["_f"]
-        path = urlparse(uri).path if ":" in uri.split("/", 1)[0] else uri
-        rel = os.path.relpath(unquote(path), index_dir)
+        rel = os.path.relpath(_uri_to_path(r["_f"]), index_dir)
         out[rel] = {"tuple": [[r["_lo"]["field"], r["_lo"]["term"]],
                               [r["_hi"]["field"], r["_hi"]["term"]]]}
     return out or None

@@ -410,17 +410,20 @@ def matching_terms(index, field: str, regex: str, max_terms: int = MAX_CLAUSE_CO
     # with EVERY seek (prefix range / trigram candidates), not only the
     # full-scan fallback; the path label upgrades to 'bounded' only when
     # they are the sole pruning available
+    structural = False
     if suffix:
         src = src.filter(F.col("term").endswith(suffix))
-        path = "bounded" if path == "full" else path
+        structural = True
     if bounds:
         lo, hi = bounds
         if hi is not None:
             src = src.filter(F.length("term").between(lo, hi))
-            path = "bounded" if path == "full" else path
+            structural = True
         elif lo > 0:
             src = src.filter(F.length("term") >= lo)
-            path = "bounded" if path == "full" else path
+            structural = True
+    if structural and path == "full":
+        path = "bounded"
     rows = src.filter(F.col("term").rlike(regex)).orderBy("term").limit(max_terms + 1).collect()
     try:
         index.last_multiterm_stats = {"path": path, "prefix": prefix,

@@ -137,6 +137,7 @@ def run_level(n_procs: int, cores_per_proc: int, ixdir: Path) -> dict:
     shutil.rmtree(sync, ignore_errors=True)
     sync.mkdir(parents=True)
     procs = []
+    errfiles = []
     for i in range(n_procs):
         lo = i * cores_per_proc
         hi = lo + cores_per_proc - 1
@@ -156,32 +157,42 @@ def run_level(n_procs: int, cores_per_proc: int, ixdir: Path) -> dict:
         # a 64KB pipe before anyone drains it, blocking the child mid-
         # write so it never touches its ready file (stdout stays a pipe
         # — it only carries the child's one JSON result line)
-        errf = open(sync / f"stderr-{i}.log", "w")
+        errfiles.append(open(sync / f"stderr-{i}.log", "w"))
         procs.append(
             subprocess.Popen(cmd, stdout=subprocess.PIPE,
-                             stderr=errf, text=True, env=env)
+                             stderr=errfiles[-1], text=True, env=env)
         )
-    deadline = time.time() + 600
-    while time.time() < deadline:
-        if all((sync / f"ready-{i}").exists() for i in range(n_procs)):
-            break
-        if any(p.poll() is not None for p in procs):
-            raise RuntimeError("a child exited before the barrier")
-        time.sleep(0.2)
-    else:
-        raise TimeoutError("children never became ready")
-    (sync / "go").touch()
     results = []
-    for i, p in enumerate(procs):
-        out, _ = p.communicate(timeout=900)
-        lines = [l for l in out.splitlines() if l.startswith("{")]
-        if not lines:
-            err = (sync / f"stderr-{i}.log").read_text(errors="replace")
-            raise RuntimeError(
-                f"child {i} produced no result (rc={p.returncode}); "
-                f"stderr tail:\n" + "\n".join(err.splitlines()[-25:])
-            )
-        results.append(json.loads(lines[-1]))
+    try:
+        deadline = time.time() + 600
+        while time.time() < deadline:
+            if all((sync / f"ready-{i}").exists() for i in range(n_procs)):
+                break
+            if any(p.poll() is not None for p in procs):
+                raise RuntimeError("a child exited before the barrier")
+            time.sleep(0.2)
+        else:
+            raise TimeoutError("children never became ready")
+        (sync / "go").touch()
+        for i, p in enumerate(procs):
+            out, _ = p.communicate(timeout=900)
+            lines = [l for l in out.splitlines() if l.startswith("{")]
+            if not lines:
+                err = (sync / f"stderr-{i}.log").read_text(errors="replace")
+                raise RuntimeError(
+                    f"child {i} produced no result (rc={p.returncode}); "
+                    f"stderr tail:\n" + "\n".join(err.splitlines()[-25:])
+                )
+            results.append(json.loads(lines[-1]))
+    finally:
+        # never orphan a pinned 5g-heap child: a pre-barrier crash or
+        # timeout would otherwise leave survivors spinning on a go file
+        # that will never appear, corrupting every later measurement
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+        for f in errfiles:
+            f.close()
     total_q = sum(r["n_queries"] for r in results)
     # overlapped window: first start to last end (children are
     # barrier-released together, so this is the honest aggregate wall)
