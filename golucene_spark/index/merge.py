@@ -474,6 +474,8 @@ def verify_index(spark: SparkSession, index_dir: str, source_df: DataFrame | Non
     if dead:
         alive = lambda df: df.filter(~F.col("segment_id").isin([int(x) for x in dead]))
         post, td, ds = alive(post), alive(td), alive(ds)
+        if "segment_id" in dm.columns:
+            dm = alive(dm)
 
     report = {}
 
@@ -496,13 +498,18 @@ def verify_index(spark: SparkSession, index_dir: str, source_df: DataFrame | Non
     # 2. per-doc length == sum of its freqs across terms (per field)
     from .builder import DOC_SENTINEL_FIELD  # noqa
 
+    # SEGMENT-scoped, like the reference CheckIndex: an updated doc has
+    # one on-disk version per segment (old ones superseded logically),
+    # so cross-segment aggregation would double-count its freqs
     dl_from_post = (
-        post.select("field", F.explode(F.arrays_zip("doc_ids", "freqs")).alias("e"))
-        .select("field", F.col("e.doc_ids").alias("doc_id"), F.col("e.freqs").alias("freq"))
-        .groupBy("field", "doc_id")
+        post.select("segment_id", "field",
+                    F.explode(F.arrays_zip("doc_ids", "freqs")).alias("e"))
+        .select("segment_id", "field", F.col("e.doc_ids").alias("doc_id"),
+                F.col("e.freqs").alias("freq"))
+        .groupBy("segment_id", "field", "doc_id")
         .agg(F.sum("freq").alias("dl_sum"))
     )
-    ds_text = ds.join(dl_from_post, ["field", "doc_id"], "left")
+    ds_text = ds.join(dl_from_post, ["segment_id", "field", "doc_id"], "left")
     bad2 = ds_text.filter(
         F.coalesce(F.col("dl_sum"), F.lit(0)) != F.col("length")
     ).count()
@@ -518,8 +525,10 @@ def verify_index(spark: SparkSession, index_dir: str, source_df: DataFrame | Non
     assert bad3 == 0
 
     # 4. sha256 parity: python-side hash (doc_stats) == JVM sha2 (doc_meta)
-    par = ds.select("doc_id", "content_sha256").join(
-        dm.select("doc_id", F.col("content_sha256").alias("jvm_sha")), "doc_id"
+    par = ds.select("segment_id", "doc_id", "content_sha256").join(
+        dm.select("segment_id", "doc_id",
+                  F.col("content_sha256").alias("jvm_sha")),
+        ["segment_id", "doc_id"],
     )
     bad4 = par.filter(F.col("content_sha256") != F.col("jvm_sha")).count()
     report["sha256_mismatches"] = bad4

@@ -370,7 +370,16 @@ class Searcher:
         if isinstance(q, MultiPhraseQuery):
             return self._multi_phrase_frame(q, stats, query_norm)
         if isinstance(q, MatchAllQuery):
-            return self.index.doc_stats.select("doc_id").distinct().select(
+            # MatchAllDocsQuery respects liveDocs (Lucene semantics):
+            # doc_stats deliberately keeps tombstoned rows for the
+            # maxDoc/df statistics, so the liveness filter applies HERE
+            docs = self.index.doc_stats
+            tomb = getattr(self.index, "_tombstones", None)
+            if tomb is not None:
+                from ..index.deletes import filter_live
+
+                docs = filter_live(docs, tomb)
+            return docs.select("doc_id").distinct().select(
                 "doc_id", F.lit(float(q.boost)).alias("score")
             )
         if isinstance(q, ConstantScoreQuery):
@@ -871,13 +880,17 @@ class Searcher:
                 },
             }
         if isinstance(q, MatchAllQuery):
-            exists = (
-                self.index.doc_stats.filter(F.col("doc_id") == doc_id).limit(1).count() > 0
-            )
+            docs = self.index.doc_stats
+            tomb = getattr(self.index, "_tombstones", None)
+            if tomb is not None:
+                from ..index.deletes import filter_live
+
+                docs = filter_live(docs, tomb)
+            exists = docs.filter(F.col("doc_id") == doc_id).limit(1).count() > 0
             return {
                 "match": exists,
                 "value": float(q.boost) if exists else 0.0,
-                "description": "MatchAllDocsQuery" if exists else "unknown doc",
+                "description": "MatchAllDocsQuery" if exists else "unknown or deleted doc",
             }
         if isinstance(q, ConstantScoreQuery):
             inner = self._doc_id_frame(self._resolve(q.query), stats)
