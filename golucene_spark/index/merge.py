@@ -68,6 +68,18 @@ def select_merges(segments: dict[int, int], max_merged_docs: int = 5_000_000) ->
 MERGE_ID_BASE = 10_000_000
 
 
+
+def _strip_chunk(df: DataFrame) -> DataFrame:
+    """Drop the materialized ``chunk`` PARTITION column before writing a
+    read-back frame into a new chunk directory.  Left in, it lands in
+    the data files with whatever type partition inference gave it that
+    day (INT for numeric-only chunk sets, STRING once stream/update/
+    merge chunks exist) — and two merges performed at different index
+    states then produce unmergeable footers (CANNOT_MERGE_SCHEMAS;
+    caught by the round-5 lifecycle fuzz, seed 5)."""
+    return df.drop("chunk") if "chunk" in df.columns else df
+
+
 def merged_origin_ranges(index_dir: str) -> dict[int, tuple[int, int]]:
     """new_segment_id -> (min, max) over the ORIGINAL (pre-merge)
     segment ids the merged segment transitively contains.
@@ -261,7 +273,7 @@ def merge_segments(
         .withColumn("ttf_seg", F.col("ttf_new"))
         .drop("new_block_id", "rn_seg", "df_new", "ttf_new")
     )
-    merged.write.mode("overwrite").partitionBy("kind").parquet(
+    _strip_chunk(merged).write.mode("overwrite").partitionBy("kind").parquet(
         os.path.join(index_dir, "postings", f"chunk={out_chunk}")
     )
 
@@ -290,14 +302,14 @@ def merge_segments(
             *( ["bmf_min", "bmf_max", "bdlq_min", "bdlq_max"] if has_spread else [] ),
         )
     )
-    td_merged.write.mode("overwrite").parquet(
+    _strip_chunk(td_merged).write.mode("overwrite").parquet(
         os.path.join(index_dir, "term_dict", f"chunk={out_chunk}")
     )
 
     ds = spark.read.parquet(os.path.join(index_dir, "doc_stats")).filter(
         F.col("segment_id").isin(segment_ids)
     ).withColumn("segment_id", F.lit(new_id).cast("int"))
-    ds.write.mode("overwrite").parquet(
+    _strip_chunk(ds).write.mode("overwrite").parquet(
         os.path.join(index_dir, "doc_stats", f"chunk={out_chunk}")
     )
 
@@ -381,7 +393,7 @@ def _merge_expunge(spark, index_dir, segment_ids, new_segment_id, out_chunk,
         flat, include_sentinels=True,
         wand_metadata="block_max_dlq" in post.columns,
     )
-    merged.write.mode("overwrite").partitionBy("kind").parquet(
+    _strip_chunk(merged).write.mode("overwrite").partitionBy("kind").parquet(
         os.path.join(index_dir, "postings", f"chunk={out_chunk}")
     )
     written = spark.read.parquet(os.path.join(index_dir, "postings", f"chunk={out_chunk}"))
@@ -399,7 +411,7 @@ def _merge_expunge(spark, index_dir, segment_ids, new_segment_id, out_chunk,
             F.max("block_min_dlq").alias("bdlq_max"),
         )
     )
-    td.write.mode("overwrite").parquet(os.path.join(index_dir, "term_dict", f"chunk={out_chunk}"))
+    _strip_chunk(td).write.mode("overwrite").parquet(os.path.join(index_dir, "term_dict", f"chunk={out_chunk}"))
     ds = spark.read.parquet(os.path.join(index_dir, "doc_stats")).filter(
         F.col("segment_id").isin(segment_ids)
     )
@@ -408,7 +420,7 @@ def _merge_expunge(spark, index_dir, segment_ids, new_segment_id, out_chunk,
 
         ds = filter_live(ds, tomb)
     ds = ds.withColumn("segment_id", F.lit(new_id).cast("int"))
-    ds.write.mode("overwrite").parquet(os.path.join(index_dir, "doc_stats", f"chunk={out_chunk}"))
+    _strip_chunk(ds).write.mode("overwrite").parquet(os.path.join(index_dir, "doc_stats", f"chunk={out_chunk}"))
     rec = {
         "chunk": out_chunk,
         "status": "committed",

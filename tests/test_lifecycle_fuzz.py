@@ -54,7 +54,8 @@ def _segments(spark, ixdir) -> list[int]:
 
 
 def test_lifecycle_fuzz(spark, tmp_path_factory):
-    rng = random.Random(7)
+    import os as _os
+    rng = random.Random(int(_os.environ.get("FUZZ_SEED", "7")))
     ixdir = str(tmp_path_factory.mktemp("lifecycle") / "ix")
     spec = _spec()
 
