@@ -549,3 +549,87 @@ def test_zero_literal_pattern_bounded_scan(wix):
     assert wix.last_multiterm_stats["path"] == "bounded"
     assert wix.last_multiterm_stats["suffix"] == "e"
     assert hits and hits2
+
+
+def test_seek_machinery_equals_full_scan(spark, tmp_path_factory):
+    """End-to-end equivalence fuzz for the ENTIRE seek machinery on a
+    REAL materialized index (with trigram side table): for hundreds of
+    derived wildcard and regexp patterns, the expansion with every
+    structural hint (prefix / trigram runs / length bounds / suffix)
+    must return EXACTLY the terms of a bare full-dictionary rlike scan.
+    This is the Spark-level twin of the pure-Python property tests —
+    it exercises the composed Catalyst predicates, the trigram
+    candidate join, and the seek-precedence dispatch together."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from golucene_spark.corpus import make_corpus
+    from golucene_spark.index import (CorpusSpec, FieldSpec, IndexBuilder,
+                                      MaterializedIndex, build_trigram_index)
+    from golucene_spark.search.multiterm import (
+        matching_terms, regex_literal_prefix, regex_literal_suffix,
+        regexp_length_bounds, regexp_literal_runs, wildcard_length_bounds,
+        wildcard_literal_prefix, wildcard_literal_runs,
+        wildcard_literal_suffix, wildcard_to_regex)
+
+    rng = random.Random(99)
+    ixdir = str(tmp_path_factory.mktemp("seekfuzz") / "ix")
+    pdf = make_corpus(150, seed=3).reset_index().rename(columns={"index": "doc_id"})
+    spec = CorpusSpec(
+        text_fields=[FieldSpec("content", "content", True)],
+        keyword_fields=[], key_cols=["doc_id"], id_col="doc_id", meta_cols=[],
+    )
+    IndexBuilder(spark, spec, analyzer="simple", quantize_norms=False,
+                 num_segments=4).build(spark.createDataFrame(pdf), ixdir)
+    build_trigram_index(spark, ixdir)
+    ix = MaterializedIndex(spark, ixdir)
+    vocab = [r["term"] for r in
+             ix.term_dict.filter(F.col("field") == "content")
+             .select("term").distinct().collect()]
+    vocab = [t for t in vocab if len(t) >= 3]
+    assert len(vocab) > 50
+
+    paths_seen = set()
+    for trial in range(120):
+        base = rng.choice(vocab)
+        kind = rng.choice(["wild", "regex"])
+        chars = list(base)
+        n_mut = rng.randint(1, max(1, len(chars) // 2))
+        for _ in range(n_mut):
+            i = rng.randrange(len(chars))
+            chars[i] = rng.choice("?*" if kind == "wild" else [".", ".*", ".?",
+                                                               "[a-z]", chars[i]])
+        pat = "".join(chars)
+        if kind == "wild":
+            rx = wildcard_to_regex(pat)
+            hinted = matching_terms(
+                ix, "content", rx,
+                prefix=wildcard_literal_prefix(pat),
+                runs=wildcard_literal_runs(pat),
+                bounds=wildcard_length_bounds(pat),
+                suffix=wildcard_literal_suffix(pat))
+        else:
+            rx = f"^(?:{pat})$"
+            hinted = matching_terms(
+                ix, "content", rx,
+                prefix=regex_literal_prefix(pat),
+                runs=regexp_literal_runs(pat) or None,
+                bounds=regexp_length_bounds(pat),
+                suffix=regex_literal_suffix(pat))
+        paths_seen.add(ix.last_multiterm_stats["path"])
+        bare = matching_terms(ix, "content", rx)
+        assert hinted == bare, (pat, ix.last_multiterm_stats, hinted, bare)
+    # zero-literal shapes (nothing for prefix/trigram): the bounded path
+    for pat in ["????", "?????", "??????", "***?", "?*?"]:
+        rx = wildcard_to_regex(pat)
+        hinted = matching_terms(
+            ix, "content", rx,
+            prefix=wildcard_literal_prefix(pat),
+            runs=wildcard_literal_runs(pat),
+            bounds=wildcard_length_bounds(pat),
+            suffix=wildcard_literal_suffix(pat))
+        paths_seen.add(ix.last_multiterm_stats["path"])
+        assert hinted == matching_terms(ix, "content", rx), pat
+    # the fuzz must actually exercise every seek path, not just full scans
+    assert {"prefix", "trigram", "bounded"} <= paths_seen, paths_seen
