@@ -139,3 +139,59 @@ def test_cursor_e6_half_up_matches_spark(spark):
     # and explicitly not banker's rounding
     assert cursor_e6(25 / 10 / 1e6) == 3
     assert round(2.5) == 2  # what the old code would have produced
+
+
+def test_pagination_walk_fuzz(spark):
+    """Pagination walk fuzz over a score-tie-rich corpus: for random
+    query shapes and page sizes, the CONCATENATION of search()/search_
+    after() pages must exactly equal the one-shot top-N — membership,
+    order, and scores — and the CachingSearcher walk must agree page by
+    page.  Many docs share identical BM25 scores here (repeated content
+    patterns), so the e6-keyset tie handling is exercised hard."""
+    import random
+
+    from golucene_spark.corpus import make_corpus
+    from golucene_spark.index import CorpusSpec, FieldSpec, LogicalIndex
+    from golucene_spark.search import parse_query
+    from golucene_spark.search.cache import CachingSearcher
+
+    rng = random.Random(17)
+    pdf = make_corpus(180, seed=23).reset_index().rename(columns={"index": "doc_id"})
+    # amplify score ties: every third doc shares one of 3 identical texts
+    for i in range(0, 180, 3):
+        pdf.loc[i, "content"] = f"tie group {'alpha beta' * (1 + i % 3)}"
+    spec = CorpusSpec(
+        text_fields=[FieldSpec("content", "content", True)],
+        keyword_fields=[], key_cols=["doc_id"], id_col="doc_id", meta_cols=[],
+    )
+    ix = LogicalIndex(spark.createDataFrame(pdf), spec, analyzer="simple",
+                      quantize_norms=False).cache()
+    s = Searcher(ix, "bm25")
+    cs = CachingSearcher(s)
+
+    queries = ["content:alpha", "content:tie OR content:parse",
+               "content:group AND content:beta",
+               'content:"alpha beta"', "content:parse OR content:beta^2"]
+    for qs in queries:
+        q = parse_query(qs, default_field="content", analyzer="simple")
+        total = s.count(q)
+        if total == 0:
+            continue
+        full = [(r["doc_id"], round(r["score"], 9))
+                for r in s.search(q, total + 5).collect()]
+        for _ in range(2):
+            k = rng.choice([3, 7, 10])
+            walked, after = [], None
+            for _ in range(total // k + 2):
+                page = (s.search(q, k) if after is None
+                        else s.search_after(q, after, k)).collect()
+                cpage = (cs.search(q, k) if after is None
+                         else cs.search_after(q, after, k)).collect()
+                assert [(r["doc_id"], round(r["score"], 9)) for r in page] == \
+                       [(r["doc_id"], round(r["score"], 9)) for r in cpage], qs
+                if not page:
+                    break
+                walked.extend((r["doc_id"], round(r["score"], 9)) for r in page)
+                last = page[-1]
+                after = (last["score"], last["doc_id"])
+            assert walked == full, (qs, k, len(walked), len(full))
