@@ -396,7 +396,20 @@ def _merge_expunge(spark, index_dir, segment_ids, new_segment_id, out_chunk,
     _strip_chunk(merged).write.mode("overwrite").partitionBy("kind").parquet(
         os.path.join(index_dir, "postings", f"chunk={out_chunk}")
     )
-    written = spark.read.parquet(os.path.join(index_dir, "postings", f"chunk={out_chunk}"))
+    # every doc of the merged segments may be tombstoned (Lucene drops
+    # such segments at forceMergeDeletes): the write then produces no
+    # parquet files and a read-back cannot infer a schema — fall back
+    # to the (empty) merged frame itself
+    import glob as _glob
+
+    _files = _glob.glob(
+        os.path.join(index_dir, "postings", f"chunk={out_chunk}", "**", "*.parquet"),
+        recursive=True,
+    )
+    written = (
+        spark.read.parquet(os.path.join(index_dir, "postings", f"chunk={out_chunk}"))
+        if _files else merged
+    )
     td = (
         written.filter(F.col("kind") == "post")
         .groupBy("segment_id", "field", "term")
