@@ -599,15 +599,23 @@ def _collect_term_ranges(spark: SparkSession, index_dir: str,
 
     def _uri_to_path(uri: str) -> str:
         # input_file_name() returns a percent-encoded URI ("file:/x",
-        # "file:///x", "hdfs://nn:8020/x") — decode so manifest keys
-        # resolve back to real filesystem paths.  Parsed by hand, not
-        # urlparse: Hadoop leaves '#'/'?' raw in local paths, which
-        # urlparse would truncate as fragment/query; plain non-URI
-        # paths pass through UNdecoded (a literal '%20' dir must stay).
-        if ":" not in uri.split("/", 1)[0]:
+        # "file:///x") — decode so manifest keys resolve back to real
+        # filesystem paths.  LOCAL-ONLY by design: non-file schemes pass
+        # through unchanged, because stripping scheme+authority from a
+        # remote URI while index_dir stays scheme-qualified would make
+        # the relpath below emit '../..' garbage keys (ADVICE r5); a
+        # remote-store deployment should key ranges on full URIs.
+        # Parsed by hand, not urlparse: Hadoop leaves '#'/'?' raw in
+        # local paths, which urlparse would truncate as fragment/query;
+        # plain non-URI paths pass through UNdecoded (a literal '%20'
+        # dir must stay).
+        head = uri.split("/", 1)[0]
+        if ":" not in head:
+            return uri
+        if head.split(":", 1)[0] != "file":
             return uri
         rest = uri.split(":", 1)[1]
-        if rest.startswith("//"):  # scheme://authority/path
+        if rest.startswith("//"):  # file://authority/path
             tail = rest[2:]
             rest = "/" + tail.split("/", 1)[1] if "/" in tail else "/"
         return unquote(rest)
@@ -781,8 +789,20 @@ class IndexBuilder:
         resume: bool = True,
     ) -> dict:
         """Build (or resume) the index.  Returns build metrics."""
-        nseg = self.num_segments or max(df.rdd.getNumPartitions(), 8)
+        in_parts = df.rdd.getNumPartitions()
+        nseg = self.num_segments or max(in_parts, 8)
         docs = assign_doc_ids(df, self.spec, nseg)
+        # Scale-adaptive tokenize parallelism: with a pre-assigned id
+        # column assign_doc_ids is narrow, so the tokenize stage inherits
+        # the INPUT partitioning — a corpus delivered as one file (or a
+        # handful of unsplittable row groups) would invert on a single
+        # core while the rest of the cluster idles.  Spread it when the
+        # scan cannot feed every core; at real scale inputs already carry
+        # >= cores partitions and this is a no-op.  (The key_cols path
+        # shuffles in the docID window anyway.)
+        par = self.spark.sparkContext.defaultParallelism
+        if self.spec.id_col and in_parts < par:
+            docs = docs.repartition(par)
         # doc_meta pass on a SLIM frame: hash the content BEFORE the
         # docID-assignment shuffle so the window never carries the text
         # column (measured ~20x smaller shuffle payload at 1M docs); the
@@ -803,10 +823,11 @@ class IndexBuilder:
             t0 = time.time()
             stage_sec = {}
 
-            def _mark(name, _t=[t0]):
-                now = time.time()
-                stage_sec[name] = round(now - _t[0], 3)
-                _t[0] = now
+            def _timed(name, fn):
+                ts = time.time()
+                out = fn()
+                stage_sec[name] = round(time.time() - ts, 3)
+                return out
 
             part = docs if num_chunks == 1 else docs.filter(
                 F.pmod(F.col("segment_id"), num_chunks) == chunk
@@ -815,7 +836,6 @@ class IndexBuilder:
             # (one serialized multi-GB cache write) than recomputing the
             # assignment window in the two consumers, and caching the
             # input is impossible at real scale anyway
-            _mark("assign_persist")
 
             # ONE tokenize pass, ONE shuffle, ONE partitioned write:
             # sentinel (per-doc) rows ride the same shuffle and land in
@@ -838,66 +858,91 @@ class IndexBuilder:
                     )
                 else:
                     post = post.repartitionByRange("kind", "field", "term")
-            (post.sortWithinPartitions("kind", "field", "term", "segment_id", "block_id")
-                 .write.mode("overwrite")
-                 .partitionBy("kind")
-                 .parquet(os.path.join(index_dir, "postings", f"chunk={chunk}")))
-            _mark("postings_write")
 
-            written = self.spark.read.parquet(
-                os.path.join(index_dir, "postings", f"chunk={chunk}")
-            )
-            td = (
-                written.filter(F.col("kind") == "post")
-                .groupBy("segment_id", "field", "term")
-                .agg(
-                    F.max("df_seg").alias("df"),
-                    F.max("ttf_seg").alias("ttf"),
-                    # singleton pulsing (postingsWriter.go:388-392): df==1
-                    # terms carry their only doc inline in the dictionary
-                    F.when(F.max("df_seg") == 1, F.min(F.element_at("doc_ids", 1))).alias("pulsed_doc"),
-                    F.when(F.max("df_seg") == 1, F.min(F.element_at("freqs", 1))).alias("pulsed_freq"),
-                    # block-metadata spread: lets WAND detect degenerate
-                    # (uniform upper-bound) terms from the term_stats
-                    # collect it already does — zero extra jobs
-                    F.min("block_max_freq").alias("bmf_min"),
-                    F.max("block_max_freq").alias("bmf_max"),
-                    F.min("block_min_dlq").alias("bdlq_min"),
-                    F.max("block_min_dlq").alias("bdlq_max"),
-                )
-            )
-            (td.sortWithinPartitions("field", "term")
-               .write.mode("overwrite")
-               .parquet(os.path.join(index_dir, "term_dict", f"chunk={chunk}")))
-            _mark("term_dict_write")
-
-            ds = _explode_doc_sentinels(written)
-            ds.write.mode("overwrite").parquet(os.path.join(index_dir, "doc_stats", f"chunk={chunk}"))
-            _mark("doc_stats_write")
+            def _write_postings():
+                (post.sortWithinPartitions("kind", "field", "term", "segment_id", "block_id")
+                     .write.mode("overwrite")
+                     .partitionBy("kind")
+                     .parquet(os.path.join(index_dir, "postings", f"chunk={chunk}")))
 
             mpart = meta_docs if num_chunks == 1 else meta_docs.filter(
                 F.pmod(F.col("segment_id"), num_chunks) == chunk
             )
             dm = mpart.select("segment_id", "doc_id", *meta_cols, "content_sha256")
-            dm.write.mode("overwrite").parquet(os.path.join(index_dir, "doc_meta", f"chunk={chunk}"))
-            _mark("doc_meta_write")
 
-            if self.store_term_vectors:
-                write_term_vectors_chunk(written, index_dir, str(chunk))
-                _mark("term_vectors_write")
+            def _write_doc_meta():
+                # the independent doc_meta pass, then the per-segment doc
+                # counts from its (tiny, narrow) read-back — one row per
+                # doc by construction, countDistinct for update-safety
+                dm.write.mode("overwrite").parquet(
+                    os.path.join(index_dir, "doc_meta", f"chunk={chunk}")
+                )
+                return {
+                    int(r["segment_id"]): int(r["cnt"])
+                    for r in self.spark.read.parquet(
+                        os.path.join(index_dir, "doc_meta", f"chunk={chunk}")
+                    ).groupBy("segment_id").agg(
+                        F.countDistinct("doc_id").alias("cnt")
+                    ).collect()
+                }
 
-            # lineage metrics: the freshly written (small) doc_stats
-            # chunk, read back once — rereading the chunk is cheaper than
-            # recomputing ds's parent (the full postings read), and scans
-            # only this chunk's files
-            seg_counts = {
-                int(r["segment_id"]): int(r["cnt"])
-                for r in self.spark.read.parquet(
-                    os.path.join(index_dir, "doc_stats", f"chunk={chunk}")
-                ).groupBy("segment_id").agg(
-                    F.countDistinct("doc_id").alias("cnt")
-                ).collect()
-            }
+            # Overlap independent actions (guide §2.6: concurrent jobs
+            # back-fill each other's stragglers; the scheduler is happy
+            # to run them at once).  doc_meta never depends on postings;
+            # term_dict and doc_stats both derive from the WRITTEN
+            # postings but not on each other.  Every write still
+            # completes before the manifest commit, so resume semantics
+            # are unchanged.
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                meta_fut = pool.submit(_timed, "doc_meta_write", _write_doc_meta)
+                _timed("postings_write", _write_postings)
+
+                written = self.spark.read.parquet(
+                    os.path.join(index_dir, "postings", f"chunk={chunk}")
+                )
+                td = (
+                    written.filter(F.col("kind") == "post")
+                    .groupBy("segment_id", "field", "term")
+                    .agg(
+                        F.max("df_seg").alias("df"),
+                        F.max("ttf_seg").alias("ttf"),
+                        # singleton pulsing (postingsWriter.go:388-392): df==1
+                        # terms carry their only doc inline in the dictionary
+                        F.when(F.max("df_seg") == 1, F.min(F.element_at("doc_ids", 1))).alias("pulsed_doc"),
+                        F.when(F.max("df_seg") == 1, F.min(F.element_at("freqs", 1))).alias("pulsed_freq"),
+                        # block-metadata spread: lets WAND detect degenerate
+                        # (uniform upper-bound) terms from the term_stats
+                        # collect it already does — zero extra jobs
+                        F.min("block_max_freq").alias("bmf_min"),
+                        F.max("block_max_freq").alias("bmf_max"),
+                        F.min("block_min_dlq").alias("bdlq_min"),
+                        F.max("block_min_dlq").alias("bdlq_max"),
+                    )
+                )
+
+                def _write_term_dict():
+                    (td.sortWithinPartitions("field", "term")
+                       .write.mode("overwrite")
+                       .parquet(os.path.join(index_dir, "term_dict", f"chunk={chunk}")))
+
+                def _write_doc_stats():
+                    ds = _explode_doc_sentinels(written)
+                    ds.write.mode("overwrite").parquet(
+                        os.path.join(index_dir, "doc_stats", f"chunk={chunk}")
+                    )
+
+                td_fut = pool.submit(_timed, "term_dict_write", _write_term_dict)
+                _timed("doc_stats_write", _write_doc_stats)
+                td_fut.result()
+
+                if self.store_term_vectors:
+                    _timed(
+                        "term_vectors_write",
+                        lambda: write_term_vectors_chunk(written, index_dir, str(chunk)),
+                    )
+                seg_counts = meta_fut.result()
             n_docs = sum(seg_counts.values())
             term_ranges = (
                 _collect_term_ranges(self.spark, index_dir, chunk)

@@ -496,6 +496,7 @@ def verify_index(spark: SparkSession, index_dir: str, source_df: DataFrame | Non
     ds = spark.read.parquet(os.path.join(index_dir, "doc_stats"))
     dm = spark.read.parquet(os.path.join(index_dir, "doc_meta"))
     dead = dead_segments(index_dir)
+    dm_raw = dm
     if dead:
         alive = lambda df: df.filter(~F.col("segment_id").isin([int(x) for x in dead]))
         post, td, ds = alive(post), alive(td), alive(ds)
@@ -549,13 +550,74 @@ def verify_index(spark: SparkSession, index_dir: str, source_df: DataFrame | Non
     report["pulsing_violations"] = bad3
     assert bad3 == 0
 
-    # 4. sha256 parity: python-side hash (doc_stats) == JVM sha2 (doc_meta)
-    par = ds.select("segment_id", "doc_id", "content_sha256").join(
-        dm.select("segment_id", "doc_id",
-                  F.col("content_sha256").alias("jvm_sha")),
-        ["segment_id", "doc_id"],
+    # 4. sha256 parity: python-side hash (doc_stats) == JVM sha2
+    #    (doc_meta).  doc_meta is never rewritten by merges, so its rows
+    #    keep ORIGINAL segment ids while merge relabels doc_stats to the
+    #    output id; translate each doc_meta segment through the manifest
+    #    merge chain to the live segment that now holds the doc (ADVICE
+    #    r5: the dead-filtered (segment, doc) join matched zero rows for
+    #    every merged doc — bad4 == 0 vacuously).  Segment-scoping stays:
+    #    an updated doc's old ds row must pair with the OLD version's
+    #    meta row, so the sha-equality test runs per (segment, doc) and a
+    #    separate coverage assert guarantees the join cannot go vacuous.
+    mdir = os.path.join(index_dir, "manifest")
+    children4: dict[int, list[int]] = {}
+    if os.path.isdir(mdir):
+        for fn in os.listdir(mdir):
+            if fn.endswith(".json"):
+                with open(os.path.join(mdir, fn)) as f:
+                    rec4 = json.load(f)
+                if rec4.get("kind") == "merge" and rec4.get("new_segment_id") is not None:
+                    children4[int(rec4["new_segment_id"])] = [
+                        int(s) for s in rec4.get("merged_from_segments", [])
+                    ]
+    final4: dict[int, int] = {}
+    for out4, ins4 in children4.items():
+        for s4 in ins4:
+            final4[s4] = out4
+
+    def _resolve4(s: int) -> int:
+        seen4: set[int] = set()
+        while s in final4 and s not in seen4:
+            seen4.add(s)
+            s = final4[s]
+        return s
+
+    trans4 = {s: _resolve4(s) for s in final4}
+    dmt = dm_raw
+    if "segment_id" in dmt.columns:
+        if trans4:
+            tmap = F.create_map(*[
+                F.lit(x) for s, t in trans4.items() for x in (s, t)
+            ])
+            dmt = dmt.withColumn(
+                "segment_id",
+                F.coalesce(F.element_at(tmap, F.col("segment_id").cast("int")),
+                           F.col("segment_id")).cast(dict(dmt.dtypes)["segment_id"]),
+            )
+        if dead:
+            dmt = dmt.filter(~F.col("segment_id").isin([int(x) for x in dead]))
+    ds_k = ds.select("segment_id", "doc_id", "content_sha256")
+    dm_k = dmt.select("segment_id", "doc_id",
+                      F.col("content_sha256").alias("jvm_sha"))
+    uncovered = ds_k.join(dm_k, ["segment_id", "doc_id"], "left_anti").count()
+    report["sha256_parity_uncovered"] = uncovered
+    assert uncovered == 0, (
+        f"{uncovered} doc_stats rows have no doc_meta partner (parity "
+        "check would be vacuous)"
     )
-    bad4 = par.filter(F.col("content_sha256") != F.col("jvm_sha")).count()
+    matched = (
+        ds_k.alias("a")
+        .join(
+            dm_k.alias("b"),
+            (F.col("a.segment_id") == F.col("b.segment_id"))
+            & (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.content_sha256") == F.col("b.jvm_sha")),
+            "left_semi",
+        )
+        .count()
+    )
+    bad4 = ds_k.count() - matched
     report["sha256_mismatches"] = bad4
     assert bad4 == 0
 

@@ -165,6 +165,30 @@ class Searcher:
         self._tstats_cache = getattr(index, "_tstats_shared", None)
         if self._tstats_cache is None:
             self._tstats_cache = index._tstats_shared = {}
+        # prepared-plan memo (same snapshot-lifetime rule as the stats
+        # memos): building a top-k DataFrame costs 0.1-0.2s of pure
+        # driver-side plan construction (measured, BENCH/
+        # decompose_r6_before.json "plan_build") — for a repeated query
+        # the LOGICAL PLAN is identical, so reuse the immutable
+        # DataFrame.  Nothing is precomputed: every collect() on the
+        # memoized frame re-executes from the index tables.
+        self._plan_cache = getattr(index, "_plan_shared", None)
+        if self._plan_cache is None:
+            self._plan_cache = index._plan_shared = {}
+
+    def _plan_key(self, kind, query, *extra):
+        """Hashable memo key for a prepared plan, or None when any part
+        is unhashable (custom similarity state, exotic query objects)."""
+        try:
+            sim_state = tuple(
+                (n, v) for n, v in sorted(vars(self.sim).items())
+                if isinstance(v, (int, float, str, bool))
+            )
+            key = (kind, type(self.sim).__name__, sim_state, query, *extra)
+            hash(key)
+            return key
+        except TypeError:
+            return None
 
     # -- statistics ------------------------------------------------------
     def _collection_stats(self, field: str) -> dict:
@@ -732,14 +756,21 @@ class Searcher:
     # -- entry points ------------------------------------------------------
     def score_frame(self, query) -> DataFrame:
         """Full (doc_id, score) frame for a query (no top-k)."""
+        key = self._plan_key("score", query)
+        if key is not None and key in self._plan_cache:
+            return self._plan_cache[key]
         q = self._resolve(query.rewrite())
         q = q.rewrite() if hasattr(q, "rewrite") else q
         stats = self._term_stats(q)
         qn = self.sim.query_norm(self._sum_sq(q, stats))
         f = self._frame(q, stats, qn)
         if f is None:
-            return empty_results(self.index.spark)
-        return f.select(F.col("doc_id").cast("long"), F.col("score").cast("double"))
+            out = empty_results(self.index.spark)
+        else:
+            out = f.select(F.col("doc_id").cast("long"), F.col("score").cast("double"))
+        if key is not None:
+            self._plan_cache[key] = out
+        return out
 
     def explain(self, query, doc_id: int) -> dict:
         """Score decomposition for one doc (Q13, search.go:129-152 /
@@ -971,7 +1002,13 @@ class Searcher:
             from .parser import parse_query
 
             query = parse_query(query)
-        return collect_topk(self.score_frame(query), k)
+        key = self._plan_key("topk", query, k)
+        if key is not None and key in self._plan_cache:
+            return self._plan_cache[key]
+        out = collect_topk(self.score_frame(query), k)
+        if key is not None:
+            self._plan_cache[key] = out
+        return out
 
     def search_with_total(self, query, k: int = 10,
                           hydrate: bool = False) -> tuple[int, DataFrame]:

@@ -142,9 +142,18 @@ def _split_alternation(pattern: str) -> list[str] | None:
             i += 1
             continue
         if ch == "[":
-            in_class = True
+            # mirror _scan_atom's class grammar: a ']' immediately after
+            # '[' or '[^' is a literal member, not the class close
+            # (ADVICE r5: the two parsers must not diverge)
             cur.append(ch)
             i += 1
+            if i < n and pattern[i] == "^":
+                cur.append("^")
+                i += 1
+            if i < n and pattern[i] == "]":
+                cur.append("]")
+                i += 1
+            in_class = True
             continue
         if ch == "(":
             depth += 1

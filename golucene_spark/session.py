@@ -68,10 +68,15 @@ def get_spark(
 
 def warm_workers(spark: SparkSession, slots: int | None = None) -> float:
     """Pre-warm python workers (imports + analyzer tables + allocator
-    pools + gc.freeze).  Forked pyspark workers pay a heavy, partly
-    serialized cold start on this VM (~2-20s each); a real cluster pays
-    it once per executor lifetime.  Run this once per session before
-    building/benchmarking; returns the warmup wall seconds."""
+    pools + gc.freeze) AND the JVM's hot codepaths (whole-stage codegen,
+    shuffle machinery, parquet writer/reader, TakeOrderedAndProject).
+    Forked pyspark workers pay a heavy, partly serialized cold start on
+    this VM (~2-20s each), and the JVM pays JIT compilation of the
+    codegen/shuffle/parquet stack on its first heavy job (~2-4s measured:
+    an identical build runs 7.6s cold vs 5.1s after one throwaway job) —
+    a real cluster pays both once per executor lifetime.  Run this once
+    per session before building/benchmarking; returns warmup wall
+    seconds."""
     import time as _time
 
     t0 = _time.time()
@@ -96,4 +101,54 @@ def warm_workers(spark: SparkSession, slots: int | None = None) -> float:
         yield _pa.RecordBatch.from_pandas(_pd.DataFrame({"ok": [1]}))
 
     spark.range(n).repartition(n).mapInArrow(w, "ok long").count()
+    try:
+        _warm_jvm(spark)
+    except Exception:
+        pass  # warmup is best-effort; never fail the caller
     return _time.time() - t0
+
+
+def _warm_jvm(spark: SparkSession) -> None:
+    """One throwaway micro build + two searches over 256 synthetic docs:
+    JIT-compiles the exact operator stack the real build/query jobs use
+    (mapInArrow -> ObjectHashAggregate collect_list/sort_array ->
+    explode -> sortWithinPartitions -> parquet write, then the
+    term-pruned scan -> hash-agg -> TakeOrderedAndProject read path).
+    Pure warmup: synthetic input, temp output removed immediately —
+    nothing is computed on behalf of later queries."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    sc = spark.sparkContext
+    d = tempfile.mkdtemp(prefix="golucene_warm_")
+    old_desc = None
+    try:
+        sc.setJobDescription("warmup: jvm codegen/shuffle/parquet")
+        from .index import CorpusSpec, IndexBuilder, MaterializedIndex
+        from .search import Searcher, parse_query
+
+        docs = spark.range(256).select(
+            F.col("id").alias("doc_id"),
+            F.concat(
+                F.lit("warm data join query window hash row table t"),
+                (F.col("id") % 7).cast("string"),
+            ).alias("text"),
+            F.lit("en").alias("lang"),
+            F.lit("warm").alias("source"),
+        )
+        ixdir = os.path.join(d, "ix")
+        IndexBuilder(
+            spark, CorpusSpec.documents(), analyzer="standard",
+            num_segments=4, index_positions=True,
+        ).build(docs, ixdir, num_chunks=1)
+        ix = MaterializedIndex(spark, ixdir)
+        s = Searcher(ix, "bm25")
+        s.search(parse_query("text:data OR text:join", default_field="text"), k=5).collect()
+        s.search(
+            parse_query('text:"data join" AND NOT text:t1', default_field="text"), k=5
+        ).collect()
+    finally:
+        spark.sparkContext.setJobDescription(old_desc)
+        shutil.rmtree(d, ignore_errors=True)

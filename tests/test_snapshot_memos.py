@@ -59,3 +59,28 @@ def test_reopen_drops_memos(spark, mix):
     reopened = MaterializedIndex(spark, mix.index_dir)
     assert getattr(reopened, "_tstats_shared", None) is None
     assert getattr(reopened, "_expand_shared", None) is None
+    assert getattr(reopened, "_plan_shared", None) is None
+
+
+def test_plan_memo_reuses_frames_and_keys_correctly(spark, mix):
+    """The prepared-plan memo (r6): a repeated (query, k, similarity)
+    returns the SAME immutable DataFrame (no rebuilt plan), every
+    collect recomputes identical rows, and distinct k / similarity /
+    boost produce distinct plans."""
+    q = parse_query("text:data OR text:table", default_field="text",
+                    analyzer="standard")
+    f1 = Searcher(mix, "bm25").search(q, 5)
+    r1 = [(r.doc_id, r.score) for r in f1.collect()]
+    f2 = Searcher(mix, "bm25").search(q, 5)  # fresh searcher, same snapshot
+    assert f2 is f1  # memo hit: the very same DataFrame object
+    assert [(r.doc_id, r.score) for r in f2.collect()] == r1
+    assert Searcher(mix, "bm25").search(q, 3) is not f1       # k differs
+    assert Searcher(mix, "classic").search(q, 5) is not f1    # sim differs
+    qb = parse_query("text:data^2 OR text:table", default_field="text",
+                     analyzer="standard")
+    assert Searcher(mix, "bm25").search(qb, 5) is not f1      # boost differs
+    # custom-k1 BM25 must not collide with the default-parameter plan
+    from golucene_spark.search.similarity import BM25Similarity
+
+    fk = Searcher(mix, BM25Similarity(k1=0.5)).search(q, 5)
+    assert fk is not f1
