@@ -971,6 +971,7 @@ class IndexBuilder:
             metrics["docs"] += n_docs
 
         # collection statistics (search.go:192-226), one tiny job
+        t_fs = time.time()
         ds_all = self.spark.read.parquet(os.path.join(index_dir, "doc_stats"))
         td_all = self.spark.read.parquet(os.path.join(index_dir, "term_dict"))
         fs = (
@@ -999,6 +1000,7 @@ class IndexBuilder:
                 ),
             )
         fs.coalesce(1).write.mode("overwrite").parquet(os.path.join(index_dir, "field_stats"))
+        metrics["field_stats_sec"] = round(time.time() - t_fs, 3)
         return metrics
 
 

@@ -236,18 +236,18 @@ def dedup_groups(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         ).select(
             "doc_id",
             F.least(F.col("group_id"), F.coalesce("nbr_min", "group_id")).alias("group_id"),
+            # convergence flag computed INLINE while both labels are in
+            # hand: the former new-vs-old join cost a full extra
+            # shuffle-join of the label table per iteration just to
+            # count changes; this is one scan of the checkpointed frame
+            (F.coalesce("nbr_min", "group_id") < F.col("group_id")).alias("_changed"),
         )
         # truncate lineage each iteration: without this the plan doubles
         # per round and deep components blow up the optimizer at scale
         new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.group_id") != F.col("o.group_id"))
-            .count()
-        )
+        changed = new_labels.filter(F.col("_changed")).count()
         labels.unpersist()
-        labels = new_labels
+        labels = new_labels.drop("_changed")
         if changed == 0:
             break
     edges.unpersist()
