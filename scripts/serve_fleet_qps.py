@@ -231,9 +231,17 @@ def main():
     for _ in range(args.reps):
         lo_runs.append(run_level(1, 8, ixdir))
         hi_runs.append(run_level(4, 8, ixdir))
+    import statistics
+
     lo = max(lo_runs, key=lambda r: r["aggregate_qps"])
     hi = max(hi_runs, key=lambda r: r["aggregate_qps"])
-    eff = (hi["aggregate_qps"] / lo["aggregate_qps"]) / 4
+    lo_med = statistics.median(r["aggregate_qps"] for r in lo_runs)
+    hi_med = statistics.median(r["aggregate_qps"] for r in hi_runs)
+    # HEADLINE efficiency from per-level MEDIANS (r5 verdict: best-of-N
+    # on a 2-4x-noise host is a thin statistic; medians are the honest
+    # one).  best-of is kept as a secondary diagnostic.
+    eff_med = (hi_med / lo_med) / 4
+    eff_best = (hi["aggregate_qps"] / lo["aggregate_qps"]) / 4
     summary = {
         "rows": args.rows,
         "levels": {"N": lo, "4N": hi},
@@ -241,10 +249,14 @@ def main():
             "N": [r["aggregate_qps"] for r in lo_runs],
             "4N": [r["aggregate_qps"] for r in hi_runs],
         },
-        "serve_fleet_qps_scaling_efficiency_N_to_4N": round(eff, 3),
+        "median_qps": {"N": round(lo_med, 3), "4N": round(hi_med, 3)},
+        "serve_fleet_qps_scaling_efficiency_N_to_4N": round(eff_med, 3),
+        "efficiency_best_of": round(eff_best, 3),
         "note": "disjoint taskset core sets; one shared on-disk index; "
                 "file-barrier synchronized start; same per-process mix; "
-                f"best-of-{args.reps} per level (noisy host)",
+                f"{args.reps} interleaved reps per level; headline "
+                "efficiency from per-level medians (best-of kept as "
+                "diagnostic)",
     }
     (ROOT / "BENCH").mkdir(exist_ok=True)
     # per-rows output file: a smoke run at a non-protocol size must
