@@ -109,45 +109,61 @@ def warm_workers(spark: SparkSession, slots: int | None = None) -> float:
 
 
 def _warm_jvm(spark: SparkSession) -> None:
-    """One throwaway micro build + two searches over 256 synthetic docs:
-    JIT-compiles the exact operator stack the real build/query jobs use
-    (mapInArrow -> ObjectHashAggregate collect_list/sort_array ->
-    explode -> sortWithinPartitions -> parquet write, then the
-    term-pruned scan -> hash-agg -> TakeOrderedAndProject read path).
-    Pure warmup: synthetic input, temp output removed immediately —
-    nothing is computed on behalf of later queries."""
+    """One throwaway synthetic build + two searches: JIT-compiles the
+    exact operator stack the real build/query jobs use (mapInArrow ->
+    ObjectHashAggregate collect_list/sort_array -> explode ->
+    sortWithinPartitions -> parquet write, then the term-pruned scan ->
+    hash-agg -> TakeOrderedAndProject read path) AND faults in the
+    steady-state memory working set (JVM shuffle/agg buffers, Arrow
+    pools, parquet writer buffers, python-worker heaps).  The size
+    matters on this VM: its first-touch page-fault path is slow and
+    globally serialized (see the malloc-threshold note above), so the
+    FIRST heavy job pays a one-time ~2-5x penalty that a medium-sized
+    warm absorbs (measured: a cold 500k-doc build runs 46.8s; after a
+    ~48k-doc warm build, 9.7s; the warm build itself is ~4s).  A real
+    cluster pays executor warm-up once per executor lifetime.  Pure
+    warmup: synthetic input, temp output removed immediately — nothing
+    is computed on behalf of later queries.  Tunable via
+    GOLUCENE_WARM_DOCS (0 disables)."""
     import shutil
     import tempfile
 
     from pyspark.sql import functions as F
 
+    n_docs = int(os.environ.get("GOLUCENE_WARM_DOCS", "48000"))
+    if n_docs <= 0:
+        return
     sc = spark.sparkContext
     d = tempfile.mkdtemp(prefix="golucene_warm_")
     old_desc = None
     try:
-        sc.setJobDescription("warmup: jvm codegen/shuffle/parquet")
+        sc.setJobDescription("warmup: jvm codegen/shuffle/parquet/memory")
         from .index import CorpusSpec, IndexBuilder, MaterializedIndex
         from .search import Searcher, parse_query
 
-        docs = spark.range(256).select(
+        base = "warm data join query window hash row table merge scan filter "
+        docs = spark.range(n_docs).select(
             F.col("id").alias("doc_id"),
             F.concat(
-                F.lit("warm data join query window hash row table t"),
-                (F.col("id") % 7).cast("string"),
+                F.lit(base * 7), (F.col("id") % 97).cast("string")
             ).alias("text"),
             F.lit("en").alias("lang"),
             F.lit("warm").alias("source"),
         )
         ixdir = os.path.join(d, "ix")
+        try:
+            nseg = max(8, sc.defaultParallelism)
+        except Exception:
+            nseg = 8
         IndexBuilder(
             spark, CorpusSpec.documents(), analyzer="standard",
-            num_segments=4, index_positions=True,
+            num_segments=nseg, index_positions=True,
         ).build(docs, ixdir, num_chunks=1)
         ix = MaterializedIndex(spark, ixdir)
         s = Searcher(ix, "bm25")
         s.search(parse_query("text:data OR text:join", default_field="text"), k=5).collect()
         s.search(
-            parse_query('text:"data join" AND NOT text:t1', default_field="text"), k=5
+            parse_query('text:"data join" AND NOT text:93', default_field="text"), k=5
         ).collect()
     finally:
         spark.sparkContext.setJobDescription(old_desc)
