@@ -221,3 +221,33 @@ def test_explicit_new_segment_id_collisions_raise(spark, tmp_path_factory):
             spark, ixdir, [int(rec["new_segment_id"]), segs[2]],
             new_segment_id=segs[0],
         )
+
+
+def test_chained_merge_sha_parity_not_vacuous(spark, corpus, tmp_path_factory):
+    """ADVICE r5: after a merge, doc_stats carries the merge-output
+    segment id while doc_meta keeps the originals — the old (segment,
+    doc) parity join matched ZERO rows for merged docs and passed
+    vacuously.  The reworked check translates doc_meta through the
+    merge CHAIN and asserts coverage, so a chain of two merges must (a)
+    still pass, and (b) demonstrably cover the merged docs (uncovered
+    would equal every merged ds row if translation broke)."""
+    ixdir = str(tmp_path_factory.mktemp("ixchain"))
+    IndexBuilder(spark, CorpusSpec.source_code(), num_segments=6).build(corpus, ixdir)
+    ix = MaterializedIndex(spark, ixdir)
+    segs = sorted(
+        int(r["segment_id"])
+        for r in ix.term_dict.select("segment_id").distinct().collect()
+    )
+    assert len(segs) >= 3
+    rec1 = merge_segments(spark, ixdir, segs[:2])
+    m1 = int(rec1["new_segment_id"])
+    rec2 = merge_segments(spark, ixdir, [m1, segs[2]])  # chain: (s0+s1)+s2
+    m2 = int(rec2["new_segment_id"])
+    report = verify_index(spark, ixdir, source_df=corpus, text_col="content")
+    assert report["sha256_parity_uncovered"] == 0
+    assert report["sha256_mismatches"] == 0
+    # non-vacuity: the twice-merged segment holds real docs, and since
+    # uncovered == 0 the parity join matched every one of them
+    post = MaterializedIndex(spark, ixdir)
+    n_merged = post.doc_stats.filter(F.col("segment_id") == m2).count()
+    assert n_merged > 0
