@@ -165,6 +165,11 @@ def _warm_jvm(spark: SparkSession) -> None:
         s.search(
             parse_query('text:"data join" AND NOT text:93', default_field="text"), k=5
         ).collect()
+        # classic TFIDF compiles its own codegen (norm-decode array) —
+        # warm it too, or the first classic query pays the JIT
+        Searcher(ix, "classic").search(
+            parse_query("text:data", default_field="text"), k=5
+        ).collect()
     finally:
         spark.sparkContext.setJobDescription(old_desc)
         shutil.rmtree(d, ignore_errors=True)
