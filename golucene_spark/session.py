@@ -170,6 +170,20 @@ def _warm_jvm(spark: SparkSession) -> None:
         Searcher(ix, "classic").search(
             parse_query("text:data", default_field="text"), k=5
         ).collect()
+        # remaining distinct plan shapes, one warm search each: the
+        # wide-OR map-literal scan, the keyword-field semi-join, and a
+        # multiterm expansion (dictionary scan + In-list) — each
+        # compiles its own generated code on first execution
+        s.search(
+            parse_query(" OR ".join(f"text:{t}" for t in
+                                    ["data", "join", "query", "window",
+                                     "hash", "row", "table", "merge"]),
+                        default_field="text"), k=5,
+        ).collect()
+        s.search(
+            parse_query("lang:en AND text:data", default_field="text"), k=5
+        ).collect()
+        s.search(parse_query("text:dat~1", default_field="text"), k=5).collect()
     finally:
         spark.sparkContext.setJobDescription(old_desc)
         shutil.rmtree(d, ignore_errors=True)
